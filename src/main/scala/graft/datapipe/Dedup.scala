@@ -1,0 +1,124 @@
+package graft.datapipe
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact
+  * (fingerprint groupBy), MinHash+LSH, SimHash, and n-gram Jaccard.
+  * Everything is expression-level (codegen'd, shuffle-aggregated) —
+  * the MinHash signature is an explode + min-aggregate, which is the
+  * shape that scales: at 100 TB the shuffle keys are (doc, hashIdx)
+  * and the band join is an equi-join on small band signatures.
+  * Hashes are md5-derived (TextAnalysis.hash52) so results are
+  * engine-portable for the DuckDB oracle.
+  */
+object Dedup {
+
+  /** Exact dedup decision per document: keep = first doc_id within the
+    * normalized-text fingerprint group.
+    */
+  def exact(docs: DataFrame): DataFrame = {
+    val fp = TextAnalysis.fingerprint(col("text"))
+    val w = Window.partitionBy("fp")
+    docs.select(col("doc_id"), fp.as("fp"))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("keep", col("doc_id") === min("doc_id").over(w))
+  }
+
+  /** Character shingles (n-grams of the normalized text), one row per
+    * distinct (doc_id, shingle).
+    */
+  def shingles(docs: DataFrame, n: Int = 5): DataFrame =
+    docs.select(col("doc_id"), TextAnalysis.normalized(col("text")).as("norm"))
+      .select(col("doc_id"),
+        explode(sequence(lit(1), greatest(length(col("norm")) - (n - 1), lit(1)))).as("pos"),
+        col("norm"))
+      .select(col("doc_id"), substring(col("norm"), col("pos"), lit(n)).as("shingle"))
+      .distinct()
+
+  /** MinHash signatures: k md5-derived hash functions, signature(i) =
+    * min over shingles of hash52(i || ':' || shingle). Returns
+    * (doc_id, i, minhash) — long layout, a pure groupBy-min.
+    */
+  def minhashSignatures(docs: DataFrame, k: Int = 16, shingleN: Int = 5): DataFrame =
+    shingles(docs, shingleN)
+      .select(col("doc_id"), explode(sequence(lit(0), lit(k - 1))).as("i"), col("shingle"))
+      .select(col("doc_id"), col("i"),
+        TextAnalysis.hash52(concat(col("i"), lit(":"), col("shingle"))).as("h"))
+      .groupBy("doc_id", "i")
+      .agg(min("h").as("minhash"))
+
+  /** LSH candidate pairs: band signature = md5 of the concatenated
+    * minhashes in each band; docs sharing any band signature are
+    * candidates. Self-join on (band, sig) — a plain equi-join that
+    * Spark shuffles on the band key (the 100 TB-safe shape).
+    */
+  def lshCandidates(signatures: DataFrame, rowsPerBand: Int = 4): DataFrame = {
+    val bands = signatures
+      .withColumn("band", (col("i") / rowsPerBand).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(md5(to_binary(concat_ws(",", sort_array(collect_list(
+        concat(col("i"), lit(":"), col("minhash"))))), lit("utf-8"))).as("sig"))
+    val a = bands.select(col("band"), col("sig"), col("doc_id").as("a"))
+    val b = bands.select(col("band"), col("sig"), col("doc_id").as("b"))
+    a.join(b, Seq("band", "sig"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Exact Jaccard similarity over shingle sets for the given candidate
+    * pairs (the verify stage after LSH).
+    */
+  def jaccard(shingleDf: DataFrame, pairs: DataFrame): DataFrame = {
+    val sizes = shingleDf.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(shingleDf.select(col("doc_id").as("a"), col("shingle")), "a")
+      .join(shingleDf.select(col("doc_id").as("b"), col("shingle").as("shingle_b")), "b")
+      .filter(col("shingle") === col("shingle_b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
+      .select(col("a"), col("b"),
+        (col("inter").cast("double") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: shingle → sign → band →
+    * candidate join → Jaccard verify at `threshold`.
+    */
+  def minhashNearDups(docs: DataFrame, k: Int = 16, rowsPerBand: Int = 4,
+                      shingleN: Int = 5, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(docs, shingleN)
+    val sig = minhashSignatures(docs, k, shingleN)
+    jaccard(sh, lshCandidates(sig, rowsPerBand)).filter(col("jaccard") >= threshold)
+  }
+
+  /** 52-bit SimHash per document over whitespace tokens: per bit j,
+    * sum +-1 weighted by token-hash bit j; simhash bit j = (sum > 0).
+    * Returned as a double-exact long. Engine-portable (md5 hashes,
+    * integer shifts).
+    */
+  def simhash(docs: DataFrame, bits: Int = 52): DataFrame = {
+    val tokens = docs
+      .select(col("doc_id"),
+        explode(split(TextAnalysis.normalized(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("doc_id"), TextAnalysis.hash52(col("tok")).as("h"))
+    tokens
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(bits - 1))).as("j"))
+      // bit j of h via floor-div/mod arithmetic (portable to the
+      // DuckDB oracle, exact for 52-bit values in doubles)
+      .select(col("doc_id"), col("j"),
+        (pmod(floor(col("h") / pow(lit(2.0), col("j"))).cast("long"), lit(2L)) * 2 - 1).as("sgn"))
+      .groupBy("doc_id", "j")
+      .agg(sum("sgn").as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") > 0, pow(lit(2.0), col("j"))).otherwise(0.0)).cast("long")
+        .as("simhash"))
+  }
+
+  /** Hamming distance between two simhash longs (bit-count of xor). */
+  def hamming(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,99 @@
+package graft.datapipe
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (Array[Float]).
+  *
+  * Brute-force cosine is the exact baseline: broadcast the (small)
+  * query set, crossJoin, and reduce each pair with
+  * zip_with + aggregate — a single codegen'd stage, no UDFs, no
+  * shuffle beyond the broadcast. The scale path is sign-LSH
+  * bucketing: deterministic md5-derived hyperplanes hash each vector
+  * to a bucket key, and search becomes an equi-join on buckets —
+  * at 100 TB the candidate set per query is bucket-sized, not
+  * corpus-sized.
+  */
+object Similarity {
+
+  /** Dot product of two array<double> columns, left-to-right
+    * accumulation (deterministic, oracle-matching).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  private def emb(c: Column): Column = c.cast("array<double>")
+
+  /** Exact top-k neighbors for each query vector by brute force.
+    * Ranking uses (round(cos, 6) desc, vec_id asc) so the selected row
+    * set is stable under last-bit float divergence.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), emb(col("embedding")).as("qe"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), emb(col("embedding")).as("ce"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qe"), col("ce")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(round(col("cos"), 6).desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane j,
+    * dim d): md5-derived value in [-0.5, 0.5).
+    */
+  private def planeComponent(j: Column, d: Column): Column =
+    TextAnalysis.hash52(concat(lit("plane:"), j, lit(":"), d)) / lit(4503599627370496.0) - 0.5
+
+  /** Sign-LSH bucket key from `nPlanes` deterministic hyperplanes:
+    * bucket = sum_j 2^j * (v . plane_j > 0). Expression-only — the
+    * per-dimension explode shuffles to a (vec, plane) grid and
+    * aggregates the dot products, so bucketing is one groupBy at any
+    * scale.
+    */
+  def lshBuckets(vectors: DataFrame, nPlanes: Int = 8): DataFrame =
+    vectors
+      .select(col("vec_id"), posexplode(emb(col("embedding"))).as(Seq("d", "x")))
+      .select(col("vec_id"), col("d"), col("x"),
+        explode(sequence(lit(0), lit(nPlanes - 1))).as("j"))
+      .groupBy("vec_id", "j")
+      .agg(sum(col("x") * planeComponent(col("j"), col("d"))).as("dp"))
+      .groupBy("vec_id")
+      .agg(sum(when(col("dp") > 0, pow(lit(2.0), col("j"))).otherwise(0.0)).cast("long")
+        .as("bucket"))
+
+  /** Approximate top-k: candidates restricted to the query's LSH
+    * bucket, then exact cosine rank within the bucket.
+    */
+  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10, nPlanes: Int = 8): DataFrame = {
+    val buckets = lshBuckets(corpus, nPlanes)
+    val c = corpus.join(buckets, "vec_id")
+      .select(col("vec_id").as("neighbor_id"), emb(col("embedding")).as("ce"), col("bucket"))
+    val q = queries.join(buckets, "vec_id")
+      .select(col("vec_id").as("query_id"), emb(col("embedding")).as("qe"), col("bucket"))
+    val scored = c.join(broadcast(q), "bucket")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qe"), col("ce")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(round(col("cos"), 6).desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold (brute
+    * force; the LSH bucket join is the scale path).
+    */
+  def cosineNearDups(vectors: DataFrame, threshold: Double): DataFrame = {
+    val a = vectors.select(col("vec_id").as("a"), emb(col("embedding")).as("ea"))
+    val b = vectors.select(col("vec_id").as("b"), emb(col("embedding")).as("eb"))
+    a.crossJoin(b).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), cosine(col("ea"), col("eb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

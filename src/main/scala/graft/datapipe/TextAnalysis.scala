@@ -1,0 +1,101 @@
+package graft.datapipe
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID, quality scoring, token counting, fingerprinting.
+  * All pure Column expressions (whole-stage codegen, no UDFs) and
+  * deliberately restricted to engine-portable primitives (md5,
+  * regexp_replace with ASCII classes, replace) so every operator has
+  * an exact DuckDB oracle.
+  */
+object TextAnalysis {
+
+  /** Lowercased, punctuation-collapsed text — the canonical form used
+    * by fingerprinting and shingling.
+    */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish token count: letter runs, digit runs, single punctuation
+    * marks (ASCII-only pattern so Java and RE2 regex agree).
+    */
+  val bpePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(bpePattern), lit(0)))
+
+  /** Occurrences of a literal substring — the replace-count trick,
+    * portable across engines with identical semantics.
+    */
+  def occurrences(padded: Column, needle: String): Column =
+    (length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(needle), ""))) / needle.length
+
+  /** n-gram-free language-ID heuristic: CJK detection via the
+    * bytes-vs-chars excess ratio, then stopword voting for
+    * en/de/fr/es. Deterministic tie-break order (en > de > fr > es).
+    */
+  def langId(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    def score(words: Seq[String]): Column =
+      words.map(w => occurrences(padded, s" $w ")).reduce(_ + _)
+    val en = score(Seq("the", "and", "is", "of", "to"))
+    val de = score(Seq("der", "und", "die", "ist", "das", "nicht"))
+    val fr = score(Seq("le", "et", "les", "est", "une", "pas"))
+    val es = score(Seq("el", "que", "los", "es", "una", "por"))
+    val nonAsciiRatio = (octet_length(text) - length(text)).cast("double") / length(text)
+    when(nonAsciiRatio > 0.3, lit("zh"))
+      .when(en >= de && en >= fr && en >= es, lit("en"))
+      .when(de >= fr && de >= es, lit("de"))
+      .when(fr >= es, lit("fr"))
+      .otherwise(lit("es"))
+  }
+
+  private def countMatches(text: Column, pattern: String): Column =
+    (length(text) - length(regexp_replace(text, pattern, ""))).cast("double")
+
+  /** Heuristic quality score in [0,1]: penalize extreme digit /
+    * punctuation / uppercase density and too-short documents.
+    * Components exposed for inspection; deterministic arithmetic only.
+    */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val n = length(text).cast("double")
+    val digits = countMatches(text, "[0-9]")
+    val punct = countMatches(text, "[^a-zA-Z0-9 ]")
+    val upper = countMatches(text, "[A-Z]")
+    val tokens = wsTokenCount(text).cast("double")
+    val avgTokenLen = n / tokens
+    Seq(
+      "digit_ratio" -> digits / n,
+      "punct_ratio" -> punct / n,
+      "upper_ratio" -> upper / n,
+      "n_tokens" -> tokens,
+      "avg_token_len" -> avgTokenLen)
+  }
+
+  def qualityScore(text: Column): Column = {
+    val cols = qualityColumns(text).toMap
+    val lenScore = least(length(text).cast("double") / 200.0, lit(1.0))
+    val digitPenalty = least(cols("digit_ratio") * 4.0, lit(1.0))
+    val punctPenalty = least(cols("punct_ratio") * 3.0, lit(1.0))
+    val upperPenalty = least(cols("upper_ratio") * 2.0, lit(1.0))
+    greatest(lit(0.0),
+      lenScore * (lit(1.0) - digitPenalty * 0.4 - punctPenalty * 0.3 - upperPenalty * 0.3))
+  }
+
+  /** Document fingerprint: md5 of the normalized text (exact-dedup
+    * key). 32 hex chars.
+    */
+  def fingerprint(text: Column): Column = md5(to_binary(normalized(text), lit("utf-8")))
+
+  /** A 52-bit integer hash of any string expression, derived from md5
+    * so it is identical in Spark and DuckDB. 52 bits keep it exact in
+    * a double and positive in a signed 64-bit int.
+    */
+  def hash52(c: Column): Column =
+    conv(substring(md5(to_binary(c, lit("utf-8"))), 1, 13), 16, 10).cast("long")
+}

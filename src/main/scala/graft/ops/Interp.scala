@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed 1-D interpolation as an as-of join (SURVEY §2.4/§2.11):
+  * union the source samples and the query points, sort per channel,
+  * and carry the bracketing source samples to each query row with
+  * IGNORE NULLS window functions. One shuffle per channel axis; no
+  * per-row lookups, no driver loops — this is the classic Spark
+  * formulation of the reference's `scipy.interpolate.interp1d`
+  * (`extension.py:986-996`).
+  */
+object Interp {
+
+  /** Interpolate per-channel series `src(channel, t, v)` at query
+    * points `query(channel, t)`.
+    *
+    * Kinds: linear | nearest | nearest-up | previous | zero | next
+    * (scipy interp1d's non-spline kinds). Out-of-range queries yield
+    * NULL v; callers that need scipy's bounds_error contract can
+    * assert no NULLs (the reference raises, `extension.py:992`).
+    */
+  def interp1d(src: DataFrame, query: DataFrame, kind: String = "linear"): DataFrame = {
+    val s = src.select(col("channel"), col("t").cast("double").as("t"),
+      col("v").cast("double").as("v"), lit(0).as("isq"))
+    val q = query.select(col("channel"), col("t").cast("double").as("t"),
+      lit(null).cast("double").as("v"), lit(1).as("isq"))
+    val u = s.unionByName(q)
+
+    // prev: source rows sort BEFORE a query row at the same t, so an
+    // exact hit is its own "previous" sample.
+    val wPrev = Window.partitionBy("channel").orderBy(col("t").asc, col("isq").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // next: reverse tie order so an exact hit is also its own "next".
+    val wNext = Window.partitionBy("channel").orderBy(col("t").asc, col("isq").desc)
+      .rowsBetween(0, Window.unboundedFollowing)
+
+    val srcT = when(col("isq") === 0, col("t"))
+    val srcV = when(col("isq") === 0, col("v"))
+
+    val withBrackets = u
+      .withColumn("pt", last(srcT, ignoreNulls = true).over(wPrev))
+      .withColumn("pv", last(srcV, ignoreNulls = true).over(wPrev))
+      .withColumn("nt", first(srcT, ignoreNulls = true).over(wNext))
+      .withColumn("nv", first(srcV, ignoreNulls = true).over(wNext))
+      .filter(col("isq") === 1)
+
+    val interp = kind match {
+      case "linear" | "slinear" =>
+        when(col("pt") === col("nt"), col("pv"))
+          .otherwise(col("pv") +
+            (col("nv") - col("pv")) * (col("t") - col("pt")) / (col("nt") - col("pt")))
+      case "nearest" =>
+        when(col("t") - col("pt") <= col("nt") - col("t"), col("pv")).otherwise(col("nv"))
+      case "nearest-up" =>
+        when(col("t") - col("pt") < col("nt") - col("t"), col("pv")).otherwise(col("nv"))
+      case "previous" | "zero" => col("pv")
+      case "next" => col("nv")
+      case other => throw new IllegalArgumentException(s"unsupported interp kind: $other")
+    }
+
+    withBrackets
+      .withColumn("v", when(col("pt").isNull || col("nt").isNull, lit(null).cast("double"))
+        .otherwise(interp))
+      .select("channel", "t", "v")
+  }
+
+  /** Uniform-rate resample (`extension.py:853-894`): per channel,
+    * np.arange(t0, tEnd, 1/sampleRate) — half-open, excluding tEnd —
+    * generated distributively with sequence+explode, then as-of
+    * interpolation. The grid is in-range by construction, matching the
+    * reference's bounds_error-free path.
+    */
+  def resample(src: DataFrame, sampleRate: Double, kind: String = "linear"): DataFrame = {
+    val step = 1.0 / sampleRate
+    val grid = resampleGrid(src, step)
+    interp1d(src, grid, kind)
+  }
+
+  /** The np.arange grid as a DataFrame (channel, t). */
+  def resampleGrid(src: DataFrame, step: Double): DataFrame =
+    src.groupBy("channel")
+      .agg(min("t").as("t0"), max("t").as("t1"))
+      .withColumn("n", ceil((col("t1") - col("t0")) / lit(step)).cast("long"))
+      .filter(col("n") > 0)
+      .select(col("channel"), col("t0"),
+        explode(sequence(lit(0L), col("n") - 1)).as("k"))
+      .select(col("channel"), (col("t0") + col("k") * lit(step)).as("t"))
+}

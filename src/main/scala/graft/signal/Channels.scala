@@ -1,0 +1,77 @@
+package graft.signal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Channel catalog / ingestion — the Spark analog of the reference's
+  * DAQ layer (`io.py`): a "file" is a parquet table, a "channel" is a
+  * key value, and `to_pandas`'s datetime→relative-seconds conversion
+  * (`io.py:68-82`, `extension.py:315-325`) is a projection.
+  */
+object Channels {
+
+  /** The events fixture as a multi-channel signal: event_type is the
+    * channel key, t is seconds relative to each channel's first sample
+    * (µs-exact: integer micros differenced before the single float
+    * division), value is the sample.
+    */
+  /** events.ts carries parquet TIMESTAMP(NANOS), which Spark 4 only
+    * reads via the nanosAsLong legacy flag (as int64 nanoseconds).
+    * Enable it defensively before the read (any session may call us)
+    * and reduce to exact integer microseconds — int64 nanos exceed
+    * double precision, so the division must stay integral.
+    */
+  def rawEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/events.parquet")
+    val us =
+      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        expr("ts div 1000")
+      else unix_micros(col("ts"))
+    df.withColumn("us", us)
+  }
+
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("channel")
+    rawEvents(spark, sfDir)
+      .select(col("event_type").as("channel"), col("us"), col("value").as("v"))
+      .withColumn("t", (col("us") - min("us").over(w)) / lit(1000000.0))
+      .select("channel", "t", "v")
+  }
+
+  /** Channel names present in a signal table
+    * (`Endaq.channel_list`, `io.py:175-184`).
+    */
+  def channelList(df: DataFrame): Seq[String] =
+    df.select("channel").distinct().collect().map(_.getString(0)).sorted.toSeq
+
+  /** One channel by name; errors if absent (`Endaq.get_channel`,
+    * `io.py:208-239`).
+    */
+  def getChannel(df: DataFrame, name: String): Signal = {
+    val one = df.filter(col("channel") === name)
+    if (one.isEmpty) throw new NoSuchElementException(s"Channel does not exist: $name")
+    Signal(one, name = name)
+  }
+
+  /** Per-channel start times as wall-clock epochs — the `origin`
+    * metadata (`io.py:251-255`).
+    */
+  def startTimes(spark: SparkSession, sfDir: String): DataFrame =
+    rawEvents(spark, sfDir)
+      .groupBy(col("event_type").as("channel"))
+      .agg(timestamp_micros(min("us")).as("start_time"))
+
+  /** In-memory channel from arrays — the generic `Channel` 5-tuple
+    * (`io.py:85-158`).
+    */
+  def fromArrays(spark: SparkSession, name: String, time: Array[Double],
+                 data: Array[Double], unit: String = "none",
+                 startTime: Option[java.time.Instant] = None): Signal = {
+    import spark.implicits._
+    val df = time.zip(data).toSeq.toDF("t", "v")
+      .select(lit(name).as("channel"), col("t"), col("v"))
+    Signal(df, name, unit, startTime)
+  }
+}

@@ -1,0 +1,193 @@
+package graft.signal
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** A distributed multi-channel time-domain signal.
+  *
+  * Long ("tidy") layout: one row per sample, schema
+  * `(channel: String, t: Double, v: Double)` with `t` in seconds
+  * relative to the channel start. This is the Spark-native analog of
+  * the reference's pandas Series with a float/datetime index
+  * (`extension.py:241-266`); a channel = one Series, and all ordered
+  * analytics become window functions over
+  * `Window.partitionBy("channel").orderBy("t")` so every operator
+  * scales horizontally across channels and stays in whole-stage
+  * codegen.
+  *
+  * `name`/`unit`/`origin` mirror the reference's Series metadata and
+  * lineage-name rewriting (`extension.py:28-29,250-251,963-971`).
+  */
+final case class Signal(df: DataFrame, name: String = "signal", unit: String = "none",
+                        origin: Option[java.time.Instant] = None) {
+
+  private def w = Window.partitionBy("channel").orderBy("t")
+  private def wAll = Window.partitionBy("channel")
+
+  private def rebuild(newDf: DataFrame, newName: String = name, newUnit: String = unit): Signal =
+    Signal(newDf.select(col("channel"), col("t").cast("double"), col("v").cast("double")),
+      newName, newUnit, origin)
+
+  /** Inclusive-inclusive time filter (`extension.py:410-434`,
+    * `_between` at `extension.py:974-983`). Pure predicate: Catalyst
+    * pushes it into the parquet scan.
+    */
+  def between(start: Double, end: Double): Signal =
+    rebuild(df.filter(col("t").between(start, end)))
+
+  /** Constant offset on the time axis (`extension.py:371-392`). */
+  def timeshift(offset: Double): Signal =
+    rebuild(df.select(col("channel"), (col("t") + lit(offset)).as("t"), col("v")))
+
+  /** Mean over duplicate time values (`extension.py:394-408`). The
+    * reference then drops the index entirely (its line 408 quirk); we
+    * keep `(channel, t)` — documented divergence (SURVEY §2.5).
+    */
+  def deduplicate(): Signal =
+    rebuild(df.groupBy("channel", "t").agg(avg("v").as("v")))
+
+  /** Per-channel root-mean-square (`extension.py:896-911`,
+    * `tools.py:103-120`) — map-side-combinable hash aggregate.
+    */
+  def rms(): DataFrame =
+    df.groupBy("channel").agg(sqrt(avg(col("v") * col("v"))).as("rms"))
+
+  /** Sound pressure level 20*log10(rms/pRef) (`extension.py:913-934`,
+    * `tools.py:204-224`).
+    */
+  def spl(pRef: Double = 20e-6): DataFrame =
+    df.groupBy("channel").agg(
+      (lit(20.0) * log10(sqrt(avg(col("v") * col("v"))) / lit(pRef))).as("spl"))
+
+  /** Per-channel sample rate with the reference's variability tolerance
+    * and integer snap (`extension.py:273-300`); NULL for variable-rate
+    * channels (the reference's documented intent — its None path is
+    * broken upstream, see SURVEY §2.5).
+    */
+  def samplerate(): DataFrame = {
+    val d = df.withColumn("dt", col("t") - lag("t", 1).over(w)).filter(col("dt").isNotNull)
+    d.groupBy("channel")
+      .agg(max("dt").as("mx"), min("dt").as("mn"), avg("dt").as("av"))
+      .select(col("channel"),
+        (lit(1.0) / col("mx")).as("max_sr"),
+        (lit(1.0) / col("av")).as("mean_sr"),
+        (lit(1.0) / col("mn")).as("min_sr"))
+      .withColumn("sr_error", (col("max_sr") - col("min_sr")) / col("min_sr"))
+      .withColumn("samplerate",
+        when(col("sr_error") > col("min_sr") * lit(0.0001) || isnan(col("sr_error")), lit(null))
+          .otherwise(
+            when(abs(col("mean_sr") - round(col("mean_sr"))) < lit(0.01) && col("mean_sr") >= 1,
+              round(col("mean_sr"))).otherwise(col("mean_sr"))))
+      .select("channel", "max_sr", "mean_sr", "min_sr", "samplerate")
+  }
+
+  /** Trailing moving RMS over a fixed count of `n` samples, keeping the
+    * reference's warm-up trim quirk: drop the first n-1 rows AND the
+    * final row (`extension.py:695-697` slices `[window_n-1:-1]`).
+    * Row-count flavor of `mov_rms` (`extension.py:664-700`); the
+    * time-length flavor (window in seconds at a uniform rate, with the
+    * t - window/2 shift) is `movRms`.
+    */
+  def movRmsN(n: Int): Signal = {
+    val frame = w.rowsBetween(-(n - 1), 0)
+    val out = df
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .withColumn("mr", sqrt(avg(col("v") * col("v")).over(frame)))
+      .filter(col("rn") >= n && col("rn") < col("cnt"))
+      .select(col("channel"), col("t"), col("mr").as("v"))
+    rebuild(out, s"mov_rms($name,$n)")
+  }
+
+  /** Reference-faithful mov_rms: window length in seconds, converted to
+    * a sample count via the channel's inferred sample rate
+    * (`extension.py:684`), result time axis shifted back by window/2
+    * (`extension.py:697`). Requires constant-rate channels.
+    */
+  def movRms(window: Double): Signal = {
+    val sr = samplerate().select(col("channel"), col("samplerate"))
+    val joined = df.join(broadcast(sr), Seq("channel"))
+    // n differs per channel, so the frame cannot be a plan constant;
+    // equivalent running formulation: sum(v^2) over an unbounded frame
+    // minus the same running sum n rows earlier (equi-join on
+    // (channel, rn - n) stands in for the variable-length lag).
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    val cum = joined
+      .withColumn("n", round(col("samplerate") * lit(window)).cast("int"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .withColumn("cum", sum(col("v") * col("v")).over(run))
+    val prev = cum.select(col("channel"), (col("rn") + col("n")).as("rn"), col("cum").as("cum_prev"))
+    val res = cum.join(prev, Seq("channel", "rn"), "left")
+      .filter(col("rn") >= col("n") && col("rn") < col("cnt"))
+      .select(col("channel"),
+        (col("t") - lit(window / 2)).as("t"),
+        sqrt((col("cum") - coalesce(col("cum_prev"), lit(0.0))) / col("n")).as("v"))
+    rebuild(res, s"mov_rms($name,$window)")
+  }
+
+  /** Cumulative trapezoidal integral with initial 0
+    * (`extension.py:702-723`; scipy cumulative_trapezoid parity).
+    */
+  def integral(): Signal = {
+    val seg = (col("v") + lag("v", 1).over(w)) / 2.0 * (col("t") - lag("t", 1).over(w))
+    val out = df
+      .withColumn("seg", coalesce(seg, lit(0.0)))
+      .withColumn("vi", sum("seg").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("channel"), col("t"), col("vi").as("v"))
+    rebuild(out, s"int($name)", "none")
+  }
+
+  /** Finite-difference derivative on the midpoint time base; n-1 rows
+    * per channel (`extension.py:725-749`).
+    */
+  def derivative(): Signal = {
+    val out = df
+      .withColumn("vn", lead("v", 1).over(w))
+      .withColumn("tn", lead("t", 1).over(w))
+      .filter(col("tn").isNotNull)
+      .select(col("channel"),
+        ((col("t") + col("tn")) / 2.0).as("t"),
+        ((col("vn") - col("v")) / (col("tn") - col("t"))).as("v"))
+    rebuild(out, s"diff($name)", "none")
+  }
+
+  /** Subtract the mean (`detrend type='constant'`,
+    * `extension.py:751-781`).
+    */
+  def detrendConstant(): Signal =
+    rebuild(df.withColumn("v", col("v") - avg("v").over(wAll))
+      .select("channel", "t", "v"), s"detrend($name)")
+
+  /** Subtract the least-squares line, closed-form OLS per channel:
+    * slope = covar_pop(t,v)/var_pop(t) (`detrend type='linear'`,
+    * `extension.py:751-781`). No sequential pass needed — two
+    * whole-partition window aggregates.
+    */
+  def detrendLinear(): Signal = {
+    val slope = covar_pop(col("t"), col("v")).over(wAll) / var_pop(col("t")).over(wAll)
+    val out = df
+      .withColumn("slope", slope)
+      .withColumn("icept", avg("v").over(wAll) - col("slope") * avg("t").over(wAll))
+      .select(col("channel"), col("t"),
+        (col("v") - (col("icept") + col("slope") * col("t"))).as("v"))
+    rebuild(out, s"detrend($name)")
+  }
+
+  /** Root-sum-square with other signals: equi-join on (channel, t) then
+    * sqrt of the sum of squares (`extension.py:783-817`; pandas index
+    * alignment = join on the time axis, SURVEY §2.4 — we take the inner
+    * join, the reference's outer-NaN rows are documented divergence).
+    */
+  def rss(others: Signal*): Signal = {
+    val base = df.select(col("channel"), col("t"), (col("v") * col("v")).as("ss"))
+    val joined = others.zipWithIndex.foldLeft(base) { case (acc, (o, i)) =>
+      val od = o.df.select(col("channel"), col("t"), (col("v") * col("v")).as(s"ss_$i"))
+      acc.join(od, Seq("channel", "t"))
+    }
+    val total = others.indices.foldLeft(col("ss")) { (c, i) => c + col(s"ss_$i") }
+    val nm = (Seq(name) ++ others.map(_.name)).mkString("rss(", ",", ")")
+    rebuild(joined.select(col("channel"), col("t"), sqrt(total).as("v")), nm)
+  }
+}

@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run Verify.scala's
+parquet dumps against the DuckDB oracle SQL and compare.
+
+Usage: python3 tools/check.py <sfDir> <outDir>
+(outDir = what graft.Verify wrote)."""
+import json
+import math
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> str:
+    a, b = norm(spark_df), norm(duck_df)
+    if list(a.columns) != list(b.columns):
+        return f"SCHEMA MISMATCH spark={list(a.columns)} duck={list(b.columns)}"
+    if len(a) != len(b):
+        return f"ROWCOUNT MISMATCH spark={len(a)} duck={len(b)}"
+    bad = []
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if av.dtype.kind == 'f' or bv.dtype.kind == 'f':
+            av = av.astype(float)
+            bv = bv.astype(float)
+            neq = ~((av == bv) | (av.isna() & bv.isna()))
+            if neq.any():
+                d = (av - bv).abs().max()
+                bad.append(f"{c}: {int(neq.sum())} values differ (maxabs={d})")
+        else:
+            neq = ~((av == bv) | (av.isna() & bv.isna()))
+            if neq.any():
+                bad.append(f"{c}: {int(neq.sum())} values differ")
+    return "OK" if not bad else "VALUE MISMATCH " + "; ".join(bad)
+
+
+def main(sf_dir: str, out_dir: str) -> None:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracle = json.load(f)
+    n_ok = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            duck_df = con.sql(sql).df()
+        except Exception as e:
+            print(f"{name}: DUCKDB ERROR {e}")
+            continue
+        try:
+            spark_df = pd.read_parquet(f"{out_dir}/{name}")
+        except Exception as e:
+            print(f"{name}: SPARK OUTPUT MISSING {e}")
+            continue
+        res = compare(name, spark_df, duck_df)
+        if res == "OK":
+            n_ok += 1
+        print(f"{name}: {res} ({len(spark_df)} rows)")
+    print(f"\n{n_ok}/{len(oracle)} oracle queries match")
+    # rows-only queries
+    import os
+    for d in sorted(os.listdir(out_dir)):
+        full = f"{out_dir}/{d}"
+        if os.path.isdir(full) and d not in oracle:
+            try:
+                n = len(pd.read_parquet(full))
+                print(f"[rows-only] {d}: {n} rows" + (" !! EMPTY" if n == 0 else ""))
+            except Exception as e:
+                print(f"[rows-only] {d}: READ ERROR {e}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
