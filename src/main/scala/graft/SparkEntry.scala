@@ -123,6 +123,9 @@ object SparkEntry {
     "q_detrend_linear" -> ((s, dir) =>
       Signal(ev(s, dir)).detrendLinear().df
         .select(col("channel"), col("t"), round(col("v"), 4).as("v"))),
+    "q_detrend_bp" -> ((s, dir) =>
+      Signal(ev(s, dir)).detrendLinear(Seq(400L)).df
+        .select(col("channel"), col("t"), round(col("v"), 4).as("v"))),
     "q_rss" -> ((s, dir) => {
       // two genuine series sharing a key: line 1 vs line 2 price per order
       val l = li(s, dir)
@@ -144,6 +147,18 @@ object SparkEntry {
     "q_interp_previous" -> ((s, dir) => {
       val grid = Interp.resampleGrid(ev(s, dir), 777.0)
       Interp.interp1d(ev(s, dir), grid, "previous")
+    }),
+    "q_interp_next" -> ((s, dir) => {
+      val grid = Interp.resampleGrid(ev(s, dir), 777.0)
+      Interp.interp1d(ev(s, dir), grid, "next")
+    }),
+    "q_interp_log" -> ((s, dir) => {
+      val psd = pseudoPsd(s, dir)
+      val mx = max("freq").over(Window.partitionBy("channel"))
+      val grid = psd.withColumn("mx", mx).filter(col("freq") < col("mx"))
+        .select(col("channel"), (col("freq") + 0.5).as("freq"))
+      Spectrum(psd).interp1dLog(grid).df
+        .select(col("channel"), col("freq"), round(col("p"), 6).as("p"))
     }),
 
     // -- freq domain reductions over a deterministic pseudo-PSD --
@@ -201,6 +216,15 @@ object SparkEntry {
       Psd.getPsd(evUniform(s, dir), windowLength = Some(432000.0), summarize = "mean")),
     "k_psd_welch_max" -> ((s, dir) =>
       Psd.getPsd(evUniform(s, dir), windowLength = Some(432000.0), summarize = "max")),
+    "k_psd_welch_median" -> ((s, dir) =>
+      Psd.getPsd(evUniform(s, dir), windowLength = Some(432000.0), summarize = "median")),
+    "k_psd_welch_all" -> ((s, dir) =>
+      Psd.getPsd(evUniform(s, dir), windowLength = Some(432000.0), summarize = "all")),
+    "k_psd_welch_maxrms" -> ((s, dir) =>
+      Psd.getPsd(evUniform(s, dir), windowLength = Some(432000.0), summarize = "max rms")),
+    "k_psd_welch_damage" -> ((s, dir) =>
+      Psd.getPsd(evUniform(s, dir), windowLength = Some(432000.0), summarize = "damage",
+        fatigueExponent = 4.0)),
     "k_filt_butter" -> ((s, dir) =>
       Kernels.filtButter(evUniform(s, dir), Seq(3.0e-5), order = 4, btype = "lowpass")),
     "k_filt_cfc" -> ((s, dir) =>
@@ -226,6 +250,14 @@ object SparkEntry {
     }),
     "k_multimodal_features" -> ((s, dir) =>
       Multimodal.extractFeatures(Multimodal.syntheticMedia(docs(s, dir)))),
+    "k_stream_windowed_rms" -> ((s, dir) => {
+      import graft.streaming.StreamingOps._
+      runToMemorySink(windowedRms(eventsStream(s, dir)), "stream_wrms", "complete")
+    }),
+    "k_stream_stateful_movrms" -> ((s, dir) => {
+      import graft.streaming.StreamingOps._
+      runToMemorySink(statefulMovRms(eventsStream(s, dir)), "stream_smovrms", "append")
+    }),
     "k_movrms_time" -> ((s, dir) =>
       Signal(evUniform(s, dir)).movRms(7200.0).df)
   )
@@ -368,6 +400,42 @@ object SparkEntry {
     "q_resample_linear" -> resampleSql(1000.0, "linear"),
     "q_interp_nearest" -> resampleSql(777.0, "nearest"),
     "q_interp_previous" -> resampleSql(777.0, "previous"),
+    "q_interp_next" -> resampleSql(777.0, "next"),
+    "q_interp_log" ->
+      s"""WITH $PSEUDO_PSD,
+         |lsrc AS (SELECT channel, log10(freq) AS lt, log10(p) AS lv FROM psd),
+         |grid AS (
+         |  SELECT channel, freq + 0.5 AS freq, log10(freq + 0.5) AS lt
+         |  FROM psd WHERE freq < (SELECT max(p2.freq) FROM psd p2 WHERE p2.channel = psd.channel)
+         |),
+         |prevj AS (
+         |  SELECT g.channel, g.freq, g.lt, s.lt AS pt, s.lv AS pv
+         |  FROM grid g ASOF LEFT JOIN lsrc s ON g.channel = s.channel AND g.lt >= s.lt
+         |),
+         |nextj AS (
+         |  SELECT g.channel, g.freq, s.lt AS nt, s.lv AS nv
+         |  FROM grid g ASOF LEFT JOIN lsrc s ON g.channel = s.channel AND g.lt <= s.lt
+         |)
+         |SELECT p.channel, p.freq,
+         |       round(pow(10.0, CASE WHEN p.pt = n.nt THEN p.pv
+         |                  ELSE p.pv + (n.nv - p.pv) * (p.lt - p.pt) / (n.nt - p.pt) END), 6) AS p
+         |FROM prevj p JOIN nextj n ON p.channel = n.channel AND p.freq = n.freq""".stripMargin,
+    "q_detrend_bp" ->
+      s"""WITH $SRC,
+         |idx AS (
+         |  SELECT channel, t, v,
+         |         CASE WHEN row_number() OVER (PARTITION BY channel ORDER BY t) - 1 >= 400
+         |              THEN 1 ELSE 0 END AS seg
+         |  FROM src
+         |),
+         |fit AS (
+         |  SELECT channel, t, v,
+         |         covar_pop(t, v) OVER ws / var_pop(t) OVER ws AS slope,
+         |         avg(v) OVER ws AS mv, avg(t) OVER ws AS mt
+         |  FROM idx WINDOW ws AS (PARTITION BY channel, seg)
+         |)
+         |SELECT channel, t, round(v - ((mv - slope * mt) + slope * t), 4) AS v
+         |FROM fit""".stripMargin,
 
     "q_rms_lin" ->
       s"""WITH $PSEUDO_PSD,

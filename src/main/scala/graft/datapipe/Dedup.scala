@@ -105,17 +105,18 @@ object Dedup {
         explode(split(TextAnalysis.normalized(col("text")), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
       .select(col("doc_id"), TextAnalysis.hash52(col("tok")).as("h"))
-    tokens
-      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(bits - 1))).as("j"))
-      // bit j of h via floor-div/mod arithmetic (portable to the
-      // DuckDB oracle, exact for 52-bit values in doubles)
-      .select(col("doc_id"), col("j"),
-        (pmod(floor(col("h") / pow(lit(2.0), col("j"))).cast("long"), lit(2L)) * 2 - 1).as("sgn"))
-      .groupBy("doc_id", "j")
-      .agg(sum("sgn").as("s"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("s") > 0, pow(lit(2.0), col("j"))).otherwise(0.0)).cast("long")
-        .as("simhash"))
+    // one aggregate column per bit instead of a bits× row explode:
+    // single map-side-combinable shuffle, all constants folded.
+    // Bit j extracted with floor-div/mod arithmetic (portable to the
+    // DuckDB oracle, exact for 52-bit values in doubles).
+    val bitSums = (0 until bits).map { j =>
+      sum(pmod(floor(col("h") / pow(lit(2.0), lit(j))).cast("long"), lit(2L)) * 2 - 1).as(s"b$j")
+    }
+    tokens.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until bits).map(j => when(col(s"b$j") > 0, lit(math.pow(2.0, j))).otherwise(0.0))
+          .reduce(_ + _).cast("long").as("simhash"))
   }
 
   /** Hamming distance between two simhash longs (bit-count of xor). */

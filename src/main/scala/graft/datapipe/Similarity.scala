@@ -25,9 +25,16 @@ object Similarity {
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+  /** Cosine over raw array<float> columns via the codegen'd FloatDot
+    * expression (bit-identical to the cast-to-double formulation, one
+    * fused loop instead of three materialized arrays per pair).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    import graft.functions.FloatDot.floatDot
+    floatDot(a, b) / (sqrt(floatDot(a, a)) * sqrt(floatDot(b, b)))
+  }
 
-  private def emb(c: Column): Column = c.cast("array<double>")
+  private def emb(c: Column): Column = c
 
   /** Exact top-k neighbors for each query vector by brute force.
     * Ranking uses (round(cos, 6) desc, vec_id asc) so the selected row

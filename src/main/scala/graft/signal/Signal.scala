@@ -175,6 +175,30 @@ final case class Signal(df: DataFrame, name: String = "signal", unit: String = "
     rebuild(out, s"detrend($name)")
   }
 
+  /** Piecewise linear detrend with break points given as sample
+    * indices into each channel (scipy.signal.detrend `bp` semantics,
+    * `extension.py:751-781`): an independent least-squares line is
+    * removed per segment. Segment id is a pure expression (count of
+    * breakpoints at or below the row index), so this stays one
+    * window-aggregate pass partitioned by (channel, segment).
+    */
+  def detrendLinear(breakpoints: Seq[Long]): Signal = {
+    if (breakpoints.isEmpty) return detrendLinear()
+    val rn = row_number().over(w) - 1
+    val seg = breakpoints.sorted.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(rn >= b, 1).otherwise(0)
+    }
+    val wSeg = Window.partitionBy("channel", "seg")
+    val slope = covar_pop(col("t"), col("v")).over(wSeg) / var_pop(col("t")).over(wSeg)
+    val out = df
+      .withColumn("seg", seg)
+      .withColumn("slope", slope)
+      .withColumn("icept", avg("v").over(wSeg) - col("slope") * avg("t").over(wSeg))
+      .select(col("channel"), col("t"),
+        (col("v") - (col("icept") + col("slope") * col("t"))).as("v"))
+    rebuild(out, s"detrend($name)")
+  }
+
   /** Root-sum-square with other signals: equi-join on (channel, t) then
     * sqrt of the sum of squares (`extension.py:783-817`; pandas index
     * alignment = join on the time axis, SURVEY §2.4 — we take the inner

@@ -63,10 +63,13 @@ final case class Spectrum(df: DataFrame, name: String = "psd", unit: String = "n
     */
   def interp1dLog(grid: DataFrame): Spectrum = {
     val src = df.select(col("channel"), log10(col("freq")).as("t"), log10(col("p")).as("v"))
-    val q = grid.select(col("channel"), log10(col("freq")).as("t"))
-    val res = graft.ops.Interp.interp1d(src, q, "linear")
-      .select(col("channel"), pow(lit(10.0), col("t")).as("freq"), pow(lit(10.0), col("v")).as("p"))
-    copy(df = res, name = s"interp($name)")
+    // keep the caller's grid values as the output freq axis: a
+    // pow(10, log10(f)) round-trip would perturb the key by an ulp
+    val q = grid.select(col("channel"), col("freq"), log10(col("freq")).as("t"))
+    val res = graft.ops.Interp.interp1d(src, q.select("channel", "t"), "linear")
+    val out = res.join(q, Seq("channel", "t"))
+      .select(col("channel"), col("freq"), pow(lit(10.0), col("v")).as("p"))
+    copy(df = out, name = s"interp($name)")
   }
 
   /** Interpolate onto a new per-channel frequency grid

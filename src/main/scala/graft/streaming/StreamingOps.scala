@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming analogs of the batch operators (SURVEY §2.13 —
+  * the reference is strictly batch; these are the engine's streaming
+  * extension): tumbling/sliding windowed RMS with watermarked late
+  * data, and a stateful trailing moving-RMS via
+  * flatMapGroupsWithState (filter state = ring buffer per channel,
+  * the same shape an IIR filter's state would take).
+  */
+object StreamingOps {
+
+  /** The events fixture as a file-source stream: (channel, ts, v).
+    * Schema is taken from a static read (required by file sources);
+    * TIMESTAMP(NANOS) arrives as int64 nanos (see Channels.rawEvents)
+    * and is reduced to a microsecond timestamp.
+    */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    val ts =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        timestamp_micros(expr("ts div 1000"))
+      else col("ts").cast("timestamp")
+    raw.select(col("event_type").as("channel"), ts.as("ts"), col("value").as("v"))
+  }
+
+  /** Sliding-window RMS per channel with a watermark for late data —
+    * the streaming analog of mov_rms over wall-clock windows.
+    */
+  def windowedRms(stream: DataFrame, windowDur: String = "1 day",
+                  slideDur: String = "12 hours", watermark: String = "1 hour"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur, slideDur), col("channel"))
+      .agg(sqrt(avg(col("v") * col("v"))).as("rms"), count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("channel"), col("rms"), col("n"))
+
+  case class Sample(channel: String, us: Long, v: Double)
+  case class RmsOut(channel: String, us: Long, rms: Double)
+  case class RingState(values: List[Double])
+
+  /** Trailing n-sample moving RMS as explicit keyed state: each
+    * channel keeps the last n-1 squared samples between micro-batches.
+    * Within a batch, samples are processed in time order.
+    */
+  def statefulMovRms(stream: DataFrame, n: Int = 16): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val typed = stream
+      .select(col("channel"), unix_micros(col("ts")).as("us"), col("v"))
+      .as[Sample]
+    typed.groupByKey(_.channel)
+      .flatMapGroupsWithState[RingState, RmsOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (channel: String, rows: Iterator[Sample], state: GroupState[RingState]) =>
+          var buf = state.getOption.map(_.values).getOrElse(Nil)
+          val out = rows.toSeq.sortBy(_.us).map { s =>
+            buf = (buf :+ (s.v * s.v)).takeRight(n)
+            RmsOut(channel, s.us, math.sqrt(buf.sum / buf.length))
+          }
+          state.update(RingState(buf))
+          out.iterator
+      }.toDF()
+  }
+
+  /** Drive a streaming DataFrame to completion over the (bounded) file
+    * source and return the materialized result — the batch-driven
+    * smoke harness for streaming queries.
+    */
+  def runToMemorySink(df: DataFrame, name: String, mode: String = "append"): DataFrame = {
+    val spark = df.sparkSession
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.signal.{Signal, Spectrum}
+import graft.functions.FloatDot.floatDot
+
+/** Tests for the round-2 additions: FloatDot codegen expression,
+  * piecewise detrend, log-log interpolation, WAV sink, streaming ops.
+  */
+class ExtrasSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("FloatDot matches the cast-to-double formulation bit for bit") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    val rows = (0 until 50).map { i =>
+      (i.toLong, Array.fill(64)(rng.nextFloat() * 2 - 1), Array.fill(64)(rng.nextFloat() * 2 - 1))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select(col("id"), floatDot(col("a"), col("b")).as("d")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expect = df.select(col("id"),
+      aggregate(zip_with(col("a").cast("array<double>"), col("b").cast("array<double>"),
+        (x, y) => x * y), lit(0.0), (acc, x) => acc + x).as("d")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == expect)
+  }
+
+  test("piecewise detrend removes two different ramps exactly") {
+    import spark.implicits._
+    val data = (0 until 100).map { i =>
+      val v = if (i < 50) 1.0 * i else 80.0 - 2.0 * i
+      ("pw", i.toDouble, v)
+    }.toDF("channel", "t", "v")
+    val out = Signal(data).detrendLinear(Seq(50L)).df.collect()
+    out.foreach(r => assert(math.abs(r.getDouble(2)) < 1e-8))
+  }
+
+  test("interp1dLog is exact on a log-log-linear (power-law) spectrum") {
+    import spark.implicits._
+    val psd = (1 to 20).map(k => ("c", k.toDouble, math.pow(k.toDouble, 2.0)))
+      .toDF("channel", "freq", "p")
+    val grid = (1 to 19).map(k => ("c", k + 0.5)).toDF("channel", "freq")
+    val got = Spectrum(psd).interp1dLog(grid).df.collect()
+    assert(got.length == 19)
+    got.foreach { r =>
+      val f = r.getDouble(1)
+      assert(math.abs(r.getDouble(2) - f * f) / (f * f) < 1e-9)
+    }
+  }
+
+  test("WAV sink writes a parseable IEEE-float stereo file") {
+    val tmp = java.io.File.createTempFile("graft", ".wav")
+    val l = Array.tabulate(100)(i => math.sin(i * 0.1))
+    graft.sources.WavSink.writeArrays(tmp.getAbsolutePath, 48000, l, l)
+    val bytes = java.nio.file.Files.readAllBytes(tmp.toPath)
+    assert(bytes.length == 44 + 100 * 16)
+    assert(new String(bytes.slice(0, 4), "ASCII") == "RIFF")
+    assert(new String(bytes.slice(8, 12), "ASCII") == "WAVE")
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(bb.getShort(20) == 3) // IEEE float
+    assert(bb.getShort(22) == 2) // stereo
+    assert(bb.getInt(24) == 48000)
+    assert(math.abs(bb.getDouble(44) - l(0)) < 1e-15)
+    assert(math.abs(bb.getDouble(44 + 16) - l(1)) < 1e-15)
+    tmp.delete()
+  }
+
+  test("streaming windowed rms over the bounded events stream") {
+    import graft.streaming.StreamingOps._
+    val out = runToMemorySink(
+      windowedRms(eventsStream(spark, "/root/testdata/sf0.001")), "t_wrms", "complete")
+    assert(out.count() > 0)
+    assert(out.columns.toSeq == Seq("w_start", "channel", "rms", "n"))
+  }
+
+  test("stateful streaming mov-rms: first sample per channel equals |v|") {
+    import graft.streaming.StreamingOps._
+    val out = runToMemorySink(
+      statefulMovRms(eventsStream(spark, "/root/testdata/sf0.001")), "t_smovrms", "append")
+    val ev = graft.signal.Channels.events(spark, "/root/testdata/sf0.001")
+    assert(out.count() == ev.count())
+    val firstOut = out.orderBy("us").groupBy("channel").agg(first("rms").as("rms0"),
+      min("us").as("us0"))
+    val firstIn = graft.signal.Channels.rawEvents(spark, "/root/testdata/sf0.001")
+      .groupBy(col("event_type").as("channel"))
+      .agg(min_by(abs(col("value")), col("us")).as("absv0"))
+    val joined = firstOut.join(firstIn, "channel").collect()
+    assert(joined.length == 5)
+    joined.foreach(r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(3)) < 1e-9))
+  }
+}
