@@ -72,10 +72,12 @@ object Dedup {
     */
   def jaccard(shingleDf: DataFrame, pairs: DataFrame): DataFrame = {
     val sizes = shingleDf.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // composite (b, shingle) equi-join: the shingle match MUST be a
+    // join key, not a post-join filter — joining on b alone first
+    // cross-products every a-shingle with every b-shingle
     val inter = pairs
       .join(shingleDf.select(col("doc_id").as("a"), col("shingle")), "a")
-      .join(shingleDf.select(col("doc_id").as("b"), col("shingle").as("shingle_b")), "b")
-      .filter(col("shingle") === col("shingle_b"))
+      .join(shingleDf.select(col("doc_id").as("b"), col("shingle")), Seq("b", "shingle"))
       .groupBy("a", "b").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), "a")

@@ -30,10 +30,12 @@ object TextAnalysis {
     size(regexp_extract_all(lower(text), lit(bpePattern), lit(0)))
 
   /** Occurrences of a literal substring — the replace-count trick,
-    * portable across engines with identical semantics.
+    * portable across engines with identical semantics. Literal
+    * `replace`, not a quoted regex: the regex engine costs ~5x on
+    * long documents.
     */
   def occurrences(padded: Column, needle: String): Column =
-    (length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(needle), ""))) / needle.length
+    (length(padded) - length(call_function("replace", padded, lit(needle), lit("")))) / needle.length
 
   /** n-gram-free language-ID heuristic: CJK detection via the
     * bytes-vs-chars excess ratio, then stopword voting for

@@ -23,19 +23,25 @@ object Interp {
     * assert no NULLs (the reference raises, `extension.py:992`).
     */
   def interp1d(src: DataFrame, query: DataFrame, kind: String = "linear"): DataFrame = {
+    if (kind == "cubic") return interp1dSpline(src, query)
     val s = src.select(col("channel"), col("t").cast("double").as("t"),
       col("v").cast("double").as("v"), lit(0).as("isq"))
     val q = query.select(col("channel"), col("t").cast("double").as("t"),
       lit(null).cast("double").as("v"), lit(1).as("isq"))
     val u = s.unionByName(q)
 
-    // prev: source rows sort BEFORE a query row at the same t, so an
-    // exact hit is its own "previous" sample.
+    // Both brackets are RUNNING (unbounded-preceding) frames, which
+    // Spark evaluates incrementally in O(n); an unbounded-FOLLOWING
+    // frame would be recomputed per row = O(n^2) per channel.
+    // prev: ascending time, source rows sort BEFORE a query row at the
+    // same t, so an exact hit is its own "previous" sample.
     val wPrev = Window.partitionBy("channel").orderBy(col("t").asc, col("isq").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    // next: reverse tie order so an exact hit is also its own "next".
-    val wNext = Window.partitionBy("channel").orderBy(col("t").asc, col("isq").desc)
-      .rowsBetween(0, Window.unboundedFollowing)
+    // next: DESCENDING time with the same tie order, so the running
+    // "last source seen" is the nearest following sample (equal t
+    // included).
+    val wNext = Window.partitionBy("channel").orderBy(col("t").desc, col("isq").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
 
     val srcT = when(col("isq") === 0, col("t"))
     val srcV = when(col("isq") === 0, col("v"))
@@ -43,8 +49,8 @@ object Interp {
     val withBrackets = u
       .withColumn("pt", last(srcT, ignoreNulls = true).over(wPrev))
       .withColumn("pv", last(srcV, ignoreNulls = true).over(wPrev))
-      .withColumn("nt", first(srcT, ignoreNulls = true).over(wNext))
-      .withColumn("nv", first(srcV, ignoreNulls = true).over(wNext))
+      .withColumn("nt", last(srcT, ignoreNulls = true).over(wNext))
+      .withColumn("nv", last(srcV, ignoreNulls = true).over(wNext))
       .filter(col("isq") === 1)
 
     val interp = kind match {
@@ -65,6 +71,32 @@ object Interp {
       .withColumn("v", when(col("pt").isNull || col("nt").isNull, lit(null).cast("double"))
         .otherwise(interp))
       .select("channel", "t", "v")
+  }
+
+  /** Cubic (not-a-knot) spline interpolation: unlike the linear
+    * family, the spline needs every source sample of a channel at
+    * once, so this is a typed cogroup — source and query partitions
+    * meet per channel, one O(n) tridiagonal solve per channel task
+    * (SURVEY §2.11: the documented kernel path for spline kinds).
+    */
+  private def interp1dSpline(src: DataFrame, query: DataFrame): DataFrame = {
+    val spark = src.sparkSession
+    import spark.implicits._
+    val s = src.selectExpr("channel", "cast(t as double) t", "cast(v as double) v")
+      .as[PerChannel.Sample]
+    val q = query.selectExpr("channel", "cast(t as double) t")
+      .map(r => PerChannel.Sample(r.getString(0), r.getDouble(1), 0.0))
+    s.groupByKey(_.channel).cogroup(q.groupByKey(_.channel)) { (ch, srcIt, qIt) =>
+      val srcArr = srcIt.toArray.sortBy(_.t)
+      val qArr = qIt.toArray.sortBy(_.t)
+      if (srcArr.isEmpty || qArr.isEmpty) Iterator.empty
+      else {
+        val xs = srcArr.map(_.t)
+        val ys = srcArr.map(_.v)
+        val vals = graft.dsp.CubicSpline.interpolate(xs, ys, qArr.map(_.t))
+        Iterator.tabulate(qArr.length)(i => PerChannel.Sample(ch, qArr(i).t, vals(i)))
+      }
+    }.toDF()
   }
 
   /** Uniform-rate resample (`extension.py:853-894`): per channel,

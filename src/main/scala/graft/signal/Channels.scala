@@ -33,10 +33,15 @@ object Channels {
   }
 
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy("channel")
-    rawEvents(spark, sfDir)
+    val raw = rawEvents(spark, sfDir)
       .select(col("event_type").as("channel"), col("us"), col("value").as("v"))
-      .withColumn("t", (col("us") - min("us").over(w)) / lit(1000000.0))
+    // channel origins as a partial-aggregate + broadcast join: a
+    // whole-partition window would shuffle the entire fact table just
+    // to learn one min per channel — the aggregate ships only the
+    // tiny (channel, us0) dim back to every task
+    val origins = raw.groupBy("channel").agg(min("us").as("us0"))
+    raw.join(broadcast(origins), "channel")
+      .withColumn("t", (col("us") - col("us0")) / lit(1000000.0))
       .select("channel", "t", "v")
   }
 
