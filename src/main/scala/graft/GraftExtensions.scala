@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.FloatDot
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * expressions for SQL use. Install with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` or call
+  * `GraftExtensions.register(spark)` on a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("float_dot"),
+      new ExpressionInfo("graft.functions.FloatDot", "float_dot"),
+      (exprs: Seq[Expression]) => FloatDot(exprs(0), exprs(1))))
+  }
+}
+
+object GraftExtensions {
+  /** Runtime registration for an already-built session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "float_dot", exprs => FloatDot(exprs(0), exprs(1)), "scala_udf")
+}

@@ -31,7 +31,10 @@ object SparkEntry {
   private def reg(s: SparkSession, dir: String) = s.read.parquet(s"$dir/region.parquet")
   private def docs(s: SparkSession, dir: String) = s.read.parquet(s"$dir/documents.parquet")
   private def emb(s: SparkSession, dir: String) = s.read.parquet(s"$dir/embeddings.parquet")
-  private def ev(s: SparkSession, dir: String) = Channels.events(s, dir)
+  private val evCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def ev(s: SparkSession, dir: String) =
+    evCache.getOrElseUpdate((s, dir), Channels.events(s, dir).cache())
 
   /** events channels resampled to a uniform 1/3600 Hz grid — the
     * constant-rate substrate for the samplerate-dependent kernels.
@@ -92,7 +95,14 @@ object SparkEntry {
     }),
 
     // -- sigproc: stateless ops (exact, unrounded) --
+    "q_channel_list" -> ((s, dir) =>
+      ev(s, dir).select("channel").distinct()),
+    "q_start_times" -> ((s, dir) =>
+      Channels.rawEvents(s, dir).groupBy(col("event_type").as("channel"))
+        .agg(min("us").as("start_us"))),
     "q_between" -> ((s, dir) => Signal(ev(s, dir)).between(1.0e5, 2.0e6).df),
+    "q_fbetween" -> ((s, dir) =>
+      Spectrum(pseudoPsd(s, dir)).between(100.0, 500.0).df),
     "q_timeshift" -> ((s, dir) => Signal(ev(s, dir)).timeshift(3600.0).df),
     "q_dedup_mean" -> ((s, dir) => {
       // hour-bucketed time axis creates real duplicates to average
@@ -241,6 +251,9 @@ object SparkEntry {
     "k_srs" -> ((s, dir) =>
       Kernels.srs(evUniform(s, dir), Array(1e-5, 2e-5, 5e-5, 1e-4), qualityFactor = 50.0)),
     "k_rainflow" -> ((s, dir) => Kernels.rainflow(ev(s, dir), ndigits = Some(1))),
+    "k_rainflow_binned" -> ((s, dir) => Kernels.rainflow(ev(s, dir), nbins = Some(10))),
+    "k_psd_welch_detrend_linear" -> ((s, dir) =>
+      Psd.getPsd(evUniform(s, dir), windowLength = Some(432000.0), detrend = "linear")),
     "k_ann_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.annTopK(e, e.filter(col("vec_id") % 25 === 0), k = 10)
@@ -269,7 +282,14 @@ object SparkEntry {
     "k_movrms_time" -> ((s, dir) =>
       Signal(evUniform(s, dir)).movRms(7200.0).df),
     "k_resample_cubic" -> ((s, dir) =>
-      Interp.resample(ev(s, dir), 1.0 / 1000.0, "cubic"))
+      Interp.resample(ev(s, dir), 1.0 / 1000.0, "cubic")),
+    "k_iir_parallel" -> ((s, dir) => {
+      // chunk-parallel lowpass over the uniform grid: exercises the
+      // linear-recurrence scan (parallelism WITHIN a channel)
+      val sr = 1.0 / 3600.0
+      val (b, a) = graft.dsp.FilterDesign.butter(2, (sr / 8) / (sr / 2), "lowpass")
+      graft.ops.ParallelIIR.lfilterDistributed(evUniform(s, dir), b, a, chunk = 500)
+    })
   )
 
   /** Deterministic pseudo-spectrum per channel: freq = sample rank,
@@ -318,8 +338,14 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name""".stripMargin,
 
+    "q_channel_list" ->
+      "SELECT DISTINCT event_type AS channel FROM events",
+    "q_start_times" ->
+      "SELECT event_type AS channel, min(epoch_us(ts)) AS start_us FROM events GROUP BY event_type",
     "q_between" ->
       s"WITH $SRC SELECT channel, t, v FROM src WHERE t >= 100000.0 AND t <= 2000000.0",
+    "q_fbetween" ->
+      s"WITH $PSEUDO_PSD SELECT channel, freq, p FROM psd WHERE freq >= 100.0 AND freq <= 500.0",
     "q_timeshift" ->
       s"WITH $SRC SELECT channel, t + 3600.0 AS t, v FROM src",
     "q_dedup_mean" ->

@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.dsp.IIR
+
+/** Distributed IIR filtering for channels too large for one task —
+  * the parallel linear-recurrence scan (SURVEY §2.9 "v2 path",
+  * classic Blelloch-style formulation).
+  *
+  * An IIR filter's state after a chunk is affine in its initial
+  * state: z_out = A^L z_in + d(chunk), where A is the one-step
+  * homogeneous state-transition matrix of the direct-form-II-
+  * transposed recurrence (depends only on the a-coefficients) and
+  * d(chunk) is the final state when filtering the chunk from zero
+  * state. So:
+  *
+  *   pass 1 (parallel): per chunk, filter from zero state, keep only
+  *     the final state d_i and length L_i;
+  *   combine (driver):  z_{i+1} = A^{L_i} z_i + d_i — a few doubles
+  *     per chunk, sequential but trivial (tree-combinable if ever
+  *     needed);
+  *   pass 2 (parallel): re-filter each chunk with its true initial
+  *     state — outputs are the exact sequential recurrence per chunk.
+  *
+  * Cost: 2x the filter FLOPs, fully parallel across chunks of the
+  * SAME channel. Matches sequential lfilter to fp-roundoff of the
+  * state handoff (~1e-12 relative).
+  */
+object ParallelIIR {
+
+  case class ChunkRow(channel: String, chunkId: Long, t: Double, v: Double)
+  case class ChunkState(channel: String, chunkId: Long, state: Array[Double], len: Long)
+  case class OutRow(channel: String, t: Double, v: Double)
+
+  /** One-step homogeneous DF2T state matrix for normalized a
+    * (a(0)=1, length n): with input 0, y = z_0 and
+    * z_j' = z_{j+1} - a_{j+1} y (z_{m} taken as 0).
+    */
+  def stepMatrix(a: Array[Double]): Array[Array[Double]] = {
+    val m = a.length - 1
+    Array.tabulate(m, m) { (j, k) =>
+      (if (k == 0) -a(j + 1) else 0.0) + (if (k == j + 1) 1.0 else 0.0)
+    }
+  }
+
+  private def matMul(x: Array[Array[Double]], y: Array[Array[Double]]): Array[Array[Double]] = {
+    val n = x.length
+    Array.tabulate(n, n) { (i, j) =>
+      var s = 0.0
+      var k = 0
+      while (k < n) { s += x(i)(k) * y(k)(j); k += 1 }
+      s
+    }
+  }
+
+  /** M^steps by repeated squaring (m is the filter order: 2-8). */
+  def matPow(m: Array[Array[Double]], steps: Long): Array[Array[Double]] = {
+    val n = m.length
+    var result = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var base = m
+    var k = steps
+    while (k > 0) {
+      if ((k & 1L) == 1L) result = matMul(result, base)
+      base = matMul(base, base)
+      k >>= 1
+    }
+    result
+  }
+
+  private def matVec(m: Array[Array[Double]], v: Array[Double]): Array[Double] =
+    Array.tabulate(m.length) { i =>
+      var s = 0.0
+      var k = 0
+      while (k < m.length) { s += m(i)(k) * v(k); k += 1 }
+      s
+    }
+
+  /** Distributed lfilter over (channel, t, v) with `chunk` rows per
+    * task. Exact same operator contract as Kernels-level lfilter but
+    * parallel WITHIN a channel.
+    */
+  def lfilterDistributed(df: DataFrame, b: Array[Double], a: Array[Double],
+                         chunk: Int = 1 << 20): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(chunk > 0)
+    val aNorm = a.map(_ / a(0))
+    val w = Window.partitionBy("channel").orderBy("t")
+    val chunked = df
+      .withColumn("chunkId", ((row_number().over(w) - 1) / chunk).cast("long"))
+      .selectExpr("channel", "chunkId", "cast(t as double) t", "cast(v as double) v")
+      .as[ChunkRow]
+
+    def sortedVals(rows: Iterator[ChunkRow]): (Array[ChunkRow], Array[Double]) = {
+      val arr = rows.toArray.sortBy(_.t)
+      (arr, arr.map(_.v))
+    }
+
+    // pass 1: zero-state final states per chunk
+    val states = chunked.groupByKey(r => (r.channel, r.chunkId))
+      .mapGroups { (key, rows) =>
+        val (_, vs) = sortedVals(rows)
+        val (_, st) = IIR.lfilterWithState(b, a, vs, null)
+        ChunkState(key._1, key._2, st, vs.length.toLong)
+      }.collect()
+
+    // driver combine: z_{i+1} = A^{L_i} z_i + d_i per channel
+    val m = stepMatrix(aNorm)
+    val powCache = scala.collection.mutable.Map.empty[Long, Array[Array[Double]]]
+    val initStates: Map[(String, Long), Array[Double]] =
+      states.groupBy(_.channel).iterator.flatMap { case (ch, cs) =>
+      val sorted = cs.sortBy(_.chunkId)
+      var z = new Array[Double](math.max(aNorm.length - 1, 0))
+      sorted.map { c =>
+        val zi = z
+        val aL = powCache.getOrElseUpdate(c.len, matPow(m, c.len))
+        val propagated = matVec(aL, zi)
+        z = Array.tabulate(zi.length)(i => propagated(i) + c.state(i))
+        ((ch, c.chunkId), zi)
+      }
+    }.toMap
+    val bcStates = spark.sparkContext.broadcast(initStates)
+
+    // pass 2: exact outputs with the true initial state per chunk
+    chunked.groupByKey(r => (r.channel, r.chunkId))
+      .flatMapGroups { (key, rows) =>
+        val (arr, vs) = sortedVals(rows)
+        val zi = bcStates.value.getOrElse(key, null)
+        val (y, _) = IIR.lfilterWithState(b, a, vs, zi)
+        Iterator.tabulate(arr.length)(i => OutRow(key._1, arr(i).t, y(i)))
+      }.toDF("channel", "t", "v")
+  }
+}
