@@ -83,6 +83,21 @@ object SparkEntry {
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 0).as("revenue"),
           countDistinct("o_orderkey").as("n_orders"))
     }),
+    // predicate-pushdown showcase: every filter reaches the parquet
+    // scan (PushedFilters), only 4 columns read
+    "q06_banded_revenue" -> ((s, dir) => {
+      li(s, dir)
+        .filter(col("l_shipdate") >= lit("1994-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+          col("l_discount").between(0.02, 0.08) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+    "q07_orders_no_items" -> ((s, dir) => {
+      // anti join: orders with no lineitem rows, counted by priority
+      ord(s, dir).join(li(s, dir), col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n_orders"))
+    }),
     "q03_region_revenue" -> ((s, dir) => {
       li(s, dir)
         .join(ord(s, dir), col("l_orderkey") === col("o_orderkey"))
@@ -166,6 +181,10 @@ object SparkEntry {
     "q_interp_next" -> ((s, dir) => {
       val grid = Interp.resampleGrid(ev(s, dir), 777.0)
       Interp.interp1d(ev(s, dir), grid, "next")
+    }),
+    "q_interp_nearest_up" -> ((s, dir) => {
+      val grid = Interp.resampleGrid(ev(s, dir), 777.0)
+      Interp.interp1d(ev(s, dir), grid, "nearest-up")
     }),
     "q_interp_log" -> ((s, dir) => {
       val psd = pseudoPsd(s, dir)
@@ -279,10 +298,27 @@ object SparkEntry {
       import graft.streaming.StreamingOps._
       runToMemorySink(statefulMovRms(eventsStream(s, dir)), "stream_smovrms", "append")
     }),
+    "k_stream_dedup" -> ((s, dir) => {
+      // streaming exact-dedup: watermarked dropDuplicates on the
+      // (channel, ts) key — the streaming analog of deduplicate()
+      import graft.streaming.StreamingOps._
+      val st = eventsStream(s, dir)
+        .withWatermark("ts", "1 hour").dropDuplicates("channel", "ts")
+        .groupBy("channel").agg(count(lit(1)).as("n_distinct"))
+      runToMemorySink(st, "stream_dedup", "complete")
+    }),
     "k_movrms_time" -> ((s, dir) =>
       Signal(evUniform(s, dir)).movRms(7200.0).df),
     "k_resample_cubic" -> ((s, dir) =>
       Interp.resample(ev(s, dir), 1.0 / 1000.0, "cubic")),
+    "k_filtfilt_parallel" -> ((s, dir) => {
+      val sr = 1.0 / 3600.0
+      val (b, a) = graft.dsp.FilterDesign.butter(2, (sr / 8) / (sr / 2), "lowpass")
+      graft.ops.ParallelIIR.filtfiltDistributed(evUniform(s, dir), b, a, chunk = 500)
+    }),
+    "k_srs_freq_parallel" -> ((s, dir) =>
+      Kernels.srsParallel(evUniform(s, dir),
+        Array(1e-5, 2e-5, 3e-5, 5e-5, 7e-5, 1e-4, 1.3e-4), freqChunk = 2)),
     "k_iir_parallel" -> ((s, dir) => {
       // chunk-parallel lowpass over the uniform grid: exercises the
       // linear-recurrence scan (parallelism WITHIN a channel)
@@ -326,6 +362,16 @@ object SparkEntry {
         |       round(sum(l_extendedprice * (1 - l_discount)), 0) AS revenue,
         |       count(DISTINCT o_orderkey) AS n_orders
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q06_banded_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.08 AND l_quantity < 24""".stripMargin,
+    "q07_orders_no_items" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders WHERE NOT EXISTS (
+        |  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
         |GROUP BY o_orderpriority""".stripMargin,
     "q03_region_revenue" ->
       """SELECT r_name,
@@ -437,6 +483,7 @@ object SparkEntry {
     "q_interp_nearest" -> resampleSql(777.0, "nearest"),
     "q_interp_previous" -> resampleSql(777.0, "previous"),
     "q_interp_next" -> resampleSql(777.0, "next"),
+    "q_interp_nearest_up" -> resampleSql(777.0, "nearest-up"),
     "q_interp_log" ->
       s"""WITH $PSEUDO_PSD,
          |lsrc AS (SELECT channel, log10(freq) AS lt, log10(p) AS lv FROM psd),
@@ -541,6 +588,7 @@ object SparkEntry {
       case "linear" =>
         "CASE WHEN p.pt = n.nt THEN p.pv ELSE p.pv + (n.nv - p.pv) * (p.t - p.pt) / (n.nt - p.pt) END"
       case "nearest" => "CASE WHEN p.t - p.pt <= n.nt - p.t THEN p.pv ELSE n.nv END"
+      case "nearest-up" => "CASE WHEN p.t - p.pt < n.nt - p.t THEN p.pv ELSE n.nv END"
       case "previous" => "p.pv"
       case "next" => "n.nv"
     }

@@ -65,6 +65,32 @@ object Kernels {
     }.toDF("channel", "freq", "p")
   }
 
+  /** Frequency-parallel SRS: each natural frequency's SDOF filter is
+    * an independent sequential pass (reference loop `tools.py:371-374`)
+    * — so frequency is the natural distribution axis when channels are
+    * few and grids are large. The signal is replicated per frequency
+    * chunk via explode (duplication factor = nChunks), then each
+    * (channel, chunk) task sweeps only its slice of the grid.
+    */
+  def srsParallel(df: DataFrame, freq: Array[Double], qualityFactor: Double = 50.0,
+                  freqChunk: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val nChunks = math.max(1, (freq.length + freqChunk - 1) / freqChunk)
+    val chunks = spark.sparkContext.broadcast(freq.grouped(freqChunk).toArray)
+    val replicated = df.select(col("channel"), col("t"), col("v"),
+      explode(sequence(lit(0), lit(nChunks - 1))).as("chunk"))
+      .select(concat_ws("\u0000", col("channel"), col("chunk")).as("channel"),
+        col("t"), col("v"))
+    PerChannel.transform[(String, Double, Double)](replicated) { (key, ts, vs) =>
+      val Array(ch, chunkStr) = key.split("\u0000")
+      val grid = chunks.value(chunkStr.toInt)
+      val (pos, neg) = Srs.srs(ts, vs, grid, qualityFactor)
+      Iterator.tabulate(grid.length)(i => (ch, grid(i), math.max(pos(i), neg(i))))
+    }.toDF("channel", "freq", "p")
+  }
+
   /** Rainflow cycle counting per channel (`extension.py:936-961`):
     * rows (channel, rng, cycles), the Generator/UDTF shape.
     */

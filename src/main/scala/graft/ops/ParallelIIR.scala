@@ -82,7 +82,7 @@ object ParallelIIR {
     * parallel WITHIN a channel.
     */
   def lfilterDistributed(df: DataFrame, b: Array[Double], a: Array[Double],
-                         chunk: Int = 1 << 20): DataFrame = {
+                         chunk: Int = 1 << 20, ziFromFirst: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     require(chunk > 0)
@@ -98,21 +98,28 @@ object ParallelIIR {
       (arr, arr.map(_.v))
     }
 
-    // pass 1: zero-state final states per chunk
+    // pass 1: zero-state final states per chunk (+ each chunk's first
+    // sample appended, so the steady-state zi option can seed chunk 0)
     val states = chunked.groupByKey(r => (r.channel, r.chunkId))
       .mapGroups { (key, rows) =>
         val (_, vs) = sortedVals(rows)
         val (_, st) = IIR.lfilterWithState(b, a, vs, null)
-        ChunkState(key._1, key._2, st, vs.length.toLong)
+        ChunkState(key._1, key._2, st :+ (if (vs.isEmpty) 0.0 else vs(0)), vs.length.toLong)
       }.collect()
 
-    // driver combine: z_{i+1} = A^{L_i} z_i + d_i per channel
+    val ziUnit = if (ziFromFirst) IIR.lfilterZi(b, a) else null
+
+    // driver combine: z_{i+1} = A^{L_i} z_i + d_i per channel. d is the
+    // zero-init chunk response; the recurrence is affine, so a nonzero
+    // channel-initial state adds exactly its homogeneous propagation.
     val m = stepMatrix(aNorm)
     val powCache = scala.collection.mutable.Map.empty[Long, Array[Array[Double]]]
     val initStates: Map[(String, Long), Array[Double]] =
       states.groupBy(_.channel).iterator.flatMap { case (ch, cs) =>
       val sorted = cs.sortBy(_.chunkId)
-      var z = new Array[Double](math.max(aNorm.length - 1, 0))
+      var z =
+        if (ziFromFirst) ziUnit.map(_ * sorted.head.state.last)
+        else new Array[Double](math.max(aNorm.length - 1, 0))
       sorted.map { c =>
         val zi = z
         val aL = powCache.getOrElseUpdate(c.len, matPow(m, c.len))
@@ -131,5 +138,20 @@ object ParallelIIR {
         val (y, _) = IIR.lfilterWithState(b, a, vs, zi)
         Iterator.tabulate(arr.length)(i => OutRow(key._1, arr(i).t, y(i)))
       }.toDF("channel", "t", "v")
+  }
+
+  /** Chunk-parallel zero-phase filtering: forward pass with
+    * steady-state initial conditions, then the backward pass over the
+    * time-reversed axis — scipy.signal.filtfilt(..., padtype=None)
+    * semantics, with BOTH directions running the parallel scan. (The
+    * padded variant stays in the per-channel kernel, `IIR.filtfilt`.)
+    */
+  def filtfiltDistributed(df: DataFrame, b: Array[Double], a: Array[Double],
+                          chunk: Int = 1 << 20): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val fwd = lfilterDistributed(df, b, a, chunk, ziFromFirst = true)
+    val rev = fwd.select(col("channel"), (-col("t")).as("t"), col("v"))
+    val bwd = lfilterDistributed(rev, b, a, chunk, ziFromFirst = true)
+    bwd.select(col("channel"), (-col("t")).as("t"), col("v"))
   }
 }

@@ -65,6 +65,46 @@ class ParallelIIRSpec extends AnyFunSuite {
     }
   }
 
+  test("chunk-parallel filtfilt matches the padless sequential reference") {
+    import spark.implicits._
+    val (b, a) = FilterDesign.butter(2, 0.2, "lowpass")
+    val rng = new scala.util.Random(23)
+    val n = 1000
+    val xs = Array.fill(n)(rng.nextDouble() * 6 - 3)
+    val df = (0 until n).map(i => ("z", i.toDouble, xs(i))).toDF("channel", "t", "v")
+    val got = ParallelIIR.filtfiltDistributed(df, b, a, chunk = 173)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2))).sortBy(_._1).map(_._2)
+    // sequential scipy filtfilt(padtype=None): fwd with zi*x0,
+    // reverse, again with zi*y0, reverse
+    val zi = IIR.lfilterZi(b, a)
+    val (fwd, _) = IIR.lfilterWithState(b, a, xs, zi.map(_ * xs(0)))
+    val revIn = fwd.reverse
+    val (bwd, _) = IIR.lfilterWithState(b, a, revIn, zi.map(_ * revIn(0)))
+    val expect = bwd.reverse
+    got.zip(expect).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-9 * (1 + math.abs(e)), s"$g vs $e")
+    }
+  }
+
+  test("frequency-parallel SRS matches the per-channel SRS") {
+    import spark.implicits._
+    val fs = 1000.0
+    val n = 2000
+    val rows = (0 until n).map { i =>
+      ("sig", i / fs, math.sin(2 * math.Pi * 35 * i / fs) * math.exp(-i / 500.0))
+    }
+    val df = rows.toDF("channel", "t", "v")
+    val grid = graft.dsp.Srs.buildFreqArray(10.0, 400.0)
+    val serial = graft.ops.Kernels.srs(df, grid)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2))).toMap
+    val parallel = graft.ops.Kernels.srsParallel(df, grid, freqChunk = 7)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2))).toMap
+    assert(parallel.keySet == serial.keySet)
+    serial.foreach { case (f, p) =>
+      assert(math.abs(parallel(f) - p) < 1e-12 * (1 + p), s"freq $f")
+    }
+  }
+
   test("float_dot is callable from SQL after extension registration") {
     GraftExtensions.register(spark)
     val r = spark.sql(
