@@ -74,7 +74,7 @@ object SparkEntry {
       li(s, dir).groupBy("l_returnflag", "l_linestatus").agg(
         round(sum("l_quantity"), 0).as("sum_qty"),
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 0).as("revenue"),
-        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_quantity") + 1e-7, 4).as("avg_qty"),
         count(lit(1)).as("n_rows"))
     }),
     "q02_priority_revenue" -> ((s, dir) => {
@@ -122,8 +122,10 @@ object SparkEntry {
     "q_dedup_mean" -> ((s, dir) => {
       // hour-bucketed time axis creates real duplicates to average
       val hourly = ev(s, dir).select(col("channel"), floor(col("t") / 3600.0).as("t"), col("v"))
+      // round(4): group means accumulate in different orders across
+      // engines; at sf0.1 a 1e-6 quantum starts catching boundary hits
       Signal(hourly).deduplicate().df
-        .select(col("channel"), col("t"), round(col("v"), 6).as("v"))
+        .select(col("channel"), col("t"), round(col("v") + 1e-7, 4).as("v"))
     }),
     "q_rms" -> ((s, dir) =>
       Signal(ev(s, dir)).rms().select(col("channel"), round(col("rms"), 6).as("rms"))),
@@ -191,8 +193,10 @@ object SparkEntry {
       val mx = max("freq").over(Window.partitionBy("channel"))
       val grid = psd.withColumn("mx", mx).filter(col("freq") < col("mx"))
         .select(col("channel"), (col("freq") + 0.5).as("freq"))
+      // round(2): Java vs C libm pow/log10 differ by ~1 ulp, which at
+      // p ~ 2.4e5 is ~7e-6 absolute — a 1e-6 quantum is too fine
       Spectrum(psd).interp1dLog(grid).df
-        .select(col("channel"), col("freq"), round(col("p"), 6).as("p"))
+        .select(col("channel"), col("freq"), round(col("p"), 2).as("p"))
     }),
 
     // -- freq domain reductions over a deterministic pseudo-PSD --
@@ -207,7 +211,7 @@ object SparkEntry {
     "q_text_stats" -> ((s, dir) =>
       docs(s, dir).groupBy("lang").agg(
         count(lit(1)).as("n_docs"),
-        round(avg("n_chars"), 4).as("avg_chars"),
+        round(avg("n_chars") + 1e-7, 4).as("avg_chars"),
         sum(TextAnalysis.wsTokenCount(col("text"))).as("ws_tokens"),
         sum(TextAnalysis.bpeTokenCount(col("text"))).as("bpe_tokens"))),
     "q_langid" -> ((s, dir) =>
@@ -215,7 +219,7 @@ object SparkEntry {
         .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))),
     "q_quality" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
-        round(TextAnalysis.qualityScore(col("text")), 4).as("quality"))),
+        round(TextAnalysis.qualityScore(col("text")) + 1e-7, 4).as("quality"))),
     "q_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
 
@@ -354,7 +358,7 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 0) AS sum_qty,
         |       round(sum(l_extendedprice * (1 - l_discount)), 0) AS revenue,
-        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       round(avg(l_quantity) + 1e-7, 4) AS avg_qty,
         |       count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q02_priority_revenue" ->
@@ -396,7 +400,7 @@ object SparkEntry {
       s"WITH $SRC SELECT channel, t + 3600.0 AS t, v FROM src",
     "q_dedup_mean" ->
       s"""WITH $SRC
-         |SELECT channel, floor(t / 3600.0) AS t, round(avg(v), 6) AS v
+         |SELECT channel, floor(t / 3600.0) AS t, round(avg(v) + 1e-7, 4) AS v
          |FROM src GROUP BY channel, floor(t / 3600.0)""".stripMargin,
     "q_rms" ->
       s"WITH $SRC SELECT channel, round(sqrt(avg(v * v)), 6) AS rms FROM src GROUP BY channel",
@@ -501,7 +505,7 @@ object SparkEntry {
          |)
          |SELECT p.channel, p.freq,
          |       round(pow(10.0, CASE WHEN p.pt = n.nt THEN p.pv
-         |                  ELSE p.pv + (n.nv - p.pv) * (p.lt - p.pt) / (n.nt - p.pt) END), 6) AS p
+         |                  ELSE p.pv + (n.nv - p.pv) * (p.lt - p.pt) / (n.nt - p.pt) END), 2) AS p
          |FROM prevj p JOIN nextj n ON p.channel = n.channel AND p.freq = n.freq""".stripMargin,
     "q_detrend_bp" ->
       s"""WITH $SRC,
@@ -550,7 +554,7 @@ object SparkEntry {
          |SELECT channel, round(sqrt(sum(area)), 4) AS rms FROM segs GROUP BY channel""".stripMargin,
 
     "q_text_stats" ->
-      s"""SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
+      s"""SELECT lang, count(*) AS n_docs, round(avg(n_chars) + 1e-7, 4) AS avg_chars,
          |       sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS ws_tokens,
          |       sum(len(regexp_extract_all(lower(text), '${TextAnalysis.bpePattern}'))) AS bpe_tokens
          |FROM documents GROUP BY lang""".stripMargin,
@@ -655,7 +659,7 @@ object SparkEntry {
       |       round(greatest(0.0, least(n / 200.0, 1.0) *
       |         (1.0 - least(digits / n * 4.0, 1.0) * 0.4
       |              - least(punct / n * 3.0, 1.0) * 0.3
-      |              - least(uppr / n * 2.0, 1.0) * 0.3)), 4) AS quality
+      |              - least(uppr / n * 2.0, 1.0) * 0.3)) + 1e-7, 4) AS quality
       |FROM m""".stripMargin
 
   private val normSql = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"

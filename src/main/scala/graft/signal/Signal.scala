@@ -175,6 +175,47 @@ final case class Signal(df: DataFrame, name: String = "signal", unit: String = "
     rebuild(out, s"detrend($name)")
   }
 
+  // ---- accessor-parity wrappers over the kernel operators ----------------
+  // (same surface a reference user has on series.timedomain.*, with the
+  // exact lineage-name rewrites of extension.py)
+
+  /** filt_butter (`extension.py:452-497`); name -> filt(name). */
+  def filtButter(cutoff: Seq[Double], order: Int, btype: String): Signal =
+    rebuild(graft.ops.Kernels.filtButter(df, cutoff, order, btype), s"filt($name)")
+
+  /** filt_cfc (`extension.py:499-539`); name -> CFC%d(name). */
+  def filtCfc(cfc: Double): Signal =
+    rebuild(graft.ops.Kernels.filtCfc(df, cfc), s"CFC${cfc.toInt}($name)")
+
+  /** filt_a (`extension.py:541-567`); name -> a_filt(name). */
+  def filtA(): Signal =
+    rebuild(graft.ops.Kernels.filtA(df), s"a_filt($name)")
+
+  /** get_psd (`extension.py:569-625`); unit -> unit^2/Hz. */
+  def getPsd(windowLength: Option[Double] = None, overlap: Double = 0.5,
+             windowType: String = "hann", summarize: String = "mean",
+             fatigueExponent: Double = 4.0, detrend: String = "constant"): Spectrum =
+    Spectrum(graft.ops.Psd.getPsd(df, windowLength, overlap, windowType, summarize,
+      fatigueExponent, detrend), name, s"$unit^2/Hz")
+
+  /** get_srs (`extension.py:627-662`); name -> srs(name,Q=...). */
+  def getSrs(freq: Array[Double] = null, qualityFactor: Double = 50.0): Spectrum =
+    Spectrum(graft.ops.Kernels.srs(df, freq, qualityFactor),
+      s"srs($name,Q=$qualityFactor)", unit)
+
+  /** rainflow (`extension.py:936-961`): (channel, rng, cycles) rows. */
+  def rainflow(ndigits: Option[Int] = None, nbins: Option[Int] = None,
+               binsize: Option[Double] = None): DataFrame =
+    graft.ops.Kernels.rainflow(df, ndigits, nbins, binsize)
+
+  /** resample (`extension.py:853-894`); keeps the original name. */
+  def resample(sampleRate: Double, interpKind: String = "linear"): Signal =
+    rebuild(graft.ops.Interp.resample(df, sampleRate, interpKind))
+
+  /** interp1d (`extension.py:819-851`); name -> interp(name). */
+  def interp1d(grid: DataFrame, kind: String = "linear"): Signal =
+    rebuild(graft.ops.Interp.interp1d(df, grid, kind), s"interp($name)")
+
   /** Piecewise linear detrend with break points given as sample
     * indices into each channel (scipy.signal.detrend `bp` semantics,
     * `extension.py:751-781`): an independent least-squares line is

@@ -179,6 +179,24 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(got(0).getInt(2) == 1)
   }
 
+  test("accessor chain parity: resample -> filt -> psd -> rmsLin") {
+    // the reference's typical flow (examples/test_endaq.py): load ->
+    // filter -> analyze, all through the Signal surface
+    val fs = 2048.0
+    val sig = Signal(sine("chain", 2.0, 32.0, fs, 4096), name = "accel", unit = "g")
+    val filtered = sig.filtButter(Seq(256.0), order = 4, btype = "lowpass")
+    assert(filtered.name == "filt(accel)")
+    assert(filtered.unit == "g")
+    val psd = filtered.getPsd()
+    assert(psd.unit == "g^2/Hz")
+    val rms = psd.rmsLin().collect()(0).getDouble(1)
+    // 32 Hz tone passes the 256 Hz lowpass untouched: rms = 2/sqrt(2)
+    assert(math.abs(rms - 2.0 / math.sqrt(2)) < 1e-3, s"rms=$rms")
+    val srs = sig.getSrs(Array(100.0))
+    assert(srs.name.startsWith("srs(accel,Q="))
+    assert(srs.df.count() == 1)
+  }
+
   test("events loader: channels present, t starts at 0 per channel") {
     val ev = Channels.events(spark, "/root/testdata/sf0.001")
     val mins = ev.groupBy("channel").agg(min("t")).collect()
