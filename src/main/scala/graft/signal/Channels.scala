@@ -45,6 +45,43 @@ object Channels {
       .select("channel", "t", "v")
   }
 
+  /** Scan-pruned ingestion for absolute-time windows: the predicate is
+    * applied to the raw microsecond column BEFORE the relative-time
+    * projection, so it reaches the parquet scan (row-group pruning /
+    * PushedFilters) — the 100 TB path for "give me last week". The
+    * relative axis still uses each channel's TRUE origin (precomputed
+    * over the unfiltered table, tiny aggregate, broadcast back), so
+    * semantics match events().between(...) on absolute bounds.
+    */
+  def eventsAbsolute(spark: SparkSession, sfDir: String,
+                     startUs: Long, endUs: Long): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df0 = spark.read.parquet(s"$sfDir/events.parquet")
+    val nanos = df0.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    // the range predicate must hit the RAW ts column (nanos / native
+    // timestamp) — a filter on the derived microsecond expression
+    // cannot reach PushedFilters
+    val filtered =
+      if (nanos) df0.filter(col("ts") >= startUs * 1000L && col("ts") <= endUs * 1000L)
+      else df0.filter(col("ts") >= timestamp_micros(lit(startUs)) &&
+        col("ts") <= timestamp_micros(lit(endUs)))
+    val us = if (nanos) expr("ts div 1000") else unix_micros(col("ts"))
+    val raw = filtered.select(col("event_type").as("channel"), us.as("us"),
+      col("value").as("v"))
+    val origins = rawEvents(spark, sfDir)
+      .groupBy(col("event_type").as("channel")).agg(min("us").as("us0"))
+    raw.join(broadcast(origins), "channel")
+      .withColumn("t", (col("us") - col("us0")) / lit(1000000.0))
+      .select("channel", "t", "v")
+  }
+
+  /** Write a signal table partitioned by channel — the storage layout
+    * that turns every per-channel operator's scan into partition
+    * pruning at scale (and makes channel-grain joins co-located).
+    */
+  def writePartitioned(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").partitionBy("channel").parquet(path)
+
   /** Channel names present in a signal table
     * (`Endaq.channel_list`, `io.py:175-184`).
     */

@@ -75,6 +75,54 @@ class ExtrasSpec extends AnyFunSuite {
     tmp.delete()
   }
 
+  test("Welch rescale modes match the single-node formulas") {
+    import spark.implicits._
+    // non-stationary two-level signal so sub-PSD RMS values differ
+    val fs = 256.0
+    val n = 2048
+    val rows = (0 until n).map { i =>
+      val amp = if (i < n / 2) 1.0 else 3.0
+      ("ns", i / fs, amp * math.sin(2 * math.Pi * 16 * i / fs))
+    }
+    val df = rows.toDF("channel", "t", "v")
+    val all = graft.ops.Psd.welch(df, windowLength = 1.0, overlap = 0.5, summarize = "all")
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val byW = all.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, rs) =>
+      val sorted = rs.sortBy(_._2)
+      (sorted.map(_._2), sorted.map(_._3))
+    }
+    val freqs = byW.head._1
+    val meanPsd = freqs.indices.map(i => byW.map(_._2(i)).sum / byW.length)
+    val meanRms = graft.dsp.Spectral.rmsPsdLinear(meanPsd.toArray, freqs.toArray)
+    val subRms = byW.map { case (f, p) =>
+      graft.dsp.Spectral.rmsPsdLinear(p.toArray, f.toArray)
+    }
+    // 'max rms' (tools.py:85-90)
+    val expectMaxRms = meanPsd.map(_ * math.pow(subRms.max / meanRms, 2))
+    val gotMaxRms = graft.ops.Psd.welch(df, 1.0, summarize = "max rms")
+      .collect().map(r => (r.getDouble(1), r.getDouble(2))).sortBy(_._1).map(_._2)
+    gotMaxRms.zip(expectMaxRms).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-9 * (1 + e), s"$g vs $e")
+    }
+    // 'damage' (tools.py:91-96), fatigue exponent 4
+    val accel = math.pow(subRms.map(r => math.pow(r / meanRms, 4.0)).sum / subRms.length, 0.25)
+    val expectDamage = meanPsd.map(_ * accel * accel)
+    val gotDamage = graft.ops.Psd.welch(df, 1.0, summarize = "damage")
+      .collect().map(r => (r.getDouble(1), r.getDouble(2))).sortBy(_._1).map(_._2)
+    gotDamage.zip(expectDamage).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-9 * (1 + e), s"$g vs $e")
+    }
+  }
+
+  test("video frame sampling plan explodes every k-th frame") {
+    import spark.implicits._
+    val feats = Seq((1L, "video", 10, 64, 64, 12, Array(0f)), (2L, "image", 5, 64, 64, 1, Array(0f)))
+      .toDF("media_id", "kind", "n_bytes", "width", "height", "n_frames", "features")
+    val got = graft.datapipe.Multimodal.sampleFrames(feats, everyK = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(got.toSet == Set((1L, 0), (1L, 5), (1L, 10)))
+  }
+
   test("streaming windowed rms over the bounded events stream") {
     import graft.streaming.StreamingOps._
     val out = runToMemorySink(

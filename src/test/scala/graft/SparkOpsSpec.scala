@@ -197,6 +197,34 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(srs.df.count() == 1)
   }
 
+  test("absolute-time ingestion matches relative between() and pushes the filter") {
+    val dir = "/root/testdata/sf0.001"
+    val full = Channels.events(spark, dir)
+    // absolute window = [origin+1e5s, origin+2e6s] of the globally
+    // earliest channel; compare against per-channel relative filtering
+    val bounds = Channels.rawEvents(spark, dir)
+      .agg(min("us")).collect()(0).getLong(0)
+    val abs = Channels.eventsAbsolute(spark, dir, bounds, bounds + 2000000000000L)
+    val expect = full.filter(col("t") <= (bounds + 2000000000000L - bounds) / 1e6)
+    // every absolute row must appear in the relative view with same values
+    assert(abs.count() > 0)
+    assert(abs.except(full).count() == 0)
+    // the raw-ts range predicate reaches the parquet scan
+    val plan = abs.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,") ||
+      plan.contains("GreaterThanOrEqual(ts,"), s"predicate not pushed:\n$plan")
+  }
+
+  test("partitioned write produces channel directories and reads back pruned") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftpart").toString
+    val ev = Channels.events(spark, "/root/testdata/sf0.001")
+    Channels.writePartitioned(ev, tmp)
+    val dirs = new java.io.File(tmp).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.count(_.startsWith("channel=")) == 5)
+    val back = spark.read.parquet(tmp).filter(col("channel") === "click")
+    assert(back.count() == ev.filter(col("channel") === "click").count())
+  }
+
   test("events loader: channels present, t starts at 0 per channel") {
     val ev = Channels.events(spark, "/root/testdata/sf0.001")
     val mins = ev.groupBy("channel").agg(min("t")).collect()
