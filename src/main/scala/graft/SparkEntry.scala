@@ -315,6 +315,8 @@ object SparkEntry {
       Signal(evUniform(s, dir)).movRms(7200.0).df),
     "k_resample_cubic" -> ((s, dir) =>
       Interp.resample(ev(s, dir), 1.0 / 1000.0, "cubic")),
+    "k_resample_quadratic" -> ((s, dir) =>
+      Interp.resample(ev(s, dir), 1.0 / 1000.0, "quadratic")),
     "k_filtfilt_parallel" -> ((s, dir) => {
       val sr = 1.0 / 3600.0
       val (b, a) = graft.dsp.FilterDesign.butter(2, (sr / 8) / (sr / 2), "lowpass")

@@ -61,6 +61,47 @@ object CubicSpline {
     s
   }
 
+  /** C1 quadratic spline interpolation (`kind='quadratic'`,
+    * `extension.py:819-851`): piecewise parabolas with value + first-
+    * derivative continuity at the data points, seeded with the exact
+    * parabola slope through the first three points so any global
+    * quadratic is reproduced. (scipy builds an order-2 B-spline with
+    * averaged interior knots; boundary behavior can differ slightly —
+    * documented divergence, interior agreement is O(h^3).)
+    */
+  def interpolateQuadratic(x: Array[Double], y: Array[Double], q: Array[Double]): Array[Double] = {
+    val n = x.length
+    require(n >= 2, "need >= 2 points")
+    if (n == 2) return SigMath.interp1d(x, y, q, "linear")
+    // slopes m_i at the data points: m_0 from the first-three-points
+    // parabola, then C1 continuity gives m_{i+1} = 2*secant_i - m_i
+    val m = new Array[Double](n)
+    val h0 = x(1) - x(0)
+    val h1 = x(2) - x(1)
+    val s0 = (y(1) - y(0)) / h0
+    val s1 = (y(2) - y(1)) / h1
+    m(0) = s0 - (s1 - s0) / (h0 + h1) * h0
+    var i = 0
+    while (i < n - 1) {
+      m(i + 1) = 2.0 * (y(i + 1) - y(i)) / (x(i + 1) - x(i)) - m(i)
+      i += 1
+    }
+    q.map { xx =>
+      if (xx < x(0) || xx > x(n - 1))
+        throw new IllegalArgumentException(
+          s"A value ($xx) in x_new is outside the interpolation range.")
+      var lo = java.util.Arrays.binarySearch(x, xx)
+      if (lo >= 0) y(lo)
+      else {
+        lo = -lo - 2
+        val h = x(lo + 1) - x(lo)
+        val d = xx - x(lo)
+        val c2 = ((y(lo + 1) - y(lo)) / h - m(lo)) / h
+        y(lo) + m(lo) * d + c2 * d * d
+      }
+    }
+  }
+
   /** Interpolate y(x) at query points q (all within [x.head, x.last]).
     * n=2 falls back to linear, n=3 to the exact parabola (what
     * not-a-knot degenerates to).

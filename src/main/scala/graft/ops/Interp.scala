@@ -23,7 +23,7 @@ object Interp {
     * assert no NULLs (the reference raises, `extension.py:992`).
     */
   def interp1d(src: DataFrame, query: DataFrame, kind: String = "linear"): DataFrame = {
-    if (kind == "cubic") return interp1dSpline(src, query)
+    if (kind == "cubic" || kind == "quadratic") return interp1dSpline(src, query, kind)
     val s = src.select(col("channel"), col("t").cast("double").as("t"),
       col("v").cast("double").as("v"), lit(0).as("isq"))
     val q = query.select(col("channel"), col("t").cast("double").as("t"),
@@ -79,7 +79,8 @@ object Interp {
     * meet per channel, one O(n) tridiagonal solve per channel task
     * (SURVEY §2.11: the documented kernel path for spline kinds).
     */
-  private def interp1dSpline(src: DataFrame, query: DataFrame): DataFrame = {
+  private def interp1dSpline(src: DataFrame, query: DataFrame,
+                             kind: String = "cubic"): DataFrame = {
     val spark = src.sparkSession
     import spark.implicits._
     val s = src.selectExpr("channel", "cast(t as double) t", "cast(v as double) v")
@@ -93,7 +94,10 @@ object Interp {
       else {
         val xs = srcArr.map(_.t)
         val ys = srcArr.map(_.v)
-        val vals = graft.dsp.CubicSpline.interpolate(xs, ys, qArr.map(_.t))
+        val vals =
+          if (kind == "quadratic")
+            graft.dsp.CubicSpline.interpolateQuadratic(xs, ys, qArr.map(_.t))
+          else graft.dsp.CubicSpline.interpolate(xs, ys, qArr.map(_.t))
         Iterator.tabulate(qArr.length)(i => PerChannel.Sample(ch, qArr(i).t, vals(i)))
       }
     }.toDF()

@@ -42,6 +42,21 @@ class SplineSpec extends AnyFunSuite {
     }
   }
 
+  test("quadratic spline reproduces quadratics and hits the knots") {
+    def p(x: Double) = 1.5 * x * x - 2.0 * x + 3.0
+    val xs = Array(0.0, 0.8, 1.7, 3.0, 4.2, 5.0)
+    val ys = xs.map(p)
+    val q = Array(0.3, 1.0, 2.5, 4.9)
+    CubicSpline.interpolateQuadratic(xs, ys, q).zip(q).foreach { case (y, x) =>
+      assert(math.abs(y - p(x)) < 1e-10 * (1 + math.abs(p(x))), s"at $x")
+    }
+    assert(CubicSpline.interpolateQuadratic(xs, ys, xs).sameElements(ys))
+    // C1 across a knot
+    val eps = 1e-7
+    val Array(l, r) = CubicSpline.interpolateQuadratic(xs, ys, Array(1.7 - eps, 1.7 + eps))
+    assert(math.abs((ys(2) - l) / eps - (r - ys(2)) / eps) < 1e-4)
+  }
+
   test("distributed cubic resample matches the array-level spline") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").config("spark.ui.enabled", "false")
