@@ -169,6 +169,14 @@ object SparkEntry {
           col("l_extendedprice").as("v")))
       s1.rss(s2).df
     }),
+    "q_rss3" -> ((s, dir) => {
+      // the reference's *args form: three series at once
+      val l = li(s, dir)
+      def series(ln: Int) = Signal(l.filter(col("l_linenumber") === ln)
+        .select(lit("p").as("channel"), col("l_orderkey").cast("double").as("t"),
+          col("l_extendedprice").as("v")))
+      series(1).rss(series(2), series(3)).df
+    }),
 
     // -- sigproc: interpolation / resampling (exact, unrounded) --
     "q_resample_linear" -> ((s, dir) => Interp.resample(ev(s, dir), 1.0 / 1000.0, "linear")),
@@ -485,6 +493,14 @@ object SparkEntry {
         |SELECT s1.channel, s1.t, sqrt(s1.v * s1.v + s2.v * s2.v) AS v
         |FROM s1 JOIN s2 ON s1.channel = s2.channel AND s1.t = s2.t""".stripMargin,
 
+    "q_rss3" ->
+      """WITH s AS (
+        |  SELECT l_linenumber AS ln, CAST(l_orderkey AS DOUBLE) AS t, l_extendedprice AS v
+        |  FROM lineitem WHERE l_linenumber <= 3
+        |)
+        |SELECT 'p' AS channel, s1.t, sqrt(s1.v * s1.v + s2.v * s2.v + s3.v * s3.v) AS v
+        |FROM s s1 JOIN s s2 ON s1.t = s2.t JOIN s s3 ON s1.t = s3.t
+        |WHERE s1.ln = 1 AND s2.ln = 2 AND s3.ln = 3""".stripMargin,
     "q_resample_linear" -> resampleSql(1000.0, "linear"),
     "q_interp_nearest" -> resampleSql(777.0, "nearest"),
     "q_interp_previous" -> resampleSql(777.0, "previous"),

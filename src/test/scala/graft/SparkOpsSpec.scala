@@ -225,6 +225,16 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(back.count() == ev.filter(col("channel") === "click").count())
   }
 
+  test("channel catalog: list, lookup, and missing-channel error") {
+    val ev = Channels.events(spark, "/root/testdata/sf0.001")
+    val names = Channels.channelList(ev)
+    assert(names == Seq("click", "error", "purchase", "signup", "view"))
+    val one = Channels.getChannel(ev, "click")
+    assert(one.name == "click")
+    assert(one.df.count() > 0)
+    intercept[NoSuchElementException](Channels.getChannel(ev, "does-not-exist"))
+  }
+
   test("events loader: channels present, t starts at 0 per channel") {
     val ev = Channels.events(spark, "/root/testdata/sf0.001")
     val mins = ev.groupBy("channel").agg(min("t")).collect()
