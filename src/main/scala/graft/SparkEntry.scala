@@ -119,6 +119,14 @@ object SparkEntry {
     "q_fbetween" -> ((s, dir) =>
       Spectrum(pseudoPsd(s, dir)).between(100.0, 500.0).df),
     "q_timeshift" -> ((s, dir) => Signal(ev(s, dir)).timeshift(3600.0).df),
+    "q_json_props" -> ((s, dir) =>
+      // JSON scalar extraction over the events props column (§2.12):
+      // integer aggregates, exact in both engines
+      s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type").as("channel"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("channel")
+        .agg(sum("k").as("sum_k"), max("k").as("max_k"), count(lit(1)).as("n"))),
     "q_dedup_mean" -> ((s, dir) => {
       // hour-bucketed time axis creates real duplicates to average
       val hourly = ev(s, dir).select(col("channel"), floor(col("t") / 3600.0).as("t"), col("v"))
@@ -408,6 +416,12 @@ object SparkEntry {
       s"WITH $PSEUDO_PSD SELECT channel, freq, p FROM psd WHERE freq >= 100.0 AND freq <= 500.0",
     "q_timeshift" ->
       s"WITH $SRC SELECT channel, t + 3600.0 AS t, v FROM src",
+    "q_json_props" ->
+      """SELECT event_type AS channel,
+        |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        |       count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
     "q_dedup_mean" ->
       s"""WITH $SRC
          |SELECT channel, floor(t / 3600.0) AS t, round(avg(v) + 1e-7, 4) AS v
