@@ -28,10 +28,12 @@ object Bench {
       System.err.println(f"[bench] $name%-30s $dt%8.2f s")
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver parses this line out of the LAST 2000 chars of stdout:
+    // keep it compact (2-decimal timings) so the whole line fits the tail.
+    val qs = results.map { case (k, v) => f""""$k":$v%.2f""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

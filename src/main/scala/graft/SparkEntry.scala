@@ -116,6 +116,12 @@ object SparkEntry {
       Channels.rawEvents(s, dir).groupBy(col("event_type").as("channel"))
         .agg(min("us").as("start_us"))),
     "q_between" -> ((s, dir) => Signal(ev(s, dir)).between(1.0e5, 2.0e6).df),
+    "q_get_channel" -> ((s, dir) => Channels.getChannel(ev(s, dir), "click").df),
+    "q_abs_window" -> ((s, dir) => {
+      // absolute-time ingestion: the predicate reaches the parquet scan
+      // (PushedFilters on raw ts), t stays relative to the TRUE origin
+      Channels.eventsAbsolute(s, dir, 1704500000000000L, 1705000000000000L)
+    }),
     "q_fbetween" -> ((s, dir) =>
       Spectrum(pseudoPsd(s, dir)).between(100.0, 500.0).df),
     "q_timeshift" -> ((s, dir) => Signal(ev(s, dir)).timeshift(3600.0).df),
@@ -204,6 +210,16 @@ object SparkEntry {
       val grid = Interp.resampleGrid(ev(s, dir), 777.0)
       Interp.interp1d(ev(s, dir), grid, "nearest-up")
     }),
+    "q_interp_zero" -> ((s, dir) => {
+      // scipy kind='zero': zero-order spline = previous-sample hold
+      val grid = Interp.resampleGrid(ev(s, dir), 777.0)
+      Interp.interp1d(ev(s, dir), grid, "zero")
+    }),
+    "q_interp_slinear" -> ((s, dir) => {
+      // scipy kind='slinear': first-order spline = linear
+      val grid = Interp.resampleGrid(ev(s, dir), 777.0)
+      Interp.interp1d(ev(s, dir), grid, "slinear")
+    }),
     "q_interp_log" -> ((s, dir) => {
       val psd = pseudoPsd(s, dir)
       val mx = max("freq").over(Window.partitionBy("channel"))
@@ -273,6 +289,10 @@ object SparkEntry {
       Psd.getPsd(evUniform(s, dir), windowLength = Some(432000.0), summarize = "mean")),
     "k_psd_welch_max" -> ((s, dir) =>
       Psd.getPsd(evUniform(s, dir), windowLength = Some(432000.0), summarize = "max")),
+    "k_psd_welch_min" -> ((s, dir) =>
+      Psd.getPsd(evUniform(s, dir), windowLength = Some(432000.0), summarize = "min")),
+    "k_psd_welch_boxcar" -> ((s, dir) =>
+      Psd.getPsd(evUniform(s, dir), windowLength = Some(432000.0), windowType = "boxcar")),
     "k_psd_welch_median" -> ((s, dir) =>
       Psd.getPsd(evUniform(s, dir), windowLength = Some(432000.0), summarize = "median")),
     "k_psd_welch_all" -> ((s, dir) =>
@@ -291,6 +311,7 @@ object SparkEntry {
       Kernels.srs(evUniform(s, dir), Array(1e-5, 2e-5, 5e-5, 1e-4), qualityFactor = 50.0)),
     "k_rainflow" -> ((s, dir) => Kernels.rainflow(ev(s, dir), ndigits = Some(1))),
     "k_rainflow_binned" -> ((s, dir) => Kernels.rainflow(ev(s, dir), nbins = Some(10))),
+    "k_rainflow_binsize" -> ((s, dir) => Kernels.rainflow(ev(s, dir), binsize = Some(25.0))),
     "k_psd_welch_detrend_linear" -> ((s, dir) =>
       Psd.getPsd(evUniform(s, dir), windowLength = Some(432000.0), detrend = "linear")),
     "k_ann_topk" -> ((s, dir) => {
@@ -308,8 +329,15 @@ object SparkEntry {
         Seq("doc_id"), "left")
         .na.fill(0, Seq("n_candidates"))
     }),
-    "k_multimodal_features" -> ((s, dir) =>
-      Multimodal.extractFeatures(Multimodal.syntheticMedia(docs(s, dir)))),
+    "k_multimodal_features" -> ((s, dir) => {
+      // flatten the feature vector: the driver's rows-check sorts the
+      // result in pandas, which cannot sort ndarray cells
+      val f = Multimodal.extractFeatures(Multimodal.syntheticMedia(docs(s, dir)))
+      val scalars = Seq("media_id", "kind", "n_bytes", "width", "height", "n_frames").map(col)
+      val feats = (0 until 8).map(i =>
+        round(element_at(col("features"), i + 1), 6).as(s"f$i"))
+      f.select(scalars ++ feats: _*)
+    }),
     "k_stream_windowed_rms" -> ((s, dir) => {
       import graft.streaming.StreamingOps._
       runToMemorySink(windowedRms(eventsStream(s, dir)), "stream_wrms", "complete")
@@ -412,13 +440,22 @@ object SparkEntry {
       "SELECT event_type AS channel, min(epoch_us(ts)) AS start_us FROM events GROUP BY event_type",
     "q_between" ->
       s"WITH $SRC SELECT channel, t, v FROM src WHERE t >= 100000.0 AND t <= 2000000.0",
+    "q_get_channel" ->
+      s"WITH $SRC SELECT channel, t, v FROM src WHERE channel = 'click'",
+    "q_abs_window" ->
+      """WITH origins AS (
+        |  SELECT event_type AS ch, min(epoch_us(ts)) AS us0 FROM events GROUP BY event_type
+        |)
+        |SELECT event_type AS channel, (epoch_us(ts) - us0) / 1000000.0 AS t, value AS v
+        |FROM events JOIN origins ON event_type = ch
+        |WHERE epoch_us(ts) >= 1704500000000000 AND epoch_us(ts) <= 1705000000000000""".stripMargin,
     "q_fbetween" ->
       s"WITH $PSEUDO_PSD SELECT channel, freq, p FROM psd WHERE freq >= 100.0 AND freq <= 500.0",
     "q_timeshift" ->
       s"WITH $SRC SELECT channel, t + 3600.0 AS t, v FROM src",
     "q_json_props" ->
       """SELECT event_type AS channel,
-        |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
         |       count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
@@ -520,6 +557,8 @@ object SparkEntry {
     "q_interp_previous" -> resampleSql(777.0, "previous"),
     "q_interp_next" -> resampleSql(777.0, "next"),
     "q_interp_nearest_up" -> resampleSql(777.0, "nearest-up"),
+    "q_interp_zero" -> resampleSql(777.0, "zero"),
+    "q_interp_slinear" -> resampleSql(777.0, "slinear"),
     "q_interp_log" ->
       s"""WITH $PSEUDO_PSD,
          |lsrc AS (SELECT channel, log10(freq) AS lt, log10(p) AS lv FROM psd),
@@ -587,8 +626,8 @@ object SparkEntry {
 
     "q_text_stats" ->
       s"""SELECT lang, count(*) AS n_docs, round(avg(n_chars) + 1e-7, 4) AS avg_chars,
-         |       sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS ws_tokens,
-         |       sum(len(regexp_extract_all(lower(text), '${TextAnalysis.bpePattern}'))) AS bpe_tokens
+         |       CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS ws_tokens,
+         |       CAST(sum(len(regexp_extract_all(lower(text), '${TextAnalysis.bpePattern}'))) AS BIGINT) AS bpe_tokens
          |FROM documents GROUP BY lang""".stripMargin,
     "q_langid" -> langIdSql,
     "q_quality" -> qualitySql,
@@ -621,11 +660,11 @@ object SparkEntry {
     */
   private def resampleSql(step: Double, kind: String): String = {
     val value = kind match {
-      case "linear" =>
+      case "linear" | "slinear" =>
         "CASE WHEN p.pt = n.nt THEN p.pv ELSE p.pv + (n.nv - p.pv) * (p.t - p.pt) / (n.nt - p.pt) END"
       case "nearest" => "CASE WHEN p.t - p.pt <= n.nt - p.t THEN p.pv ELSE n.nv END"
       case "nearest-up" => "CASE WHEN p.t - p.pt < n.nt - p.t THEN p.pv ELSE n.nv END"
-      case "previous" => "p.pv"
+      case "previous" | "zero" => "p.pv"
       case "next" => "n.nv"
     }
     s"""WITH $SRC,

@@ -25,6 +25,13 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> str:
     a, b = norm(spark_df), norm(duck_df)
     if list(a.columns) != list(b.columns):
         return f"SCHEMA MISMATCH spark={list(a.columns)} duck={list(b.columns)}"
+    # the driver's hash is dtype-sensitive: DuckDB sum(BIGINT) returning
+    # HUGEINT -> pandas float64 vs Spark int64 is a FAIL even when every
+    # value matches (round-1 q_json_props / q_text_stats). Cast in the SQL.
+    dt = [(c, str(a[c].dtype), str(b[c].dtype)) for c in a.columns
+          if a[c].dtype.kind != b[c].dtype.kind]
+    if dt:
+        return f"DTYPE MISMATCH {dt}"
     if len(a) != len(b):
         return f"ROWCOUNT MISMATCH spark={len(a)} duck={len(b)}"
     bad = []
