@@ -18,7 +18,7 @@ object Bench {
     // warm the JVM/codegen/parquet-footer paths once, untimed, so the
     // first measured query doesn't absorb session startup
     try {
-      signal.Channels.events(spark, sfDir).groupBy("channel").count().count()
+      SparkEntry.warm(spark, sfDir)
       spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>

@@ -29,13 +29,14 @@ object Dedup {
   /** Character shingles (n-grams of the normalized text), one row per
     * distinct (doc_id, shingle).
     */
-  def shingles(docs: DataFrame, n: Int = 5): DataFrame =
-    docs.select(col("doc_id"), TextAnalysis.normalized(col("text")).as("norm"))
+  def shingles(docs: DataFrame, n: Int = 5, distinct: Boolean = true): DataFrame = {
+    val raw = docs.select(col("doc_id"), TextAnalysis.normalized(col("text")).as("norm"))
       .select(col("doc_id"),
         explode(sequence(lit(1), greatest(length(col("norm")) - (n - 1), lit(1)))).as("pos"),
         col("norm"))
       .select(col("doc_id"), substring(col("norm"), col("pos"), lit(n)).as("shingle"))
-      .distinct()
+    if (distinct) raw.distinct() else raw
+  }
 
   /** MinHash signatures: k md5-derived hash functions, signature(i) =
     * min over shingles of hash52(i || ':' || shingle). Returns
@@ -86,14 +87,46 @@ object Dedup {
         (col("inter").cast("double") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
   }
 
+  /** Jaccard via per-doc shingle ARRAYS: each document's (distinct)
+    * shingle set rides the pair join once as an array column and the
+    * intersection is a codegen'd array_intersect — versus the exploded
+    * formulation above, which shuffles |pairs| x |shingles per doc|
+    * rows through the composite join. At candidate-verify scale
+    * (bounded pair lists from LSH) this is the cheaper shape by the
+    * average shingle count per document.
+    */
+  def jaccardByArrays(shingleDf: DataFrame, pairs: DataFrame): DataFrame = {
+    // collect_set dedups in the partial aggregate (one shuffle; callers
+    // may pass non-distinct shingles). Shingles are reduced to 52-bit
+    // md5 hashes FIRST: the per-pair intersection then runs over
+    // primitive longs instead of strings (same count — 52-bit
+    // collisions are ~1e-11 per doc — at a fraction of the hash/compare
+    // cost). The set table is doc-count-sized (small next to the pair
+    // list), so BROADCAST it: the skinny pair rows join map-side and
+    // the arrays are never shuffled at all.
+    import graft.functions.SortedIntersectCount.sortedIntersectCount
+    val sets = shingleDf
+      .select(col("doc_id"), TextAnalysis.hash52(col("shingle")).as("h"))
+      .groupBy("doc_id").agg(sort_array(collect_set("h")).as("sh"))
+      .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("sz"))
+    pairs
+      .join(broadcast(sets.select(col("doc_id").as("a"), col("sh").as("sha"), col("sz").as("sza"))), "a")
+      .join(broadcast(sets.select(col("doc_id").as("b"), col("sh").as("shb"), col("sz").as("szb"))), "b")
+      .select(col("a"), col("b"),
+        sortedIntersectCount(col("sha"), col("shb")).as("inter"),
+        col("sza"), col("szb"))
+      .select(col("a"), col("b"),
+        (col("inter").cast("double") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
+  }
+
   /** Full MinHash-LSH near-dup pipeline: shingle → sign → band →
     * candidate join → Jaccard verify at `threshold`.
     */
   def minhashNearDups(docs: DataFrame, k: Int = 16, rowsPerBand: Int = 4,
                       shingleN: Int = 5, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(docs, shingleN)
+    val sh = shingles(docs, shingleN, distinct = false)
     val sig = minhashSignatures(docs, k, shingleN)
-    jaccard(sh, lshCandidates(sig, rowsPerBand)).filter(col("jaccard") >= threshold)
+    jaccardByArrays(sh, lshCandidates(sig, rowsPerBand)).filter(col("jaccard") >= threshold)
   }
 
   /** 52-bit SimHash per document over whitespace tokens: per bit j,

@@ -29,6 +29,7 @@ object Psd {
   case class SegRow(channel: String, w: Long, idx: Long, v: Double,
                     sr: Double, nWindow: Int)
   case class PsdRow(channel: String, w: Long, freq: Double, p: Double)
+  case class PsdRmsRow(channel: String, w: Long, freq: Double, p: Double, segRms: Double)
 
   private def chw = Window.partitionBy("channel").orderBy("t")
 
@@ -44,6 +45,29 @@ object Psd {
       .withColumn("nOverlap", bround(col("nWindow") * lit(overlap)).cast("int"))
       .withColumn("step", col("nWindow") - col("nOverlap"))
     df.join(broadcast(params), Seq("channel"))
+  }
+
+  /** Overlapping-segment assignment (the batch analog of sliding
+    * windows): each sample lands in segments wLo..wHi via
+    * explode(sequence), duplicating data only by the overlap factor.
+    */
+  private def segmented(df: DataFrame, windowLength: Double,
+                        overlap: Double): Dataset[SegRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    withParams(df, windowLength, overlap)
+      .withColumn("rn", row_number().over(chw).cast("long") - 1)
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("channel")))
+      .withColumn("nSegs", floor((col("cnt") - col("nOverlap")) / col("step")))
+      .withColumn("wLo", greatest(lit(0L),
+        ceil((col("rn") - col("nWindow") + 1) / col("step")).cast("long")))
+      .withColumn("wHi", least(col("nSegs") - 1, floor(col("rn") / col("step")).cast("long")))
+      .filter(col("wLo") <= col("wHi"))
+      .select(col("channel"), explode(sequence(col("wLo"), col("wHi"))).as("w"),
+        col("rn"), col("v"), col("samplerate").as("sr"), col("nWindow"), col("step"))
+      .select(col("channel"), col("w"), (col("rn") - col("w") * col("step")).as("idx"),
+        col("v"), col("sr"), col("nWindow"))
+      .as[SegRow]
   }
 
   /** Whole-series periodogram per channel — the window_length=None path
@@ -69,20 +93,7 @@ object Psd {
                windowType: String = "hann", detrend: String = "constant"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val prepared = withParams(df, windowLength, overlap)
-      .withColumn("rn", row_number().over(chw).cast("long") - 1)
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("channel")))
-      .withColumn("nSegs", floor((col("cnt") - col("nOverlap")) / col("step")))
-      .withColumn("wLo", greatest(lit(0L),
-        ceil((col("rn") - col("nWindow") + 1) / col("step")).cast("long")))
-      .withColumn("wHi", least(col("nSegs") - 1, floor(col("rn") / col("step")).cast("long")))
-      .filter(col("wLo") <= col("wHi"))
-      .select(col("channel"), explode(sequence(col("wLo"), col("wHi"))).as("w"),
-        col("rn"), col("v"), col("samplerate").as("sr"), col("nWindow"), col("step"))
-      .select(col("channel"), col("w"), (col("rn") - col("w") * col("step")).as("idx"),
-        col("v"), col("sr"), col("nWindow"))
-      .as[SegRow]
-
+    val prepared = segmented(df, windowLength, overlap)
     prepared.groupByKey(r => (r.channel, r.w)).flatMapGroups { (key: (String, Long), rows: Iterator[SegRow]) =>
       val (ch, w) = key
       val buf = rows.toArray.sortBy(_.idx)
@@ -96,15 +107,32 @@ object Psd {
     }.toDF("channel", "w", "freq", "p")
   }
 
-  /** sqrt(trapz(p, freq)) per group — the rms_psd_linear reduction used
-    * by the rescale summarize modes (`tools.py:85-96`).
+  /** Like welchAll but each row also carries its segment's whole-PSD
+    * trapezoid RMS (`tools.py:85-90`'s per-window rms list), computed
+    * inside the FFT task — so the rescale summarize modes need ONE
+    * pass over the data instead of re-running the segment pipeline
+    * for the sub-RMS branch.
     */
-  private def trapzRms(df: DataFrame, keys: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy("freq")
-    val seg = (col("p") + lag("p", 1).over(w)) / 2.0 * (col("freq") - lag("freq", 1).over(w))
-    df.withColumn("seg", seg)
-      .groupBy(keys.map(col): _*)
-      .agg(sqrt(sum("seg")).as("rms"))
+  private def welchAllWithSegRms(df: DataFrame, windowLength: Double, overlap: Double,
+                                 windowType: String, detrend: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val prepared = segmented(df, windowLength, overlap)
+    prepared.groupByKey(r => (r.channel, r.w)).flatMapGroups { (key: (String, Long), rows: Iterator[SegRow]) =>
+      val (ch, w) = key
+      val buf = rows.toArray.sortBy(_.idx)
+      val sr = buf(0).sr
+      val n = buf(0).nWindow
+      val vs = new Array[Double](n)
+      var i = 0
+      while (i < buf.length) { vs(buf(i).idx.toInt) = buf(i).v; i += 1 }
+      val (f, p) = Spectral.periodogram(vs, sr, windowType, detrend)
+      var trapz = 0.0
+      var j = 1
+      while (j < f.length) { trapz += (p(j) + p(j - 1)) / 2.0 * (f(j) - f(j - 1)); j += 1 }
+      val segRms = math.sqrt(trapz)
+      Iterator.tabulate(f.length)(i => PsdRmsRow(ch, w, f(i), p(i), segRms))
+    }.toDF("channel", "w", "freq", "p", "seg_rms")
   }
 
   /** Full Welch estimate with all seven summarize modes
@@ -123,21 +151,30 @@ object Psd {
       case "max" => all.groupBy("channel", "freq").agg(max("p").as("p"))
       case "min" => all.groupBy("channel", "freq").agg(min("p").as("p"))
       case "max rms" | "damage" =>
-        val meanPsd = all.groupBy("channel", "freq").agg(avg("p").as("p"))
-        val meanRms = trapzRms(meanPsd, Seq("channel"))
-          .withColumnRenamed("rms", "mean_rms")
-        val subRms = trapzRms(all, Seq("channel", "w"))
+        // ONE pass over the segment pipeline: each FFT task emits its
+        // own whole-PSD trapezoid RMS alongside the PSD rows, so the
+        // per-window rms list reduces inside the same (channel, freq)
+        // aggregate that builds the mean PSD — no second welchAll, no
+        // (channel, w) window shuffle. Every w appears once per freq,
+        // so max/avg over rows equal max/avg over windows.
+        val all2 = welchAllWithSegRms(df, windowLength, overlap, windowType, detrend)
+        val perFreq = all2.groupBy("channel", "freq").agg(
+          avg("p").as("p"),
+          max("seg_rms").as("max_sub_rms"),
+          avg(pow(col("seg_rms"), lit(fatigueExponent))).as("mean_rms_pow"))
+        val wch = Window.partitionBy("channel").orderBy("freq")
+        val wall = Window.partitionBy("channel")
+        val seg = (col("p") + lag("p", 1).over(wch)) / 2.0 *
+          (col("freq") - lag("freq", 1).over(wch))
         val factor =
           if (summarize == "max rms")
-            subRms.groupBy("channel").agg(max("rms").as("sub_rms"))
-              .join(meanRms, "channel")
-              .select(col("channel"), (col("sub_rms") / col("mean_rms")).as("factor"))
+            max("max_sub_rms").over(wall) / col("mean_rms")
           else
-            subRms.join(meanRms, "channel")
-              .groupBy("channel")
-              .agg(pow(avg(pow(col("rms") / col("mean_rms"), lit(fatigueExponent))),
-                lit(1.0 / fatigueExponent)).as("factor"))
-        meanPsd.join(broadcast(factor), "channel")
+            pow(max("mean_rms_pow").over(wall), lit(1.0 / fatigueExponent)) / col("mean_rms")
+        perFreq
+          .withColumn("seg", seg)
+          .withColumn("mean_rms", sqrt(sum("seg").over(wall)))
+          .withColumn("factor", factor)
           .select(col("channel"), col("freq"),
             (col("p") * col("factor") * col("factor")).as("p"))
       case other =>

@@ -76,8 +76,16 @@ object StreamingOps {
     */
   def runToMemorySink(df: DataFrame, name: String, mode: String = "append"): DataFrame = {
     val spark = df.sparkSession
-    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    // stateful operators create one state store per shuffle partition
+    // per batch; at smoke scale the per-store commit overhead dwarfs
+    // the data, so pin streaming queries to a few partitions (the
+    // partition count is a per-query property, fixed at first start)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }
 }

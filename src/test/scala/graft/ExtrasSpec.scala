@@ -123,6 +123,22 @@ class ExtrasSpec extends AnyFunSuite {
     assert(got.toSet == Set((1L, 0), (1L, 5), (1L, 10)))
   }
 
+  test("SortedIntersectCount matches array_intersect on random sets") {
+    import spark.implicits._
+    import graft.functions.SortedIntersectCount.sortedIntersectCount
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 100).map { i =>
+      (i.toLong,
+        Array.fill(rng.nextInt(50) + 1)(rng.nextInt(80).toLong).distinct.sorted,
+        Array.fill(rng.nextInt(50) + 1)(rng.nextInt(80).toLong).distinct.sorted)
+    }
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select(col("id"),
+      sortedIntersectCount(col("a"), col("b")).as("c"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("ref")).collect()
+    got.foreach(r => assert(r.getLong(1) == r.getLong(2), s"row ${r.getLong(0)}"))
+  }
+
   test("streaming windowed rms over the bounded events stream") {
     import graft.streaming.StreamingOps._
     val out = runToMemorySink(
