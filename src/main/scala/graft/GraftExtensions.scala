@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.FloatDot
+import graft.functions.{FloatDot, SortedIntersectCount}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * expressions for SQL use. Install with
@@ -18,12 +18,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("float_dot"),
       new ExpressionInfo("graft.functions.FloatDot", "float_dot"),
       (exprs: Seq[Expression]) => FloatDot(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo("graft.functions.SortedIntersectCount", "sorted_intersect_count"),
+      (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
   }
 }
 
 object GraftExtensions {
   /** Runtime registration for an already-built session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "float_dot", exprs => FloatDot(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect_count", exprs => SortedIntersectCount(exprs(0), exprs(1)), "scala_udf")
+  }
 }

@@ -290,6 +290,10 @@ object SparkEntry {
       val e = emb(s, dir)
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") % 25 === 0), k = 10)
     }),
+    "q_cosine_neardups" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.cosineNearDups(e.filter(col("vec_id") % 10 === 0), e, 0.35)
+    }),
 
     // -- kernel operators (no SQL oracle; rows-only check) --
     "k_resample_psd_periodogram" -> ((s, dir) =>
@@ -354,6 +358,22 @@ object SparkEntry {
     "k_stream_stateful_movrms" -> ((s, dir) => {
       import graft.streaming.StreamingOps._
       runToMemorySink(statefulMovRms(eventsStream(s, dir)), "stream_smovrms", "append")
+    }),
+    "k_stream_iir" -> ((s, dir) => {
+      // continuous lowpass across micro-batches: the filter delay line
+      // is the keyed state
+      import graft.streaming.StreamingOps._
+      val (b, a) = graft.dsp.FilterDesign.butter(2, 0.2, "lowpass")
+      runToMemorySink(statefulIir(eventsStream(s, dir), b, a), "stream_iir", "append")
+    }),
+    "k_wav_roundtrip" -> ((s, dir) => {
+      // sink one channel to a WAV, read it back through the DSv2
+      // source with frame-range partition splits
+      val one = evUniform(s, dir).filter(col("channel") === "click")
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_bench.wav")
+      graft.sources.WavSink.writeWav(tmp.getAbsolutePath, 1000, one)
+      s.read.format(graft.sources.WavSource.NAME).option("partitionFrames", 4096L)
+        .load(tmp.getAbsolutePath).filter(col("ch") === 0)
     }),
     "k_stream_dedup" -> ((s, dir) => {
       // streaming exact-dedup: watermarked dropDuplicates on the
@@ -661,7 +681,19 @@ object SparkEntry {
       """SELECT vec_id,
         |       round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6) AS nrm
         |FROM embeddings""".stripMargin,
-    "q_cosine_topk" -> cosineTopkSql
+    "q_cosine_topk" -> cosineTopkSql,
+    "q_cosine_neardups" ->
+      """WITH q AS (
+        |  SELECT vec_id AS a, embedding::DOUBLE[] AS ea FROM embeddings WHERE vec_id % 10 = 0
+        |),
+        |scored AS (
+        |  SELECT q.a, c.vec_id AS b,
+        |         round(list_dot_product(q.ea, c.embedding::DOUBLE[]) /
+        |           (sqrt(list_dot_product(q.ea, q.ea)) *
+        |            sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) AS cos
+        |  FROM q, embeddings c WHERE q.a < c.vec_id
+        |)
+        |SELECT a, b, cos FROM scored WHERE cos >= 0.35""".stripMargin
   )
 
   /** Shared as-of interpolation oracle: np.arange grid at `step`

@@ -96,11 +96,19 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs above a threshold (brute
     * force; the LSH bucket join is the scale path).
     */
-  def cosineNearDups(vectors: DataFrame, threshold: Double): DataFrame = {
-    val a = vectors.select(col("vec_id").as("a"), emb(col("embedding")).as("ea"))
-    val b = vectors.select(col("vec_id").as("b"), emb(col("embedding")).as("eb"))
-    a.crossJoin(b).filter(col("a") < col("b"))
-      .select(col("a"), col("b"), cosine(col("ea"), col("eb")).as("cos"))
+  def cosineNearDups(vectors: DataFrame, threshold: Double): DataFrame =
+    cosineNearDups(vectors, vectors, threshold)
+
+  /** Two-sided form: a (small, broadcast) probe set against the
+    * corpus — the corpus streams, the probes ride along. Pairs are
+    * deduped with a < b; cos is rounded to 6 decimals so the
+    * threshold cut selects the same rows in any engine.
+    */
+  def cosineNearDups(probes: DataFrame, corpus: DataFrame, threshold: Double): DataFrame = {
+    val a = probes.select(col("vec_id").as("a"), emb(col("embedding")).as("ea"))
+    val b = corpus.select(col("vec_id").as("b"), emb(col("embedding")).as("eb"))
+    b.crossJoin(broadcast(a)).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), round(cosine(col("ea"), col("eb")), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

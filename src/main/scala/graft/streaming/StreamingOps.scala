@@ -70,6 +70,33 @@ object StreamingOps {
       }.toDF()
   }
 
+  case class IirState(z: Array[Double])
+  case class FiltOut(channel: String, us: Long, v: Double)
+
+  /** Continuous IIR filtering over a stream: per channel, the filter's
+    * direct-form-II-transposed delay line is the keyed state, so the
+    * recurrence continues seamlessly across micro-batches (SURVEY
+    * §2.13: "filter state = last inputs/outputs per channel"). Within
+    * a batch, samples are processed in time order.
+    */
+  def statefulIir(stream: DataFrame, b: Array[Double], a: Array[Double]): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val typed = stream
+      .select(col("channel"), unix_micros(col("ts")).as("us"), col("v"))
+      .as[Sample]
+    typed.groupByKey(_.channel)
+      .flatMapGroupsWithState[IirState, FiltOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (channel: String, rows: Iterator[Sample], state: GroupState[IirState]) =>
+          val sorted = rows.toArray.sortBy(_.us)
+          val zi = state.getOption.map(_.z).orNull
+          val (y, zf) = graft.dsp.IIR.lfilterWithState(b, a, sorted.map(_.v), zi)
+          state.update(IirState(zf))
+          Iterator.tabulate(sorted.length)(i => FiltOut(channel, sorted(i).us, y(i)))
+      }.toDF()
+  }
+
   /** Drive a streaming DataFrame to completion over the (bounded) file
     * source and return the materialized result — the batch-driven
     * smoke harness for streaming queries.

@@ -139,6 +139,31 @@ class ExtrasSpec extends AnyFunSuite {
     got.foreach(r => assert(r.getLong(1) == r.getLong(2), s"row ${r.getLong(0)}"))
   }
 
+  test("WavSource DSv2 roundtrips WavSink output, split-invariant") {
+    val rng = new scala.util.Random(11)
+    val l = Array.fill(5000)(rng.nextDouble() * 2 - 1)
+    val r = Array.fill(5000)(rng.nextDouble() * 2 - 1)
+    val tmp = java.io.File.createTempFile("graft_src", ".wav")
+    graft.sources.WavSink.writeArrays(tmp.getAbsolutePath, 1000, l, r)
+    def read(partitionFrames: Long) =
+      spark.read.format(graft.sources.WavSource.NAME)
+        .option("partitionFrames", partitionFrames)
+        .load(tmp.getAbsolutePath)
+    val one = read(1 << 20).orderBy("t", "ch").collect()
+    assert(one.length == 10000)
+    // exact payload roundtrip (format-3 float64)
+    val left = one.filter(_.getInt(0) == 0).map(_.getDouble(2))
+    assert(left.sameElements(l))
+    assert(one.filter(_.getInt(0) == 1).map(_.getDouble(2)).sameElements(r))
+    // time axis = frame / sampleRate
+    assert(math.abs(one.filter(_.getInt(0) == 0).map(_.getDouble(1)).last - 4.999) < 1e-12)
+    // splitting into many partitions must not change the result
+    val many = read(137).orderBy("t", "ch").collect()
+    assert(many.length == one.length)
+    assert(many.zip(one).forall { case (a, b) => a == b })
+    tmp.delete()
+  }
+
   test("streaming windowed rms over the bounded events stream") {
     import graft.streaming.StreamingOps._
     val out = runToMemorySink(
