@@ -30,10 +30,14 @@ object Bench {
     }
     // The driver parses this line out of the LAST 2000 chars of stdout:
     // keep it compact (2-decimal timings) so the whole line fits the tail.
-    val qs = results.map { case (k, v) => f""""$k":$v%.2f""" }
+    def num(v: Double): String = {
+      val s = f"$v%.2f".replaceAll("0+$", "")
+      if (s.endsWith(".")) s.dropRight(1) else s
+    }
+    val qs = results.map { case (k, v) => s""""$k":${num(v)}""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

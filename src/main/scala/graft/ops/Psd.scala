@@ -113,8 +113,8 @@ object Psd {
     * pass over the data instead of re-running the segment pipeline
     * for the sub-RMS branch.
     */
-  private def welchAllWithSegRms(df: DataFrame, windowLength: Double, overlap: Double,
-                                 windowType: String, detrend: String): DataFrame = {
+  def welchAllWithSegRms(df: DataFrame, windowLength: Double, overlap: Double = 0.5,
+                         windowType: String = "hann", detrend: String = "constant"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val prepared = segmented(df, windowLength, overlap)
@@ -141,45 +141,61 @@ object Psd {
     */
   def welch(df: DataFrame, windowLength: Double, overlap: Double = 0.5,
             windowType: String = "hann", summarize: String = "mean",
-            fatigueExponent: Double = 4.0, detrend: String = "constant"): DataFrame = {
-    val all = welchAll(df, windowLength, overlap, windowType, detrend)
+            fatigueExponent: Double = 4.0, detrend: String = "constant"): DataFrame =
     summarize match {
-      case "all" => all
-      case "mean" => all.groupBy("channel", "freq").agg(avg("p").as("p"))
-      case "median" =>
-        all.groupBy("channel", "freq").agg(percentile(col("p"), lit(0.5)).as("p"))
-      case "max" => all.groupBy("channel", "freq").agg(max("p").as("p"))
-      case "min" => all.groupBy("channel", "freq").agg(min("p").as("p"))
       case "max rms" | "damage" =>
-        // ONE pass over the segment pipeline: each FFT task emits its
-        // own whole-PSD trapezoid RMS alongside the PSD rows, so the
-        // per-window rms list reduces inside the same (channel, freq)
-        // aggregate that builds the mean PSD — no second welchAll, no
-        // (channel, w) window shuffle. Every w appears once per freq,
-        // so max/avg over rows equal max/avg over windows.
-        val all2 = welchAllWithSegRms(df, windowLength, overlap, windowType, detrend)
-        val perFreq = all2.groupBy("channel", "freq").agg(
-          avg("p").as("p"),
-          max("seg_rms").as("max_sub_rms"),
-          avg(pow(col("seg_rms"), lit(fatigueExponent))).as("mean_rms_pow"))
-        val wch = Window.partitionBy("channel").orderBy("freq")
-        val wall = Window.partitionBy("channel")
-        val seg = (col("p") + lag("p", 1).over(wch)) / 2.0 *
-          (col("freq") - lag("freq", 1).over(wch))
-        val factor =
-          if (summarize == "max rms")
-            max("max_sub_rms").over(wall) / col("mean_rms")
-          else
-            pow(max("mean_rms_pow").over(wall), lit(1.0 / fatigueExponent)) / col("mean_rms")
-        perFreq
-          .withColumn("seg", seg)
-          .withColumn("mean_rms", sqrt(sum("seg").over(wall)))
-          .withColumn("factor", factor)
-          .select(col("channel"), col("freq"),
-            (col("p") * col("factor") * col("factor")).as("p"))
+        rescale(welchAllWithSegRms(df, windowLength, overlap, windowType, detrend),
+          summarize, fatigueExponent)
       case other =>
-        throw new IllegalArgumentException(s"$other is not a valid summary type")
+        summarizeAll(welchAll(df, windowLength, overlap, windowType, detrend), other)
     }
+
+  /** The plain summarize stage over a (precomputed) sub-PSD table
+    * (channel, w, freq, p) — callers that run several summarize modes
+    * over the same Welch parameters can cache the sub-PSD table and
+    * fan these aggregates out from it.
+    */
+  def summarizeAll(all: DataFrame, summarize: String): DataFrame = summarize match {
+    case "all" => all
+    case "mean" => all.groupBy("channel", "freq").agg(avg("p").as("p"))
+    case "median" =>
+      all.groupBy("channel", "freq").agg(percentile(col("p"), lit(0.5)).as("p"))
+    case "max" => all.groupBy("channel", "freq").agg(max("p").as("p"))
+    case "min" => all.groupBy("channel", "freq").agg(min("p").as("p"))
+    case other =>
+      throw new IllegalArgumentException(s"$other is not a valid summary type")
+  }
+
+  /** The 'max rms' / 'damage' rescale stage over a (precomputed)
+    * sub-PSD-with-segment-RMS table (`welchAllWithSegRms` output).
+    *
+    * ONE pass over the segment pipeline: each FFT task emits its own
+    * whole-PSD trapezoid RMS alongside the PSD rows, so the
+    * per-window rms list reduces inside the same (channel, freq)
+    * aggregate that builds the mean PSD — no second welchAll, no
+    * (channel, w) window shuffle. Every w appears once per freq, so
+    * max/avg over rows equal max/avg over windows.
+    */
+  def rescale(all2: DataFrame, summarize: String, fatigueExponent: Double): DataFrame = {
+    val perFreq = all2.groupBy("channel", "freq").agg(
+      avg("p").as("p"),
+      max("seg_rms").as("max_sub_rms"),
+      avg(pow(col("seg_rms"), lit(fatigueExponent))).as("mean_rms_pow"))
+    val wch = Window.partitionBy("channel").orderBy("freq")
+    val wall = Window.partitionBy("channel")
+    val seg = (col("p") + lag("p", 1).over(wch)) / 2.0 *
+      (col("freq") - lag("freq", 1).over(wch))
+    val factor =
+      if (summarize == "max rms")
+        max("max_sub_rms").over(wall) / col("mean_rms")
+      else
+        pow(max("mean_rms_pow").over(wall), lit(1.0 / fatigueExponent)) / col("mean_rms")
+    perFreq
+      .withColumn("seg", seg)
+      .withColumn("mean_rms", sqrt(sum("seg").over(wall)))
+      .withColumn("factor", factor)
+      .select(col("channel"), col("freq"),
+        (col("p") * col("factor") * col("factor")).as("p"))
   }
 
   /** get_psd dispatch (`extension.py:569-625`): periodogram when no
