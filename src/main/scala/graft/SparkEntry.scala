@@ -806,9 +806,14 @@ object SparkEntry {
        |)""".stripMargin
 
   private def minhashSql: String =
+    // Kirsch-Mitzenmacher double hashing, mirroring Dedup
+    // .minhashSignatures: g_i = (h1 + i*h2) mod 2^52, h1/h2 = the
+    // md5's two 13-hex-char halves (exact BIGINT arithmetic)
     s"""WITH $shinglesSql
        |SELECT doc_id, i,
-       |       min(('0x' || substr(md5(i || ':' || shingle), 1, 13))::BIGINT) AS minhash
+       |       min((('0x' || substr(md5(shingle), 1, 13))::BIGINT
+       |            + i * (('0x' || substr(md5(shingle), 14, 13))::BIGINT))
+       |           % 4503599627370496) AS minhash
        |FROM shingles, (SELECT unnest(generate_series(0, 15)) AS i)
        |GROUP BY doc_id, i""".stripMargin
 

@@ -38,17 +38,30 @@ object Dedup {
     if (distinct) raw.distinct() else raw
   }
 
-  /** MinHash signatures: k md5-derived hash functions, signature(i) =
-    * min over shingles of hash52(i || ':' || shingle). Returns
-    * (doc_id, i, minhash) — long layout, a pure groupBy-min.
+  /** MinHash signatures: k hash functions built by Kirsch-Mitzenmacher
+    * double hashing over ONE md5 per shingle — g_i = (h1 + i*h2) mod
+    * 2^52 with h1/h2 the md5's first/second 13 hex chars (h1 + 15*h2 <
+    * 2^56, so the arithmetic is exact BIGINT in any engine). One md5
+    * and one aggregate pass instead of k of each: the signature is k
+    * min-columns in a single groupBy (map-side combinable), unpivoted
+    * to the long (doc_id, i, minhash) layout. Duplicate shingles don't
+    * change a min, so the input skips the distinct shuffle.
     */
-  def minhashSignatures(docs: DataFrame, k: Int = 16, shingleN: Int = 5): DataFrame =
-    shingles(docs, shingleN)
-      .select(col("doc_id"), explode(sequence(lit(0), lit(k - 1))).as("i"), col("shingle"))
-      .select(col("doc_id"), col("i"),
-        TextAnalysis.hash52(concat(col("i"), lit(":"), col("shingle"))).as("h"))
-      .groupBy("doc_id", "i")
-      .agg(min("h").as("minhash"))
+  def minhashSignatures(docs: DataFrame, k: Int = 16, shingleN: Int = 5): DataFrame = {
+    val m = md5(to_binary(col("shingle"), lit("utf-8")))
+    val h1 = conv(substring(m, 1, 13), 16, 10).cast("long")
+    val h2 = conv(substring(m, 14, 13), 16, 10).cast("long")
+    // project h1/h2 ONCE: each min-aggregate referencing the raw
+    // expression would re-evaluate the md5 k times per row
+    val mins = (0 until k).map(i =>
+      min(pmod(col("h1") + lit(i.toLong) * col("h2"), lit(1L << 52))).as(s"m$i"))
+    val stackArgs = (0 until k).map(i => s"$i, m$i").mkString(", ")
+    shingles(docs, shingleN, distinct = false)
+      .select(col("doc_id"), h1.as("h1"), h2.as("h2"))
+      .groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .selectExpr("doc_id", s"stack($k, $stackArgs) AS (i, minhash)")
+  }
 
   /** LSH candidate pairs: band signature = md5 of the concatenated
     * minhashes in each band; docs sharing any band signature are

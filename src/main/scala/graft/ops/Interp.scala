@@ -17,13 +17,16 @@ object Interp {
   /** Interpolate per-channel series `src(channel, t, v)` at query
     * points `query(channel, t)`.
     *
-    * Kinds: linear | nearest | nearest-up | previous | zero | next
-    * (scipy interp1d's non-spline kinds). Out-of-range queries yield
-    * NULL v; callers that need scipy's bounds_error contract can
-    * assert no NULLs (the reference raises, `extension.py:992`).
+    * Kinds: linear | slinear | nearest | nearest-up | previous | zero
+    * | next (scipy interp1d's non-spline kinds) plus quadratic |
+    * cubic (spline kernels). Out-of-range queries yield NULL v by
+    * default; `boundsError = true` raises instead — scipy's
+    * bounds_error contract (the reference path, `extension.py:992`).
     */
-  def interp1d(src: DataFrame, query: DataFrame, kind: String = "linear"): DataFrame = {
-    if (kind == "cubic" || kind == "quadratic") return interp1dSpline(src, query, kind)
+  def interp1d(src: DataFrame, query: DataFrame, kind: String = "linear",
+               boundsError: Boolean = false): DataFrame = {
+    if (kind == "cubic" || kind == "quadratic")
+      return interp1dSpline(src, query, kind, boundsError)
     val s = src.select(col("channel"), col("t").cast("double").as("t"),
       col("v").cast("double").as("v"), lit(0).as("isq"))
     val q = query.select(col("channel"), col("t").cast("double").as("t"),
@@ -67,8 +70,13 @@ object Interp {
       case other => throw new IllegalArgumentException(s"unsupported interp kind: $other")
     }
 
+    val outOfRange =
+      if (boundsError)
+        raise_error(concat(lit("A value in x_new is out of the interpolation range: t="),
+          col("t"), lit(" channel="), col("channel"))).cast("double")
+      else lit(null).cast("double")
     withBrackets
-      .withColumn("v", when(col("pt").isNull || col("nt").isNull, lit(null).cast("double"))
+      .withColumn("v", when(col("pt").isNull || col("nt").isNull, outOfRange)
         .otherwise(interp))
       .select("channel", "t", "v")
   }
@@ -80,7 +88,8 @@ object Interp {
     * (SURVEY §2.11: the documented kernel path for spline kinds).
     */
   private def interp1dSpline(src: DataFrame, query: DataFrame,
-                             kind: String = "cubic"): DataFrame = {
+                             kind: String = "cubic",
+                             boundsError: Boolean = false): DataFrame = {
     val spark = src.sparkSession
     import spark.implicits._
     val s = src.selectExpr("channel", "cast(t as double) t", "cast(v as double) v")
@@ -94,6 +103,9 @@ object Interp {
       else {
         val xs = srcArr.map(_.t)
         val ys = srcArr.map(_.v)
+        if (boundsError && (qArr.head.t < xs.head || qArr.last.t > xs.last))
+          throw new IllegalArgumentException(
+            s"A value in x_new is out of the interpolation range (channel=$ch)")
         val vals =
           if (kind == "quadratic")
             graft.dsp.CubicSpline.interpolateQuadratic(xs, ys, qArr.map(_.t))

@@ -82,6 +82,18 @@ object Channels {
   def writePartitioned(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").partitionBy("channel").parquet(path)
 
+  /** Save a signal table BUCKETED by channel (sorted by t within each
+    * bucket): every downstream per-channel window/groupBy/join reads
+    * the bucket layout as a satisfied hash distribution, so the
+    * per-channel shuffle disappears entirely — the right persisted
+    * layout when many analyses hit the same channels (see the
+    * no-Exchange assertion in SparkOpsSpec).
+    */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int = 8): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, "channel").sortBy("channel", "t")
+      .format("parquet").saveAsTable(table)
+
   /** Channel names present in a signal table
     * (`Endaq.channel_list`, `io.py:175-184`).
     */

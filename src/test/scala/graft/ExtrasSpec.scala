@@ -164,6 +164,42 @@ class ExtrasSpec extends AnyFunSuite {
     tmp.delete()
   }
 
+  test("interp1d boundsError raises on out-of-range queries, silent otherwise") {
+    import spark.implicits._
+    val src = Seq(("c", 1.0, 10.0), ("c", 2.0, 20.0), ("c", 3.0, 30.0)).toDF("channel", "t", "v")
+    val inRange = Seq(("c", 1.5), ("c", 2.5)).toDF("channel", "t")
+    val outRange = Seq(("c", 0.5)).toDF("channel", "t")
+    // in range: fine with boundsError
+    val ok = graft.ops.Interp.interp1d(src, inRange, "linear", boundsError = true)
+      .orderBy("t").collect().map(_.getDouble(2))
+    assert(ok.sameElements(Array(15.0, 25.0)))
+    // out of range: default yields NULL, strict raises
+    val nulls = graft.ops.Interp.interp1d(src, outRange, "linear").collect()
+    assert(nulls.length == 1 && nulls(0).isNullAt(2))
+    intercept[Exception] {
+      graft.ops.Interp.interp1d(src, outRange, "linear", boundsError = true).collect()
+    }
+    intercept[Exception] {
+      graft.ops.Interp.interp1d(src, outRange, "cubic", boundsError = true).collect()
+    }
+  }
+
+  test("bucketed channel layout: per-channel window runs with NO shuffle") {
+    val ev = graft.signal.Channels.events(spark, "/root/testdata/sf0.001")
+    graft.signal.Channels.writeBucketed(ev, "ev_bucketed", buckets = 4)
+    val sig = graft.signal.Signal(spark.table("ev_bucketed"))
+    val plan = sig.movRmsN(16).df.queryExecution.executedPlan
+    val shuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty, s"expected no shuffle over the bucketed layout, got:\n$plan")
+    // and the result matches the shuffled path exactly
+    val a = sig.movRmsN(16).df.orderBy("channel", "t").collect()
+    val b = graft.signal.Signal(ev).movRmsN(16).df.orderBy("channel", "t").collect()
+    assert(a.length == b.length && a.zip(b).forall { case (x, y) => x == y })
+    spark.sql("DROP TABLE ev_bucketed")
+  }
+
   test("streaming windowed rms over the bounded events stream") {
     import graft.streaming.StreamingOps._
     val out = runToMemorySink(
