@@ -32,13 +32,22 @@ object Multimodal {
         (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
       to_binary(col("text"), lit("utf-8")).as("bytes"))
 
-  /** STUB decode: a real deployment would decode image/audio here
-    * (??? replaced by a deterministic fake so the pipeline shape is
-    * testable). Emits per-record metadata + an 8-dim feature vector
-    * from byte histograms.
+  /** Decode step. Audio is REAL: if the payload is a RIFF/WAVE byte
+    * stream, the fmt/data chunks are parsed and n_frames/width(=sample
+    * rate)/height(=channels) come from the actual header. Image/video
+    * remain STUBBED (no codec libraries in this environment):
+    * deterministic fake dimensions derived from content bytes, so the
+    * pipeline shape stays testable. Emits per-record metadata + an
+    * 8-dim byte-histogram feature vector either way.
     */
   def decodeStub(rec: MediaRecord): MediaFeatures = {
     val n = rec.bytes.length
+    wavInfo(rec.bytes) match {
+      case Some((sr, nCh, frames)) =>
+        return MediaFeatures(rec.media_id, rec.kind, n, sr, nCh, frames,
+          histogram(rec.bytes))
+      case None => ()
+    }
     // fake "header parse": dimensions derived from content bytes
     val b0 = if (n > 0) rec.bytes(0) & 0xff else 0
     val b1 = if (n > 1) rec.bytes(1) & 0xff else 0
@@ -49,14 +58,55 @@ object Multimodal {
       case "audio" => 1 + n % 1000
       case _ => 1
     }
+    MediaFeatures(rec.media_id, rec.kind, n, width, height, nFrames,
+      histogram(rec.bytes))
+  }
+
+  private def histogram(bytes: Array[Byte]): Array[Float] = {
+    val n = bytes.length
     val hist = new Array[Float](8)
     var i = 0
     while (i < n) {
-      hist((rec.bytes(i) & 0xff) >> 5) += 1f
+      hist((bytes(i) & 0xff) >> 5) += 1f
       i += 1
     }
     if (n > 0) { var j = 0; while (j < 8) { hist(j) /= n; j += 1 } }
-    MediaFeatures(rec.media_id, rec.kind, n, width, height, nFrames, hist)
+    hist
+  }
+
+  /** Parse a RIFF/WAVE byte payload: Some((sampleRate, nChannels,
+    * nFrames)) when the bytes really are a WAV stream.
+    */
+  private def wavInfo(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (bytes.length < 44) return None
+    val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = { val a = new Array[Byte](4); b.get(a); new String(a, "ASCII") }
+    if (tag() != "RIFF") return None
+    b.getInt()
+    if (tag() != "WAVE") return None
+    var fmt: Option[(Int, Int)] = None // (sampleRate, nChannels)
+    var bytesPerFrame = 0
+    while (b.remaining() >= 8) {
+      val id = tag()
+      val len = b.getInt()
+      if (len < 0 || len > b.remaining()) return fmt.map { case (sr, nc) => (sr, nc, 0) }
+      id match {
+        case "fmt " =>
+          val p = b.position()
+          b.getShort()
+          val nCh = b.getShort() & 0xffff
+          val sr = b.getInt()
+          b.getInt()
+          bytesPerFrame = b.getShort() & 0xffff
+          fmt = Some((sr, nCh))
+          b.position(p + len + (len & 1))
+        case "data" =>
+          return fmt.map { case (sr, nc) =>
+            (sr, nc, if (bytesPerFrame > 0) len / bytesPerFrame else 0) }
+        case _ => b.position(b.position() + len + (len & 1))
+      }
+    }
+    fmt.map { case (sr, nc) => (sr, nc, 0) }
   }
 
   /** Partition-batched feature extraction over a media table

@@ -200,6 +200,42 @@ class ExtrasSpec extends AnyFunSuite {
     spark.sql("DROP TABLE ev_bucketed")
   }
 
+  test("multimodal audio decode: real RIFF header parse from bytes") {
+    val rng = new scala.util.Random(3)
+    val samples = Array.fill(1234)(rng.nextDouble() * 2 - 1)
+    val tmp = java.io.File.createTempFile("graft_mm", ".wav")
+    graft.sources.WavSink.writeArrays(tmp.getAbsolutePath, 8000, samples, samples)
+    val bytes = java.nio.file.Files.readAllBytes(tmp.toPath)
+    val feats = graft.datapipe.Multimodal.decodeStub(
+      graft.datapipe.Multimodal.MediaRecord(7L, "audio", bytes))
+    assert(feats.width == 8000)   // sample rate from the real fmt chunk
+    assert(feats.height == 2)     // channel count
+    assert(feats.n_frames == 1234)
+    tmp.delete()
+    // non-RIFF payloads still take the deterministic stub path
+    val stub = graft.datapipe.Multimodal.decodeStub(
+      graft.datapipe.Multimodal.MediaRecord(8L, "image", "hello world".getBytes))
+    assert(stub.n_frames == 1 && stub.width >= 64 && stub.width < 128)
+  }
+
+  test("PerChannel kernels scale across hundreds of channels") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    val rows = for (c <- 0 until 300; i <- 0 until 40)
+      yield (s"ch$c", i / 100.0, rng.nextDouble() * 2 - 1)
+    val df = rows.toDF("channel", "t", "v")
+    val out = graft.ops.Kernels.filtButter(df, Seq(10.0), order = 4, btype = "lowpass")
+    assert(out.count() == 300L * 40)
+    // one channel's distributed result equals the driver-side kernel
+    val ch7 = rows.filter(_._1 == "ch7").sortBy(_._2).map(_._3).toArray
+    val (b, a) = graft.dsp.FilterDesign.butter(2, 10.0 / 50.0, "lowpass")
+    val expected = graft.dsp.IIR.filtfilt(b, a, ch7)
+    val got = out.filter(col("channel") === "ch7").orderBy("t")
+      .collect().map(_.getDouble(2))
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (g, e) => assert(math.abs(g - e) < 1e-9) }
+  }
+
   test("streaming windowed rms over the bounded events stream") {
     import graft.streaming.StreamingOps._
     val out = runToMemorySink(
