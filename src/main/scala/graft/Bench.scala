@@ -30,8 +30,10 @@ object Bench {
     }
     // The driver parses this line out of the LAST 2000 chars of stdout:
     // keep it compact (2-decimal timings) so the whole line fits the tail.
+    // 0.1 s resolution keeps the whole 79-query line ~1.7k chars —
+    // the driver reads only the last 2000 chars of stdout
     def num(v: Double): String = {
-      val s = f"$v%.2f".replaceAll("0+$", "")
+      val s = f"$v%.1f".replaceAll("0+$", "")
       if (s.endsWith(".")) s.dropRight(1) else s
     }
     val qs = results.map { case (k, v) => s""""$k":${num(v)}""" }

