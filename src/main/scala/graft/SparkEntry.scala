@@ -363,7 +363,7 @@ object SparkEntry {
     "k_rainflow_binsize" -> ((s, dir) => Kernels.rainflow(ev(s, dir), binsize = Some(25.0))),
     "k_psd_welch_detrend_linear" -> ((s, dir) =>
       Psd.getPsd(evUniform(s, dir), windowLength = Some(432000.0), detrend = "linear")),
-    "k_ann_topk" -> ((s, dir) => {
+    "q_ann_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.annTopK(e, e.filter(col("vec_id") % 25 === 0), k = 10)
     }),
@@ -387,13 +387,17 @@ object SparkEntry {
         round(element_at(col("features"), i + 1), 6).as(s"f$i"))
       f.select(scalars ++ feats: _*)
     }),
-    "k_stream_windowed_rms" -> ((s, dir) => {
+    // -- streaming (oracle-backed: bounded-stream results equal batch SQL) --
+    "q_stream_wrms" -> ((s, dir) => {
       import graft.streaming.StreamingOps._
       runToMemorySink(windowedRms(eventsStream(s, dir)), "stream_wrms", "complete")
+        .select(unix_seconds(col("w_start")).as("w_start_s"), col("channel"),
+          round(col("rms"), 6).as("rms"), col("n"))
     }),
-    "k_stream_stateful_movrms" -> ((s, dir) => {
+    "q_stream_movrms" -> ((s, dir) => {
       import graft.streaming.StreamingOps._
       runToMemorySink(statefulMovRms(eventsStream(s, dir)), "stream_smovrms", "append")
+        .select(col("channel"), col("us"), round(col("rms"), 6).as("rms"))
     }),
     "k_stream_iir" -> ((s, dir) => {
       // continuous lowpass across micro-batches: the filter delay line
@@ -411,7 +415,7 @@ object SparkEntry {
       s.read.format(graft.sources.WavSource.NAME).option("partitionFrames", 4096L)
         .load(tmp.getAbsolutePath).filter(col("ch") === 0)
     }),
-    "k_stream_dedup" -> ((s, dir) => {
+    "q_stream_dedup" -> ((s, dir) => {
       // streaming exact-dedup: watermarked dropDuplicates on the
       // (channel, ts) key — the streaming analog of deduplicate()
       import graft.streaming.StreamingOps._
@@ -420,8 +424,9 @@ object SparkEntry {
         .groupBy("channel").agg(count(lit(1)).as("n_distinct"))
       runToMemorySink(st, "stream_dedup", "complete")
     }),
-    "k_movrms_time" -> ((s, dir) =>
-      Signal(evUniform(s, dir)).movRms(7200.0).df),
+    "q_movrms_time" -> ((s, dir) =>
+      Signal(evUniform(s, dir)).movRms(7200.0).df
+        .select(col("channel"), col("t"), round(col("v"), 6).as("v"))),
     "k_resample_cubic" -> ((s, dir) =>
       Interp.resample(ev(s, dir), 1.0 / 1000.0, "cubic")),
     "k_resample_quadratic" -> ((s, dir) =>
@@ -718,6 +723,48 @@ object SparkEntry {
         |       round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6) AS nrm
         |FROM embeddings""".stripMargin,
     "q_cosine_topk" -> cosineTopkSql,
+    "q_ann_topk" -> annTopkSql,
+
+    // streaming analogs: the bounded-stream results must equal plain
+    // batch SQL over the same table
+    "q_stream_dedup" ->
+      """SELECT event_type AS channel, count(DISTINCT epoch_us(ts)) AS n_distinct
+        |FROM events GROUP BY event_type""".stripMargin,
+    // time-window mov_rms on the uniform 1/3600 Hz grid: n = round(
+    // 7200 * sr) = 2 samples, t shifted back by window/2, warm-up row
+    // and final row trimmed (extension.py:684,695-697)
+    "q_movrms_time" ->
+      s"""WITH ${uniformSql(3600.0)}
+         |SELECT channel, t - 3600.0 AS t,
+         |       round(sqrt(avg(v * v) OVER (PARTITION BY channel ORDER BY t
+         |                                   ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)), 6) AS v
+         |FROM u
+         |QUALIFY row_number() OVER (PARTITION BY channel ORDER BY t) >= 2
+         |    AND row_number() OVER (PARTITION BY channel ORDER BY t) <
+         |        count(*) OVER (PARTITION BY channel)""".stripMargin,
+    "q_stream_movrms" ->
+      """WITH s AS (
+        |  SELECT event_type AS channel, epoch_us(ts) AS us, value AS v FROM events
+        |)
+        |SELECT channel, us,
+        |       round(sqrt(avg(v * v) OVER (PARTITION BY channel ORDER BY us, v
+        |                                   ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)), 6) AS rms
+        |FROM s""".stripMargin,
+    "q_stream_wrms" ->
+      // sliding windows (1 day size, 12 h slide): every event lands in
+      // exactly size/slide = 2 epoch-aligned windows
+      """WITH s AS (
+        |  SELECT event_type AS channel, epoch_us(ts) AS us, value AS v FROM events
+        |),
+        |w AS (
+        |  SELECT channel,
+        |         (us // 43200000000) * 43200000000 - k * 43200000000 AS wstart, v
+        |  FROM s, (SELECT unnest([0, 1]) AS k)
+        |  WHERE (us // 43200000000) * 43200000000 - k * 43200000000 + 86400000000 > us
+        |)
+        |SELECT wstart // 1000000 AS w_start_s, channel,
+        |       round(sqrt(avg(v * v)), 6) AS rms, count(*) AS n
+        |FROM w GROUP BY channel, wstart""".stripMargin,
     "q_cosine_neardups" ->
       """WITH q AS (
         |  SELECT vec_id AS a, embedding::DOUBLE[] AS ea FROM embeddings WHERE vec_id % 10 = 0
@@ -731,6 +778,35 @@ object SparkEntry {
         |)
         |SELECT a, b, cos FROM scored WHERE cos >= 0.35""".stripMargin
   )
+
+  /** CTE chain producing `u(channel, t, v)` = the events channels
+    * linearly resampled onto the np.arange grid at `step` seconds —
+    * the DuckDB mirror of `evUniform` for oracles over the uniform
+    * substrate.
+    */
+  private def uniformSql(step: Double): String =
+    s"""$SRC,
+       |bounds AS (SELECT channel, min(t) AS t0, max(t) AS t1 FROM src GROUP BY channel),
+       |grid AS (
+       |  SELECT channel, t0 + k * $step AS t
+       |  FROM (SELECT channel, t0,
+       |               unnest(generate_series(0, CAST(ceil((t1 - t0) / $step) AS BIGINT) - 1)) AS k
+       |        FROM bounds)
+       |),
+       |prevj AS (
+       |  SELECT g.channel, g.t, s.t AS pt, s.v AS pv
+       |  FROM grid g ASOF LEFT JOIN src s ON g.channel = s.channel AND g.t >= s.t
+       |),
+       |nextj AS (
+       |  SELECT g.channel, g.t, s.t AS nt, s.v AS nv
+       |  FROM grid g ASOF LEFT JOIN src s ON g.channel = s.channel AND g.t <= s.t
+       |),
+       |u AS (
+       |  SELECT p.channel, p.t,
+       |         CASE WHEN p.pt = n.nt THEN p.pv
+       |              ELSE p.pv + (n.nv - p.pv) * (p.t - p.pt) / (n.nt - p.pt) END AS v
+       |  FROM prevj p JOIN nextj n ON p.channel = n.channel AND p.t = n.t
+       |)""".stripMargin
 
   /** Shared as-of interpolation oracle: np.arange grid at `step`
     * seconds, bracketed by DuckDB ASOF joins in both directions.
@@ -873,6 +949,51 @@ object SparkEntry {
        |JOIN sizes za ON za.doc_id = i.a
        |JOIN sizes zb ON zb.doc_id = i.b
        |WHERE i.i * 1.0 / (za.sz + zb.sz - i.i) >= 0.05""".stripMargin
+
+  /** Sign-LSH ANN oracle: the hyperplanes are md5-derived, so the
+    * bucket assignment — and therefore the whole candidate set — is
+    * reproducible in DuckDB.
+    */
+  private def annTopkSql: String =
+    """WITH ed AS (
+      |  SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i, embedding
+      |  FROM embeddings
+      |),
+      |dp AS (
+      |  SELECT vec_id, j,
+      |         sum(embedding[i]::DOUBLE *
+      |             ((('0x' || substr(md5('plane:' || j || ':' || (i - 1)), 1, 13))::BIGINT)
+      |              / 4503599627370496.0 - 0.5)) AS dp
+      |  FROM ed, (SELECT unnest(generate_series(0, 7)) AS j)
+      |  GROUP BY vec_id, j
+      |),
+      |buckets AS (
+      |  SELECT vec_id,
+      |         CAST(sum(CASE WHEN dp > 0 THEN pow(2.0, j) ELSE 0.0 END) AS BIGINT) AS bucket
+      |  FROM dp GROUP BY vec_id
+      |),
+      |q AS (
+      |  SELECT e.vec_id AS query_id, e.embedding::DOUBLE[] AS qe, b.bucket
+      |  FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
+      |  WHERE e.vec_id % 25 = 0
+      |),
+      |scored AS (
+      |  SELECT q.query_id, c.vec_id AS neighbor_id,
+      |         list_dot_product(q.qe, c.embedding::DOUBLE[]) /
+      |           (sqrt(list_dot_product(q.qe, q.qe)) *
+      |            sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS cos
+      |  FROM embeddings c
+      |  JOIN buckets cb ON c.vec_id = cb.vec_id
+      |  JOIN q ON q.bucket = cb.bucket AND q.query_id != c.vec_id
+      |),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS rank,
+      |         round(cos, 6) AS cos
+      |  FROM scored
+      |)
+      |SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 10""".stripMargin
 
   private def cosineTopkSql: String =
     """WITH q AS (

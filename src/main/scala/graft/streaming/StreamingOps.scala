@@ -61,7 +61,9 @@ object StreamingOps {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (channel: String, rows: Iterator[Sample], state: GroupState[RingState]) =>
           var buf = state.getOption.map(_.values).getOrElse(Nil)
-          val out = rows.toSeq.sortBy(_.us).map { s =>
+          // (us, v) order: v as tie-break makes duplicate-timestamp
+          // processing deterministic (and oracle-reproducible)
+          val out = rows.toSeq.sortBy(s => (s.us, s.v)).map { s =>
             buf = (buf :+ (s.v * s.v)).takeRight(n)
             RmsOut(channel, s.us, math.sqrt(buf.sum / buf.length))
           }
