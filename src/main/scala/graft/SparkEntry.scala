@@ -367,7 +367,7 @@ object SparkEntry {
       val e = emb(s, dir)
       Similarity.annTopK(e, e.filter(col("vec_id") % 25 === 0), k = 10)
     }),
-    "k_minhash_lsh_neardups" -> ((s, dir) => {
+    "q_minhash_lsh_neardups" -> ((s, dir) => {
       val d = docs(s, dir)
       val sig = Dedup.minhashSignaturesFromShingles(docShingles(s, dir), k = 16)
       val cands = Dedup.lshCandidates(sig, rowsPerBand = 4)
@@ -715,6 +715,7 @@ object SparkEntry {
         |       doc_id = min(doc_id) OVER (PARTITION BY fp) AS keep
         |FROM f""".stripMargin,
     "q_minhash_sig" -> minhashSql,
+    "q_minhash_lsh_neardups" -> lshNearDupsSql,
     "q_simhash" -> simhashSql,
     "q_ngram_jaccard" -> ngramJaccardSql,
 
@@ -908,6 +909,38 @@ object SparkEntry {
        |           % 4503599627370496) AS minhash
        |FROM shingles, (SELECT unnest(generate_series(0, 15)) AS i)
        |GROUP BY doc_id, i""".stripMargin
+
+  /** LSH candidate counts: band signature = md5 of the band's sorted
+    * "i:minhash" strings — Spark's sort_array/concat_ws reproduced
+    * with DuckDB's ordered string_agg (both binary collation).
+    */
+  private def lshNearDupsSql: String =
+    s"""WITH $shinglesSql,
+       |sig AS (
+       |  SELECT doc_id, i,
+       |         min((('0x' || substr(md5(shingle), 1, 13))::BIGINT
+       |              + i * (('0x' || substr(md5(shingle), 14, 13))::BIGINT))
+       |             % 4503599627370496) AS minhash
+       |  FROM shingles, (SELECT unnest(generate_series(0, 15)) AS i)
+       |  GROUP BY doc_id, i
+       |),
+       |bands AS (
+       |  SELECT doc_id, i // 4 AS band,
+       |         md5(string_agg(i || ':' || minhash, ',' ORDER BY i || ':' || minhash)) AS bsig
+       |  FROM sig GROUP BY doc_id, i // 4
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+       |),
+       |cnt AS (
+       |  SELECT doc_id, count(*) AS n_candidates
+       |  FROM (SELECT a AS doc_id FROM cand UNION ALL SELECT b AS doc_id FROM cand)
+       |  GROUP BY doc_id
+       |)
+       |SELECT d.doc_id, coalesce(c.n_candidates, 0) AS n_candidates
+       |FROM documents d LEFT JOIN cnt c USING (doc_id)""".stripMargin
 
   private def simhashSql: String =
     """WITH toks AS (
