@@ -378,15 +378,19 @@ object SparkEntry {
         Seq("doc_id"), "left")
         .na.fill(0, Seq("n_candidates"))
     }),
-    "k_multimodal_features" -> ((s, dir) => {
-      // flatten the feature vector: the driver's rows-check sorts the
-      // result in pandas, which cannot sort ndarray cells
+    "q_multimodal_features" -> ((s, dir) => {
+      // flatten the feature vector (the comparator can't sort ndarray
+      // cells); every value — header metadata and byte-histogram — is
+      // integer-derived, so the decode output is oracle-exact
       val f = Multimodal.extractFeatures(Multimodal.syntheticMedia(docs(s, dir)))
       val scalars = Seq("media_id", "kind", "n_bytes", "width", "height", "n_frames").map(col)
-      val feats = (0 until 8).map(i =>
-        round(element_at(col("features"), i + 1), 6).as(s"f$i"))
+      val feats = (0 until 8).map(i => element_at(col("features"), i + 1).as(s"f$i"))
       f.select(scalars ++ feats: _*)
     }),
+    "q_frame_sample" -> ((s, dir) =>
+      // deterministic frame-sampling plan over the decoded video rows
+      Multimodal.sampleFrames(
+        Multimodal.extractFeatures(Multimodal.syntheticMedia(docs(s, dir))), everyK = 5)),
     // -- streaming (oracle-backed: bounded-stream results equal batch SQL) --
     "q_stream_wrms" -> ((s, dir) => {
       import graft.streaming.StreamingOps._
@@ -716,6 +720,14 @@ object SparkEntry {
         |FROM f""".stripMargin,
     "q_minhash_sig" -> minhashSql,
     "q_minhash_lsh_neardups" -> lshNearDupsSql,
+    "q_multimodal_features" -> multimodalSql,
+    "q_frame_sample" ->
+      """SELECT doc_id AS media_id,
+        |       unnest(generate_series(0, nf - 1, 5)) AS frame_idx
+        |FROM (
+        |  SELECT doc_id, 1 + CAST(octet_length(encode(text)) AS INT) % 30 AS nf
+        |  FROM documents WHERE doc_id % 3 = 2
+        |)""".stripMargin,
     "q_simhash" -> simhashSql,
     "q_ngram_jaccard" -> ngramJaccardSql,
 
@@ -941,6 +953,42 @@ object SparkEntry {
        |)
        |SELECT d.doc_id, coalesce(c.n_candidates, 0) AS n_candidates
        |FROM documents d LEFT JOIN cnt c USING (doc_id)""".stripMargin
+
+  /** The multimodal decode-stub is byte-deterministic, so DuckDB can
+    * replay it from hex(encode(text)): header fields from the first
+    * two bytes, frame counts from the payload length, and the 8-bin
+    * byte histogram from a per-byte explode.
+    */
+  private def multimodalSql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |         hex(encode(text)) AS h,
+      |         CAST(octet_length(encode(text)) AS INT) AS n
+      |  FROM documents
+      |),
+      |hist AS (
+      |  SELECT media_id, ('0x' || substr(h, 2 * i - 1, 2))::INT // 32 AS bucket
+      |  FROM (SELECT media_id, h, unnest(generate_series(1, n)) AS i FROM m)
+      |),
+      |hc AS (
+      |  SELECT media_id,
+      |         count(*) FILTER (bucket = 0) AS c0, count(*) FILTER (bucket = 1) AS c1,
+      |         count(*) FILTER (bucket = 2) AS c2, count(*) FILTER (bucket = 3) AS c3,
+      |         count(*) FILTER (bucket = 4) AS c4, count(*) FILTER (bucket = 5) AS c5,
+      |         count(*) FILTER (bucket = 6) AS c6, count(*) FILTER (bucket = 7) AS c7
+      |  FROM hist GROUP BY media_id
+      |)
+      |SELECT m.media_id, m.kind, m.n AS n_bytes,
+      |       64 + ('0x' || substr(m.h, 1, 2))::INT % 64 AS width,
+      |       64 + ('0x' || substr(m.h, 3, 2))::INT % 64 AS height,
+      |       CASE m.kind WHEN 'video' THEN 1 + m.n % 30
+      |                   WHEN 'audio' THEN 1 + m.n % 1000 ELSE 1 END AS n_frames,
+      |       CAST(c0 AS DOUBLE) / m.n AS f0, CAST(c1 AS DOUBLE) / m.n AS f1,
+      |       CAST(c2 AS DOUBLE) / m.n AS f2, CAST(c3 AS DOUBLE) / m.n AS f3,
+      |       CAST(c4 AS DOUBLE) / m.n AS f4, CAST(c5 AS DOUBLE) / m.n AS f5,
+      |       CAST(c6 AS DOUBLE) / m.n AS f6, CAST(c7 AS DOUBLE) / m.n AS f7
+      |FROM m JOIN hc ON m.media_id = hc.media_id""".stripMargin
 
   private def simhashSql: String =
     """WITH toks AS (

@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions._
 object Multimodal {
 
   case class MediaRecord(media_id: Long, kind: String, bytes: Array[Byte])
+  // feature histogram in DOUBLE: counts/n divides identically in any
+  // engine, so the whole decode output is oracle-checkable value-exact
   case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
                            width: Int, height: Int, n_frames: Int,
-                           features: Array[Float])
+                           features: Array[Double])
 
   /** Build a synthetic media table from the documents fixture: text
     * bytes stand in for encoded media payloads (deterministic, so
@@ -62,12 +64,12 @@ object Multimodal {
       histogram(rec.bytes))
   }
 
-  private def histogram(bytes: Array[Byte]): Array[Float] = {
+  private def histogram(bytes: Array[Byte]): Array[Double] = {
     val n = bytes.length
-    val hist = new Array[Float](8)
+    val hist = new Array[Double](8)
     var i = 0
     while (i < n) {
-      hist((bytes(i) & 0xff) >> 5) += 1f
+      hist((bytes(i) & 0xff) >> 5) += 1.0
       i += 1
     }
     if (n > 0) { var j = 0; while (j < 8) { hist(j) /= n; j += 1 } }
