@@ -1036,17 +1036,14 @@ object SparkEntry {
     * reproducible in DuckDB.
     */
   private def annTopkSql: String =
-    """WITH ed AS (
-      |  SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i, embedding
-      |  FROM embeddings
-      |),
-      |dp AS (
+    """WITH dp AS (
       |  SELECT vec_id, j,
-      |         sum(embedding[i]::DOUBLE *
-      |             ((('0x' || substr(md5('plane:' || j || ':' || (i - 1)), 1, 13))::BIGINT)
-      |              / 4503599627370496.0 - 0.5)) AS dp
-      |  FROM ed, (SELECT unnest(generate_series(0, 7)) AS j)
-      |  GROUP BY vec_id, j
+      |         list_dot_product(
+      |           embedding::DOUBLE[],
+      |           list_transform(generate_series(0, len(embedding) - 1), d ->
+      |             ('0x' || substr(md5('plane:' || j || ':' || d), 1, 13))::BIGINT
+      |               / 4503599627370496.0 - 0.5)) AS dp
+      |  FROM embeddings, (SELECT unnest(generate_series(0, 7)) AS j)
       |),
       |buckets AS (
       |  SELECT vec_id,

@@ -53,27 +53,36 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane j,
-    * dim d): md5-derived value in [-0.5, 0.5).
+    * dim d), computed driver-side: md5-derived value in [-0.5, 0.5).
+    * Same bit pattern as the SQL `hash52('plane:j:d') / 2^52 - 0.5`.
     */
-  private def planeComponent(j: Column, d: Column): Column =
-    TextAnalysis.hash52(concat(lit("plane:"), j, lit(":"), d)) / lit(4503599627370496.0) - 0.5
+  def planeComponent(j: Int, d: Int): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane:$j:$d".getBytes("UTF-8"))
+    val hex = digest.map(b => f"$b%02x").mkString.substring(0, 13)
+    java.lang.Long.parseLong(hex, 16) / 4503599627370496.0 - 0.5
+  }
 
   /** Sign-LSH bucket key from `nPlanes` deterministic hyperplanes:
-    * bucket = sum_j 2^j * (v . plane_j > 0). Expression-only — the
-    * per-dimension explode shuffles to a (vec, plane) grid and
-    * aggregates the dot products, so bucketing is one groupBy at any
-    * scale.
+    * bucket = sum_j 2^j * (v . plane_j > 0). The planes are
+    * md5-derived, so they are computed ONCE on the driver and folded
+    * into the plan as array literals — bucket assignment is a pure
+    * map-side expression over each vector (no explode, no shuffle;
+    * the previous formulation shuffled a (vec, dim, plane) grid of
+    * dims*planes rows per vector). Dot products reduce left-to-right
+    * (deterministic, oracle-matching).
     */
-  def lshBuckets(vectors: DataFrame, nPlanes: Int = 8): DataFrame =
-    vectors
-      .select(col("vec_id"), posexplode(emb(col("embedding"))).as(Seq("d", "x")))
-      .select(col("vec_id"), col("d"), col("x"),
-        explode(sequence(lit(0), lit(nPlanes - 1))).as("j"))
-      .groupBy("vec_id", "j")
-      .agg(sum(col("x") * planeComponent(col("j"), col("d"))).as("dp"))
-      .groupBy("vec_id")
-      .agg(sum(when(col("dp") > 0, pow(lit(2.0), col("j"))).otherwise(0.0)).cast("long")
-        .as("bucket"))
+  def lshBuckets(vectors: DataFrame, nPlanes: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions.typedLit
+    val dims = vectors.select(size(emb(col("embedding")))).head.getInt(0)
+    val bucket = (0 until nPlanes).map { j =>
+      val plane = typedLit((0 until dims).map(d => planeComponent(j, d)).toArray)
+      val dp = aggregate(zip_with(emb(col("embedding")), plane, (x, p) => x * p),
+        lit(0.0), (acc, x) => acc + x)
+      when(dp > 0, lit(math.pow(2.0, j))).otherwise(lit(0.0))
+    }.reduce(_ + _).cast("long")
+    vectors.select(col("vec_id"), bucket.as("bucket"))
+  }
 
   /** Approximate top-k: candidates restricted to the query's LSH
     * bucket, then exact cosine rank within the bucket.
