@@ -200,6 +200,27 @@ class ExtrasSpec extends AnyFunSuite {
     spark.sql("DROP TABLE ev_bucketed")
   }
 
+  test("WavSource reads PCM16 (format 1) payloads") {
+    // hand-built 44-byte PCM16 mono header + 4 samples
+    val samples = Array[Short](0, 16384, -16384, 32767)
+    val buf = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("ASCII")).putInt(36 + samples.length * 2)
+      .put("WAVE".getBytes("ASCII"))
+      .put("fmt ".getBytes("ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(4000).putInt(8000).putShort(2).putShort(16)
+      .put("data".getBytes("ASCII")).putInt(samples.length * 2)
+    samples.foreach(buf.putShort)
+    val tmp = java.io.File.createTempFile("graft_pcm", ".wav")
+    java.nio.file.Files.write(tmp.toPath, buf.array())
+    val rows = spark.read.format(graft.sources.WavSource.NAME)
+      .load(tmp.getAbsolutePath).orderBy("t").collect()
+    assert(rows.length == 4)
+    val vs = rows.map(_.getDouble(2))
+    assert(vs.sameElements(Array(0.0, 0.5, -0.5, 32767.0 / 32768.0)))
+    tmp.delete()
+  }
+
   test("multimodal audio decode: real RIFF header parse from bytes") {
     val rng = new scala.util.Random(3)
     val samples = Array.fill(1234)(rng.nextDouble() * 2 - 1)
