@@ -47,21 +47,30 @@ object Dedup {
     * to the long (doc_id, i, minhash) layout. Duplicate shingles don't
     * change a min, so the input skips the distinct shuffle.
     */
-  def minhashSignatures(docs: DataFrame, k: Int = 16, shingleN: Int = 5): DataFrame =
-    minhashSignaturesFromShingles(shingles(docs, shingleN, distinct = false), k)
-
-  /** Same, over a (possibly cached/shared) shingle table. */
-  def minhashSignaturesFromShingles(shingleDf: DataFrame, k: Int = 16): DataFrame = {
+  /** (doc_id, h1, h2) — each shingle reduced to the two 52-bit halves
+    * of ONE md5. h1 doubles as the set element for Jaccard; (h1, h2)
+    * seed the double-hashing minhash family. Hash once, share the
+    * table across the whole dedup pipeline.
+    */
+  def shingleHashes(shingleDf: DataFrame): DataFrame = {
     val m = md5(to_binary(col("shingle"), lit("utf-8")))
-    val h1 = conv(substring(m, 1, 13), 16, 10).cast("long")
-    val h2 = conv(substring(m, 14, 13), 16, 10).cast("long")
-    // project h1/h2 ONCE: each min-aggregate referencing the raw
-    // expression would re-evaluate the md5 k times per row
+    shingleDf.select(col("doc_id"),
+      conv(substring(m, 1, 13), 16, 10).cast("long").as("h1"),
+      conv(substring(m, 14, 13), 16, 10).cast("long").as("h2"))
+  }
+
+  def minhashSignatures(docs: DataFrame, k: Int = 16, shingleN: Int = 5): DataFrame =
+    minhashSignaturesFromHashes(shingleHashes(shingles(docs, shingleN, distinct = false)), k)
+
+  /** Minhash over a (possibly cached/shared) `shingleHashes` table:
+    * g_i = (h1 + i*h2) mod 2^52, reduced as k min-columns in a single
+    * map-side-combinable aggregate, unpivoted to the long layout.
+    */
+  def minhashSignaturesFromHashes(hashes: DataFrame, k: Int = 16): DataFrame = {
     val mins = (0 until k).map(i =>
       min(pmod(col("h1") + lit(i.toLong) * col("h2"), lit(1L << 52))).as(s"m$i"))
     val stackArgs = (0 until k).map(i => s"$i, m$i").mkString(", ")
-    shingleDf
-      .select(col("doc_id"), h1.as("h1"), h2.as("h2"))
+    hashes
       .groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
       .selectExpr("doc_id", s"stack($k, $stackArgs) AS (i, minhash)")
@@ -112,19 +121,22 @@ object Dedup {
     * (bounded pair lists from LSH) this is the cheaper shape by the
     * average shingle count per document.
     */
-  def jaccardByArrays(shingleDf: DataFrame, pairs: DataFrame): DataFrame = {
-    // collect_set dedups in the partial aggregate (one shuffle; callers
-    // may pass non-distinct shingles). Shingles are reduced to 52-bit
-    // md5 hashes FIRST: the per-pair intersection then runs over
-    // primitive longs instead of strings (same count — 52-bit
-    // collisions are ~1e-11 per doc — at a fraction of the hash/compare
-    // cost). The set table is doc-count-sized (small next to the pair
-    // list), so BROADCAST it: the skinny pair rows join map-side and
-    // the arrays are never shuffled at all.
+  def jaccardByArrays(shingleDf: DataFrame, pairs: DataFrame): DataFrame =
+    jaccardByHashes(shingleHashes(shingleDf), pairs)
+
+  /** Jaccard over a (possibly cached/shared) `shingleHashes` table:
+    * each document's set is its distinct h1 values (52-bit md5
+    * collisions are ~1e-11 per doc, so the count equals the string-set
+    * count), sorted once so the per-pair intersection is a primitive
+    * merge scan (built-in array_intersect builds a boxed hash set per
+    * ROW). The set table is doc-count-sized (small next to the pair
+    * list), so BROADCAST it: the skinny pair rows join map-side and
+    * the arrays are never shuffled at all.
+    */
+  def jaccardByHashes(hashes: DataFrame, pairs: DataFrame): DataFrame = {
     import graft.functions.SortedIntersectCount.sortedIntersectCount
-    val sets = shingleDf
-      .select(col("doc_id"), TextAnalysis.hash52(col("shingle")).as("h"))
-      .groupBy("doc_id").agg(sort_array(collect_set("h")).as("sh"))
+    val sets = hashes
+      .groupBy("doc_id").agg(sort_array(collect_set(col("h1"))).as("sh"))
       .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("sz"))
     pairs
       .join(broadcast(sets.select(col("doc_id").as("a"), col("sh").as("sha"), col("sz").as("sza"))), "a")
@@ -141,9 +153,10 @@ object Dedup {
     */
   def minhashNearDups(docs: DataFrame, k: Int = 16, rowsPerBand: Int = 4,
                       shingleN: Int = 5, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(docs, shingleN, distinct = false)
-    val sig = minhashSignatures(docs, k, shingleN)
-    jaccardByArrays(sh, lshCandidates(sig, rowsPerBand)).filter(col("jaccard") >= threshold)
+    val hashes = shingleHashes(shingles(docs, shingleN, distinct = false))
+    val sig = minhashSignaturesFromHashes(hashes, k)
+    jaccardByHashes(hashes, lshCandidates(sig, rowsPerBand))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** 52-bit SimHash per document over whitespace tokens: per bit j,
