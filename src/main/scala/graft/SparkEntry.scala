@@ -140,6 +140,20 @@ object SparkEntry {
       ord(s, dir).join(li(s, dir), col("o_orderkey") === col("l_orderkey"), "left_anti")
         .groupBy("o_orderpriority").agg(count(lit(1)).as("n_orders"))
     }),
+    "q05_top_customers" -> ((s, dir) => {
+      // ranking window over a multi-join aggregate: top-3 customers by
+      // revenue within each region (ties broken by name for
+      // cross-engine determinism)
+      val rev = li(s, dir)
+        .join(ord(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "c_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 0).as("revenue"))
+      val w = Window.partitionBy("r_name").orderBy(col("revenue").desc, col("c_name").asc)
+      rev.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+    }),
     "q03_region_revenue" -> ((s, dir) => {
       li(s, dir)
         .join(ord(s, dir), col("l_orderkey") === col("o_orderkey"))
@@ -509,6 +523,21 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name""".stripMargin,
 
+    "q05_top_customers" ->
+      """SELECT r_name, c_name, revenue, rnk FROM (
+        |  SELECT r_name, c_name,
+        |         round(sum(l_extendedprice * (1 - l_discount)), 0) AS revenue,
+        |         row_number() OVER (
+        |           PARTITION BY r_name
+        |           ORDER BY round(sum(l_extendedprice * (1 - l_discount)), 0) DESC,
+        |                    c_name ASC) AS rnk
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, c_name
+        |) WHERE rnk <= 3""".stripMargin,
     "q_channel_list" ->
       "SELECT DISTINCT event_type AS channel FROM events",
     "q_start_times" ->

@@ -265,6 +265,36 @@ class ExtrasSpec extends AnyFunSuite {
     assert(out.columns.toSeq == Seq("w_start", "channel", "rms", "n"))
   }
 
+  test("watermark drops late data across micro-batches (append mode)") {
+    import spark.implicits._
+    import graft.streaming.StreamingOps._
+    val dir = java.nio.file.Files.createTempDirectory("graft_wm").toFile
+    def write(name: String, rows: Seq[(String, java.sql.Timestamp, Double)]): Unit =
+      rows.toDF("channel", "ts", "v").coalesce(1).write.parquet(s"$dir/$name")
+    def ts(min: Int) = new java.sql.Timestamp(3600L * 1000 * 24 * 365 + min * 60000L)
+    // batch 1: 10 on-time samples, event time up to minute 60
+    write("b1", (0 until 10).map(i => ("a", ts(6 * i + 6), 1.0)))
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/*")
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("channel"))
+      .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .select(col("window.start").as("w"), col("channel"), col("s"), col("n"))
+    val q = stream.writeStream.outputMode("append").format("memory")
+      .queryName("t_wm").start()
+    try {
+      q.processAllAvailable() // batch 1 commits; watermark -> minute 30
+      // batch 2: one sample far behind the committed watermark
+      write("b2", Seq(("a", ts(0), 99.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("t_wm").collect()
+    // the late 99.0 row must NOT appear in any emitted window
+    assert(out.nonEmpty)
+    assert(!out.exists(_.getDouble(2) > 10.0), out.mkString("; "))
+    org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("stateful streaming mov-rms: first sample per channel equals |v|") {
     import graft.streaming.StreamingOps._
     val out = runToMemorySink(
