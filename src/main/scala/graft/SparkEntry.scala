@@ -406,6 +406,11 @@ object SparkEntry {
       // deterministic frame-sampling plan over the decoded video rows
       Multimodal.sampleFrames(
         Multimodal.extractFeatures(Multimodal.syntheticMedia(docs(s, dir))), everyK = 5)),
+    "q_media_resize" -> ((s, dir) =>
+      // aspect-preserving resize planning (cap at 100px so the
+      // 64..127 stub dimensions actually exercise the scale branch)
+      Multimodal.resizePlan(
+        Multimodal.extractFeatures(Multimodal.syntheticMedia(docs(s, dir))), maxDim = 100)),
     // -- streaming (oracle-backed: bounded-stream results equal batch SQL) --
     "q_stream_wrms" -> ((s, dir) => {
       import graft.streaming.StreamingOps._
@@ -751,6 +756,20 @@ object SparkEntry {
     "q_minhash_sig" -> minhashSql,
     "q_minhash_lsh_neardups" -> lshNearDupsSql,
     "q_multimodal_features" -> multimodalSql,
+    "q_media_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |         64 + ('0x' || substr(hex(encode(text)), 1, 2))::INT % 64 AS width,
+        |         64 + ('0x' || substr(hex(encode(text)), 3, 2))::INT % 64 AS height
+        |  FROM documents
+        |)
+        |SELECT media_id, kind, width, height,
+        |       CAST(CASE WHEN greatest(width, height) <= 100 THEN width
+        |                 ELSE floor(width * 100 / greatest(width, height)) END AS INT) AS out_w,
+        |       CAST(CASE WHEN greatest(width, height) <= 100 THEN height
+        |                 ELSE floor(height * 100 / greatest(width, height)) END AS INT) AS out_h
+        |FROM m WHERE kind != 'audio'""".stripMargin,
     "q_frame_sample" ->
       """SELECT doc_id AS media_id,
         |       unnest(generate_series(0, nf - 1, 5)) AS frame_idx

@@ -125,6 +125,24 @@ object Multimodal {
       .toDF()
   }
 
+  /** Resize plan for image/video records: target dimensions capped at
+    * `maxDim` preserving aspect ratio, computed with integer
+    * arithmetic (floor(dim * maxDim / longest side)) — engine-exact,
+    * no floats. The actual pixel resample would happen in the decode
+    * kernel; this is the planning step a pipeline shuffles on.
+    */
+  def resizePlan(features: DataFrame, maxDim: Int = 128): DataFrame = {
+    val longest = greatest(col("width"), col("height"))
+    features.filter(col("kind") =!= "audio")
+      .select(col("media_id"), col("kind"), col("width"), col("height"),
+        when(longest <= maxDim, col("width"))
+          .otherwise(floor(col("width") * maxDim / longest))
+          .cast("int").as("out_w"),
+        when(longest <= maxDim, col("height"))
+          .otherwise(floor(col("height") * maxDim / longest))
+          .cast("int").as("out_h"))
+  }
+
   /** Deterministic frame sampling plan for video records: every k-th
     * frame index up to n_frames — pure expressions, no decode needed.
     */
