@@ -30,9 +30,11 @@ object Bench {
     }
     // The driver parses this line out of the LAST 2000 chars of stdout:
     // keep it compact (2-decimal timings) so the whole line fits the tail.
-    // 0.1 s resolution keeps the whole 79-query line ~1.7k chars —
-    // the driver reads only the last 2000 chars of stdout
+    // 0.1 s resolution (whole seconds above 10) keeps the 82-query
+    // line well under 2000 chars even on a slow host — the driver
+    // reads only the last 2000 chars of stdout
     def num(v: Double): String = {
+      if (v >= 9.95) return f"$v%.0f"
       val s = f"$v%.1f".replaceAll("0+$", "")
       if (s.endsWith(".")) s.dropRight(1) else s
     }

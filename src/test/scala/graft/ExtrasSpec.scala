@@ -221,6 +221,30 @@ class ExtrasSpec extends AnyFunSuite {
     tmp.delete()
   }
 
+  test("resizePlan: output dims capped at maxDim, aspect ratio preserved") {
+    import spark.implicits._
+    val rows = Seq((1L, "image", 640, 480), (2L, "video", 50, 80), (3L, "image", 200, 200),
+      (4L, "audio", 999, 999))
+    val df = rows.toDF("media_id", "kind", "width", "height")
+    val out = graft.datapipe.Multimodal.resizePlan(df, maxDim = 100)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(4), r.getInt(5)))).toMap
+    assert(out == Map(1L -> ((100, 75)), 2L -> ((50, 80)), 3L -> ((100, 100))))
+    assert(!out.contains(4L)) // audio excluded
+  }
+
+  test("jaccardByHashes is symmetric and bounded") {
+    import spark.implicits._
+    val docs = Seq((1L, "the quick brown fox"), (2L, "the quick brown cat"),
+      (3L, "completely different words here")).toDF("doc_id", "text")
+    val hashes = graft.datapipe.Dedup.shingleHashes(graft.datapipe.Dedup.shingles(docs, distinct = false))
+    val pairs = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("a", "b")
+    val j = graft.datapipe.Dedup.jaccardByHashes(hashes, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 2L)) == j((2L, 1L)))            // symmetric
+    assert(j.values.forall(v => v >= 0 && v <= 1)) // bounded
+    assert(j((1L, 2L)) > j((1L, 3L)))             // similar > dissimilar
+  }
+
   test("multimodal audio decode: real RIFF header parse from bytes") {
     val rng = new scala.util.Random(3)
     val samples = Array.fill(1234)(rng.nextDouble() * 2 - 1)
