@@ -53,18 +53,17 @@ object SparkEntry {
     * pipeline runs once — materialized-intermediate reuse, the batch
     * analog of a materialized view.
     */
-  private val welchCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def welchBase(s: SparkSession, dir: String): DataFrame =
-    welchCache.getOrElseUpdate((s, dir),
-      Psd.welchAll(evUniform(s, dir), 432000.0).cache())
-
-  /** Same, with per-segment RMS for the rescale summarize modes. */
   private val welchRmsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def welchRmsBase(s: SparkSession, dir: String): DataFrame =
     welchRmsCache.getOrElseUpdate((s, dir),
       Psd.welchAllWithSegRms(evUniform(s, dir), 432000.0).cache())
+
+  /** The plain sub-PSD view is the seg_rms table minus one column —
+    * derive it instead of materializing the FFT pipeline twice.
+    */
+  private def welchBase(s: SparkSession, dir: String): DataFrame =
+    welchRmsBase(s, dir).drop("seg_rms")
 
   /** Document shingle hashes (doc_id, h1, h2), cached per (session,
     * dir): minhash, LSH and Jaccard all start from this table, so the
@@ -84,7 +83,6 @@ object SparkEntry {
   def warm(s: SparkSession, dir: String): Unit = {
     ev(s, dir).count()
     evUniform(s, dir).count()
-    welchBase(s, dir).count()
     welchRmsBase(s, dir).count()
     docShingles(s, dir).count()
   }

@@ -38,19 +38,12 @@ object Dedup {
     if (distinct) raw.distinct() else raw
   }
 
-  /** MinHash signatures: k hash functions built by Kirsch-Mitzenmacher
-    * double hashing over ONE md5 per shingle — g_i = (h1 + i*h2) mod
-    * 2^52 with h1/h2 the md5's first/second 13 hex chars (h1 + 15*h2 <
-    * 2^56, so the arithmetic is exact BIGINT in any engine). One md5
-    * and one aggregate pass instead of k of each: the signature is k
-    * min-columns in a single groupBy (map-side combinable), unpivoted
-    * to the long (doc_id, i, minhash) layout. Duplicate shingles don't
-    * change a min, so the input skips the distinct shuffle.
-    */
   /** (doc_id, h1, h2) — each shingle reduced to the two 52-bit halves
-    * of ONE md5. h1 doubles as the set element for Jaccard; (h1, h2)
-    * seed the double-hashing minhash family. Hash once, share the
-    * table across the whole dedup pipeline.
+    * of ONE md5 (h1 + 15*h2 < 2^56, so downstream double-hashing
+    * arithmetic is exact BIGINT in any engine). h1 doubles as the set
+    * element for Jaccard; (h1, h2) seed the Kirsch-Mitzenmacher
+    * minhash family. Hash once, share the table across the whole
+    * dedup pipeline.
     */
   def shingleHashes(shingleDf: DataFrame): DataFrame = {
     val m = md5(to_binary(col("shingle"), lit("utf-8")))
@@ -94,32 +87,12 @@ object Dedup {
       .select("a", "b").distinct()
   }
 
-  /** Exact Jaccard similarity over shingle sets for the given candidate
-    * pairs (the verify stage after LSH).
-    */
-  def jaccard(shingleDf: DataFrame, pairs: DataFrame): DataFrame = {
-    val sizes = shingleDf.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    // composite (b, shingle) equi-join: the shingle match MUST be a
-    // join key, not a post-join filter — joining on b alone first
-    // cross-products every a-shingle with every b-shingle
-    val inter = pairs
-      .join(shingleDf.select(col("doc_id").as("a"), col("shingle")), "a")
-      .join(shingleDf.select(col("doc_id").as("b"), col("shingle")), Seq("b", "shingle"))
-      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
-      .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
-      .select(col("a"), col("b"),
-        (col("inter").cast("double") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
-  }
-
-  /** Jaccard via per-doc shingle ARRAYS: each document's (distinct)
-    * shingle set rides the pair join once as an array column and the
-    * intersection is a codegen'd array_intersect — versus the exploded
-    * formulation above, which shuffles |pairs| x |shingles per doc|
-    * rows through the composite join. At candidate-verify scale
-    * (bounded pair lists from LSH) this is the cheaper shape by the
-    * average shingle count per document.
+  /** Exact Jaccard similarity over shingle sets for the given
+    * candidate pairs (the verify stage after LSH). Each document's
+    * set rides the pair join once as a sorted hash array — the
+    * exploded alternative (joining pairs against per-shingle rows)
+    * shuffles |pairs| x |shingles per doc| rows through a composite
+    * join and loses by the average shingle count per document.
     */
   def jaccardByArrays(shingleDf: DataFrame, pairs: DataFrame): DataFrame =
     jaccardByHashes(shingleHashes(shingleDf), pairs)

@@ -74,7 +74,12 @@ object Similarity {
     */
   def lshBuckets(vectors: DataFrame, nPlanes: Int = 8): DataFrame = {
     import org.apache.spark.sql.functions.typedLit
-    val dims = vectors.select(size(emb(col("embedding")))).head.getInt(0)
+    // embeddings must share one dimensionality (ragged inputs would
+    // null-pad the zip and silently zero the plane bit)
+    val firstRow = vectors.select(size(emb(col("embedding")))).head(1)
+    if (firstRow.isEmpty)
+      return vectors.select(col("vec_id"), lit(0L).as("bucket"))
+    val dims = firstRow(0).getInt(0)
     val bucket = (0 until nPlanes).map { j =>
       val plane = typedLit((0 until dims).map(d => planeComponent(j, d)).toArray)
       val dp = aggregate(zip_with(emb(col("embedding")), plane, (x, p) => x * p),

@@ -32,6 +32,9 @@ case class SortedIntersectCount(left: Expression, right: Expression) extends Bin
 
   override def dataType: DataType = LongType
 
+  // NULL array elements are ignored (skipped by the scan) — the
+  // function is registered for SQL use, where containsNull inputs are
+  // legal even though the library's own sets never contain them.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -41,11 +44,15 @@ case class SortedIntersectCount(left: Expression, right: Expression) extends Bin
     var j = 0
     var c = 0L
     while (i < nx && j < ny) {
-      val xv = x.getLong(i)
-      val yv = y.getLong(j)
-      if (xv == yv) { c += 1; i += 1; j += 1 }
-      else if (xv < yv) i += 1
-      else j += 1
+      if (x.isNullAt(i)) i += 1
+      else if (y.isNullAt(j)) j += 1
+      else {
+        val xv = x.getLong(i)
+        val yv = y.getLong(j)
+        if (xv == yv) { c += 1; i += 1; j += 1 }
+        else if (xv < yv) i += 1
+        else j += 1
+      }
     }
     c
   }
@@ -64,10 +71,14 @@ case class SortedIntersectCount(left: Expression, right: Expression) extends Bin
          |int $ny = $y.numElements();
          |int $i = 0; int $j = 0; long $c = 0L;
          |while ($i < $nx && $j < $ny) {
-         |  long $xv = $x.getLong($i);
-         |  long $yv = $y.getLong($j);
-         |  if ($xv == $yv) { $c++; $i++; $j++; }
-         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |  if ($x.isNullAt($i)) { $i++; }
+         |  else if ($y.isNullAt($j)) { $j++; }
+         |  else {
+         |    long $xv = $x.getLong($i);
+         |    long $yv = $y.getLong($j);
+         |    if ($xv == $yv) { $c++; $i++; $j++; }
+         |    else if ($xv < $yv) { $i++; } else { $j++; }
+         |  }
          |}
          |${ev.value} = $c;
        """.stripMargin

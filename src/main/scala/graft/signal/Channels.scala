@@ -61,8 +61,11 @@ object Channels {
     // the range predicate must hit the RAW ts column (nanos / native
     // timestamp) — a filter on the derived microsecond expression
     // cannot reach PushedFilters
+    // bounds are µs-truncation semantics (epoch_us(ts) in [startUs,
+    // endUs]); fixture timestamps carry sub-µs nanos, so the raw-nanos
+    // upper bound must be < (endUs+1)*1000, not <= endUs*1000
     val filtered =
-      if (nanos) df0.filter(col("ts") >= startUs * 1000L && col("ts") <= endUs * 1000L)
+      if (nanos) df0.filter(col("ts") >= startUs * 1000L && col("ts") < (endUs + 1) * 1000L)
       else df0.filter(col("ts") >= timestamp_micros(lit(startUs)) &&
         col("ts") <= timestamp_micros(lit(endUs)))
     val us = if (nanos) expr("ts div 1000") else unix_micros(col("ts"))

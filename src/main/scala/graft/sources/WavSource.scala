@@ -74,7 +74,7 @@ object WavSource {
       var fmt: Option[(Int, Int, Int, Int)] = None
       var dataOffset = -1L
       var dataLen = -1L
-      while (dataOffset < 0 && raf.getFilePointer < raf.length - 8) {
+      while (dataOffset < 0 && raf.getFilePointer <= raf.length - 8) {
         val hdr = readChunk(8)
         val id = new Array[Byte](4); hdr.get(id)
         val len = hdr.getInt().toLong & 0xffffffffL
@@ -128,10 +128,14 @@ class WavScan(path: String, partitionFrames: Long) extends Scan with Batch {
 
   override def planInputPartitions(): Array[InputPartition] = {
     val n = header.nFrames
-    val splits = math.max(1L, (n + partitionFrames - 1) / partitionFrames)
+    // clamp to [1, frames-that-fit-an-Int-byte-buffer]: 0/negative
+    // would divide by zero, oversized would wrap the reader's buffer
+    val pf = math.max(1L,
+      math.min(partitionFrames, (Int.MaxValue.toLong - 8) / header.bytesPerFrame))
+    val splits = math.max(1L, (n + pf - 1) / pf)
     (0L until splits).map { i =>
-      val lo = i * partitionFrames
-      val hi = math.min(n, lo + partitionFrames)
+      val lo = i * pf
+      val hi = math.min(n, lo + pf)
       WavInputPartition(path, lo, hi, header): InputPartition
     }.toArray
   }

@@ -91,7 +91,9 @@ object StreamingOps {
       .flatMapGroupsWithState[IirState, FiltOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (channel: String, rows: Iterator[Sample], state: GroupState[IirState]) =>
-          val sorted = rows.toArray.sortBy(_.us)
+          // (us, v) tie-break: duplicate timestamps process in a
+          // deterministic order (same as statefulMovRms)
+          val sorted = rows.toArray.sortBy(s => (s.us, s.v))
           val zi = state.getOption.map(_.z).orNull
           val (y, zf) = graft.dsp.IIR.lfilterWithState(b, a, sorted.map(_.v), zi)
           state.update(IirState(zf))
