@@ -758,8 +758,10 @@ object SparkEntry {
       """WITH m AS (
         |  SELECT doc_id AS media_id,
         |         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        |         64 + ('0x' || substr(hex(encode(text)), 1, 2))::INT % 64 AS width,
-        |         64 + ('0x' || substr(hex(encode(text)), 3, 2))::INT % 64 AS height
+        |         64 + CASE WHEN octet_length(encode(text)) >= 1
+        |                   THEN ('0x' || substr(hex(encode(text)), 1, 2))::INT % 64 ELSE 0 END AS width,
+        |         64 + CASE WHEN octet_length(encode(text)) >= 2
+        |                   THEN ('0x' || substr(hex(encode(text)), 3, 2))::INT % 64 ELSE 0 END AS height
         |  FROM documents
         |)
         |SELECT media_id, kind, width, height,
@@ -1027,15 +1029,21 @@ object SparkEntry {
       |  FROM hist GROUP BY media_id
       |)
       |SELECT m.media_id, m.kind, m.n AS n_bytes,
-      |       64 + ('0x' || substr(m.h, 1, 2))::INT % 64 AS width,
-      |       64 + ('0x' || substr(m.h, 3, 2))::INT % 64 AS height,
+      |       64 + CASE WHEN m.n >= 1
+      |                 THEN ('0x' || substr(m.h, 1, 2))::INT % 64 ELSE 0 END AS width,
+      |       64 + CASE WHEN m.n >= 2
+      |                 THEN ('0x' || substr(m.h, 3, 2))::INT % 64 ELSE 0 END AS height,
       |       CASE m.kind WHEN 'video' THEN 1 + m.n % 30
       |                   WHEN 'audio' THEN 1 + m.n % 1000 ELSE 1 END AS n_frames,
-      |       CAST(c0 AS DOUBLE) / m.n AS f0, CAST(c1 AS DOUBLE) / m.n AS f1,
-      |       CAST(c2 AS DOUBLE) / m.n AS f2, CAST(c3 AS DOUBLE) / m.n AS f3,
-      |       CAST(c4 AS DOUBLE) / m.n AS f4, CAST(c5 AS DOUBLE) / m.n AS f5,
-      |       CAST(c6 AS DOUBLE) / m.n AS f6, CAST(c7 AS DOUBLE) / m.n AS f7
-      |FROM m JOIN hc ON m.media_id = hc.media_id""".stripMargin
+      |       CASE WHEN m.n = 0 THEN 0.0 ELSE CAST(coalesce(c0, 0) AS DOUBLE) / m.n END AS f0,
+      |       CASE WHEN m.n = 0 THEN 0.0 ELSE CAST(coalesce(c1, 0) AS DOUBLE) / m.n END AS f1,
+      |       CASE WHEN m.n = 0 THEN 0.0 ELSE CAST(coalesce(c2, 0) AS DOUBLE) / m.n END AS f2,
+      |       CASE WHEN m.n = 0 THEN 0.0 ELSE CAST(coalesce(c3, 0) AS DOUBLE) / m.n END AS f3,
+      |       CASE WHEN m.n = 0 THEN 0.0 ELSE CAST(coalesce(c4, 0) AS DOUBLE) / m.n END AS f4,
+      |       CASE WHEN m.n = 0 THEN 0.0 ELSE CAST(coalesce(c5, 0) AS DOUBLE) / m.n END AS f5,
+      |       CASE WHEN m.n = 0 THEN 0.0 ELSE CAST(coalesce(c6, 0) AS DOUBLE) / m.n END AS f6,
+      |       CASE WHEN m.n = 0 THEN 0.0 ELSE CAST(coalesce(c7, 0) AS DOUBLE) / m.n END AS f7
+      |FROM m LEFT JOIN hc ON m.media_id = hc.media_id""".stripMargin
 
   private def simhashSql: String =
     """WITH toks AS (
@@ -1076,7 +1084,7 @@ object SparkEntry {
        |FROM inter i
        |JOIN sizes za ON za.doc_id = i.a
        |JOIN sizes zb ON zb.doc_id = i.b
-       |WHERE i.i * 1.0 / (za.sz + zb.sz - i.i) >= 0.05""".stripMargin
+       |WHERE round(i.i * 1.0 / (za.sz + zb.sz - i.i), 6) >= 0.05""".stripMargin
 
   /** Sign-LSH ANN oracle: the hyperplanes are md5-derived, so the
     * bucket assignment — and therefore the whole candidate set — is

@@ -108,7 +108,12 @@ object Dedup {
     */
   def jaccardByHashes(hashes: DataFrame, pairs: DataFrame): DataFrame = {
     import graft.functions.SortedIntersectCount.sortedIntersectCount
-    val sets = hashes
+    // restrict the set table to documents that actually appear in a
+    // candidate pair BEFORE broadcasting: the broadcast is then
+    // bounded by the candidate list, not the corpus
+    val needed = pairs.select(col("a").as("doc_id"))
+      .union(pairs.select(col("b").as("doc_id"))).distinct()
+    val sets = hashes.join(needed, "doc_id")
       .groupBy("doc_id").agg(sort_array(collect_set(col("h1"))).as("sh"))
       .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("sz"))
     pairs

@@ -79,7 +79,12 @@ object Multimodal {
   /** Parse a RIFF/WAVE byte payload: Some((sampleRate, nChannels,
     * nFrames)) when the bytes really are a WAV stream.
     */
-  private def wavInfo(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+  private def wavInfo(bytes: Array[Byte]): Option[(Int, Int, Int)] =
+    // malformed RIFF-lookalike payloads fall back to the stub path
+    // instead of failing the whole partition task
+    try wavInfoUnsafe(bytes) catch { case scala.util.control.NonFatal(_) => None }
+
+  private def wavInfoUnsafe(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
     if (bytes.length < 44) return None
     val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def tag(): String = { val a = new Array[Byte](4); b.get(a); new String(a, "ASCII") }

@@ -72,21 +72,29 @@ object Similarity {
     * dims*planes rows per vector). Dot products reduce left-to-right
     * (deterministic, oracle-matching).
     */
-  def lshBuckets(vectors: DataFrame, nPlanes: Int = 8): DataFrame = {
+  def lshBuckets(vectors: DataFrame, nPlanes: Int = 8, dims: Int = -1): DataFrame = {
     import org.apache.spark.sql.functions.typedLit
-    // embeddings must share one dimensionality (ragged inputs would
-    // null-pad the zip and silently zero the plane bit)
-    val firstRow = vectors.select(size(emb(col("embedding")))).head(1)
-    if (firstRow.isEmpty)
-      return vectors.select(col("vec_id"), lit(0L).as("bucket"))
-    val dims = firstRow(0).getInt(0)
+    // dims < 0: probe the first row (convenient for batch; pass dims
+    // explicitly to keep the call lazy / usable on streams)
+    val d0 =
+      if (dims >= 0) dims
+      else {
+        val firstRow = vectors.select(size(emb(col("embedding")))).head(1)
+        if (firstRow.isEmpty) return vectors.select(col("vec_id"), lit(0L).as("bucket"))
+        firstRow(0).getInt(0)
+      }
     val bucket = (0 until nPlanes).map { j =>
-      val plane = typedLit((0 until dims).map(d => planeComponent(j, d)).toArray)
+      val plane = typedLit((0 until d0).map(d => planeComponent(j, d)).toArray)
       val dp = aggregate(zip_with(emb(col("embedding")), plane, (x, p) => x * p),
         lit(0.0), (acc, x) => acc + x)
       when(dp > 0, lit(math.pow(2.0, j))).otherwise(lit(0.0))
     }.reduce(_ + _).cast("long")
-    vectors.select(col("vec_id"), bucket.as("bucket"))
+    // ragged inputs would null-pad the zip and silently zero every
+    // plane bit — fail loudly instead
+    val guarded = when(size(emb(col("embedding"))) === d0, bucket)
+      .otherwise(raise_error(concat(lit(s"lshBuckets: embedding dims != $d0 for vec_id="),
+        col("vec_id"))).cast("long"))
+    vectors.select(col("vec_id"), guarded.as("bucket"))
   }
 
   /** Approximate top-k: candidates restricted to the query's LSH
@@ -108,10 +116,17 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold (brute
-    * force; the LSH bucket join is the scale path).
+    * force all-pairs; the LSH bucket join is the scale path). No
+    * broadcast hint — the planner picks the join strategy for a
+    * corpus-sized self-join.
     */
-  def cosineNearDups(vectors: DataFrame, threshold: Double): DataFrame =
-    cosineNearDups(vectors, vectors, threshold)
+  def cosineNearDups(vectors: DataFrame, threshold: Double): DataFrame = {
+    val a = vectors.select(col("vec_id").as("a"), emb(col("embedding")).as("ea"))
+    val b = vectors.select(col("vec_id").as("b"), emb(col("embedding")).as("eb"))
+    a.crossJoin(b).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), round(cosine(col("ea"), col("eb")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
 
   /** Two-sided form: a (small, broadcast) probe set against the
     * corpus — the corpus streams, the probes ride along. Pairs are

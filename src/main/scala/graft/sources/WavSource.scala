@@ -99,7 +99,11 @@ object WavSource {
       require(dataOffset >= 0, s"$path: no data chunk")
       require(format == 1 || format == 3, s"$path: unsupported WAV format code $format")
       require(bits == 16 || bits == 32 || bits == 64, s"$path: unsupported bit depth $bits")
-      WavHeader(format, nCh, sr, bits, dataOffset, dataLen / (nCh * (bits / 8)))
+      // clamp to the bytes actually present: a truncated file (header
+      // overstating the data length) reads the frames that exist
+      // instead of EOF-failing mid-scan
+      val usable = math.min(dataLen, raf.length - dataOffset)
+      WavHeader(format, nCh, sr, bits, dataOffset, usable / (nCh * (bits / 8)))
     } finally raf.close()
   }
 }
