@@ -245,6 +245,38 @@ class ExtrasSpec extends AnyFunSuite {
     assert(j((1L, 2L)) > j((1L, 3L)))             // similar > dissimilar
   }
 
+  test("malformed RIFF payloads fall back to the stub decode") {
+    // looks like RIFF/WAVE but the chunk walk runs off the buffer
+    val junk = "RIFF   WAVEJUNK   x".getBytes("ISO-8859-1")
+    val f = graft.datapipe.Multimodal.decodeStub(
+      graft.datapipe.Multimodal.MediaRecord(1L, "image", junk))
+    assert(f.n_frames == 1 && f.width >= 64 && f.width < 128) // stub path, no throw
+  }
+
+  test("lshBuckets raises on ragged embedding dimensionality") {
+    import spark.implicits._
+    val ok = Seq((1L, Array(1f, 2f, 3f)), (2L, Array(3f, 2f, 1f))).toDF("vec_id", "embedding")
+    assert(graft.datapipe.Similarity.lshBuckets(ok).count() == 2)
+    val ragged = Seq((1L, Array(1f, 2f, 3f)), (2L, Array(1f, 2f))).toDF("vec_id", "embedding")
+    intercept[Exception] {
+      graft.datapipe.Similarity.lshBuckets(ragged).collect()
+    }
+  }
+
+  test("WavSource clamps to the bytes actually present in a truncated file") {
+    val rng = new scala.util.Random(13)
+    val l = Array.fill(100)(rng.nextDouble())
+    val tmp = java.io.File.createTempFile("graft_trunc", ".wav")
+    graft.sources.WavSink.writeArrays(tmp.getAbsolutePath, 1000, l, l)
+    // chop the last 40 bytes: 2.5 stereo float64 frames lost
+    val bytes = java.nio.file.Files.readAllBytes(tmp.toPath)
+    java.nio.file.Files.write(tmp.toPath, bytes.dropRight(40))
+    val n = spark.read.format(graft.sources.WavSource.NAME)
+      .load(tmp.getAbsolutePath).count()
+    assert(n == 97L * 2) // 97 whole frames x 2 channels, no EOF failure
+    tmp.delete()
+  }
+
   test("multimodal audio decode: real RIFF header parse from bytes") {
     val rng = new scala.util.Random(3)
     val samples = Array.fill(1234)(rng.nextDouble() * 2 - 1)
