@@ -101,10 +101,19 @@ object Similarity {
     * bucket, then exact cosine rank within the bucket.
     */
   def annTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10, nPlanes: Int = 8): DataFrame = {
-    val buckets = lshBuckets(corpus, nPlanes)
-    val c = corpus.join(buckets, "vec_id")
+    // bucket each side by its OWN embedding (the hash is a pure
+    // function of the vector) — joining queries against corpus
+    // buckets would silently drop query ids absent from the corpus.
+    // One dims probe keeps both sides on the same hyperplanes.
+    val firstRow = corpus.select(size(emb(col("embedding")))).head(1)
+    if (firstRow.isEmpty)
+      return corpus.sparkSession.emptyDataFrame
+        .select(lit(0L).as("query_id"), lit(0L).as("neighbor_id"),
+          lit(0).as("rank"), lit(0.0).as("cos")).limit(0)
+    val dims = firstRow(0).getInt(0)
+    val c = corpus.join(lshBuckets(corpus, nPlanes, dims), "vec_id")
       .select(col("vec_id").as("neighbor_id"), emb(col("embedding")).as("ce"), col("bucket"))
-    val q = queries.join(buckets, "vec_id")
+    val q = queries.join(lshBuckets(queries, nPlanes, dims), "vec_id")
       .select(col("vec_id").as("query_id"), emb(col("embedding")).as("qe"), col("bucket"))
     val scored = c.join(broadcast(q), "bucket")
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -87,17 +87,20 @@ object CubicSpline {
       i += 1
     }
     q.map { xx =>
-      if (xx < x(0) || xx > x(n - 1))
+      if (xx.isNaN) Double.NaN
+      else if (xx < x(0) || xx > x(n - 1))
         throw new IllegalArgumentException(
           s"A value ($xx) in x_new is outside the interpolation range.")
-      var lo = java.util.Arrays.binarySearch(x, xx)
-      if (lo >= 0) y(lo)
       else {
-        lo = -lo - 2
-        val h = x(lo + 1) - x(lo)
-        val d = xx - x(lo)
-        val c2 = ((y(lo + 1) - y(lo)) / h - m(lo)) / h
-        y(lo) + m(lo) * d + c2 * d * d
+        var lo = java.util.Arrays.binarySearch(x, xx)
+        if (lo >= 0) y(lo)
+        else {
+          lo = -lo - 2
+          val h = x(lo + 1) - x(lo)
+          val d = xx - x(lo)
+          val c2 = ((y(lo + 1) - y(lo)) / h - m(lo)) / h
+          y(lo) + m(lo) * d + c2 * d * d
+        }
       }
     }
   }
@@ -120,20 +123,23 @@ object CubicSpline {
     }
     val s = derivatives(x, y)
     q.map { xx =>
-      if (xx < x(0) || xx > x(n - 1))
+      if (xx.isNaN) Double.NaN
+      else if (xx < x(0) || xx > x(n - 1))
         throw new IllegalArgumentException(
           s"A value ($xx) in x_new is outside the interpolation range.")
-      var lo = java.util.Arrays.binarySearch(x, xx)
-      if (lo >= 0) y(lo)
       else {
-        lo = -lo - 2
-        val h = x(lo + 1) - x(lo)
-        val sl = (y(lo + 1) - y(lo)) / h
-        val t0 = (s(lo) + s(lo + 1) - 2.0 * sl) / h
-        val c0 = t0 / h
-        val c1 = (sl - s(lo)) / h - t0
-        val d = xx - x(lo)
-        ((c0 * d + c1) * d + s(lo)) * d + y(lo)
+        var lo = java.util.Arrays.binarySearch(x, xx)
+        if (lo >= 0) y(lo)
+        else {
+          lo = -lo - 2
+          val h = x(lo + 1) - x(lo)
+          val sl = (y(lo + 1) - y(lo)) / h
+          val t0 = (s(lo) + s(lo + 1) - 2.0 * sl) / h
+          val c0 = t0 / h
+          val c1 = (sl - s(lo)) / h - t0
+          val d = xx - x(lo)
+          ((c0 * d + c1) * d + s(lo)) * d + y(lo)
+        }
       }
     }
   }

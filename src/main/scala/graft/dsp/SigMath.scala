@@ -55,6 +55,8 @@ object SigMath {
     var i = 0
     while (i < x2.length) {
       val q = x2(i)
+      if (q.isNaN) { out(i) = Double.NaN; i += 1 }
+      else {
       if (q < x(0) || q > x(x.length - 1))
         throw new IllegalArgumentException(
           s"A value ($q) in x_new is outside the interpolation range (${x(0)}..${x(x.length - 1)}).")
@@ -78,6 +80,7 @@ object SigMath {
         }
       }
       i += 1
+      }
     }
     out
   }

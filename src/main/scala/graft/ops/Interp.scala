@@ -106,13 +106,17 @@ object Interp {
         if (boundsError && (qArr.head.t < xs.head || qArr.last.t > xs.last))
           throw new IllegalArgumentException(
             s"A value in x_new is out of the interpolation range (channel=$ch)")
+        // default contract (same as the window path): out-of-range
+        // query points yield NULL, only in-range ones hit the spline
+        val inRange = qArr.filter(s => s.t >= xs.head && s.t <= xs.last)
         val vals =
           if (kind == "quadratic")
-            graft.dsp.CubicSpline.interpolateQuadratic(xs, ys, qArr.map(_.t))
-          else graft.dsp.CubicSpline.interpolate(xs, ys, qArr.map(_.t))
-        Iterator.tabulate(qArr.length)(i => PerChannel.Sample(ch, qArr(i).t, vals(i)))
+            graft.dsp.CubicSpline.interpolateQuadratic(xs, ys, inRange.map(_.t))
+          else graft.dsp.CubicSpline.interpolate(xs, ys, inRange.map(_.t))
+        val known = inRange.map(_.t).zip(vals).toMap
+        qArr.iterator.map(s => (ch, s.t, known.get(s.t): Option[Double]))
       }
-    }.toDF()
+    }.toDF("channel", "t", "v")
   }
 
   /** Uniform-rate resample (`extension.py:853-894`): per channel,

@@ -87,14 +87,17 @@ object ParallelIIR {
     import spark.implicits._
     require(chunk > 0)
     val aNorm = a.map(_ / a(0))
-    val w = Window.partitionBy("channel").orderBy("t")
+    // (t, v) tie-break: duplicate timestamps must chunk identically in
+    // the pass-1 collect and the pass-2 recomputation (row_number over
+    // t alone is nondeterministic under ties)
+    val w = Window.partitionBy("channel").orderBy("t", "v")
     val chunked = df
       .withColumn("chunkId", ((row_number().over(w) - 1) / chunk).cast("long"))
       .selectExpr("channel", "chunkId", "cast(t as double) t", "cast(v as double) v")
       .as[ChunkRow]
 
     def sortedVals(rows: Iterator[ChunkRow]): (Array[ChunkRow], Array[Double]) = {
-      val arr = rows.toArray.sortBy(_.t)
+      val arr = rows.toArray.sortBy(r => (r.t, r.v))
       (arr, arr.map(_.v))
     }
 

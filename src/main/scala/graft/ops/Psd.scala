@@ -41,7 +41,13 @@ object Psd {
     val sig = graft.signal.Signal(df)
     val params = sig.samplerate()
       .select(col("channel"), col("samplerate"))
-      .withColumn("nWindow", (col("samplerate") * lit(windowLength)).cast("int"))
+      // NULL samplerate (variable-rate channel) must FAIL here, not
+      // null-propagate into the segment filter and silently drop the
+      // channel from the PSD
+      .withColumn("nWindow", when(col("samplerate").isNull,
+          raise_error(concat(lit("channel '"), col("channel"),
+            lit("' has a variable sample rate; resample() it before PSD"))).cast("int"))
+        .otherwise((col("samplerate") * lit(windowLength)).cast("int")))
       .withColumn("nOverlap", bround(col("nWindow") * lit(overlap)).cast("int"))
       .withColumn("step", col("nWindow") - col("nOverlap"))
     df.join(broadcast(params), Seq("channel"))
@@ -90,22 +96,11 @@ object Psd {
     * (`tools.py:83-84`).
     */
   def welchAll(df: DataFrame, windowLength: Double, overlap: Double = 0.5,
-               windowType: String = "hann", detrend: String = "constant"): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val prepared = segmented(df, windowLength, overlap)
-    prepared.groupByKey(r => (r.channel, r.w)).flatMapGroups { (key: (String, Long), rows: Iterator[SegRow]) =>
-      val (ch, w) = key
-      val buf = rows.toArray.sortBy(_.idx)
-      val sr = buf(0).sr
-      val n = buf(0).nWindow
-      val vs = new Array[Double](n)
-      var i = 0
-      while (i < buf.length) { vs(buf(i).idx.toInt) = buf(i).v; i += 1 }
-      val (f, p) = Spectral.periodogram(vs, sr, windowType, detrend)
-      Iterator.tabulate(f.length)(i => PsdRow(ch, w, f(i), p(i)))
-    }.toDF("channel", "w", "freq", "p")
-  }
+               windowType: String = "hann", detrend: String = "constant"): DataFrame =
+    // one FFT kernel, one source of truth: the plain view is the
+    // seg_rms table minus a column (the per-segment trapezoid is
+    // O(freqs) next to the FFT)
+    welchAllWithSegRms(df, windowLength, overlap, windowType, detrend).drop("seg_rms")
 
   /** Like welchAll but each row also carries its segment's whole-PSD
     * trapezoid RMS (`tools.py:85-90`'s per-window rms list), computed

@@ -114,7 +114,12 @@ final case class Signal(df: DataFrame, name: String = "signal", unit: String = "
     // (channel, rn - n) stands in for the variable-length lag).
     val run = w.rowsBetween(Window.unboundedPreceding, 0)
     val cum = joined
-      .withColumn("n", round(col("samplerate") * lit(window)).cast("int"))
+      // NULL samplerate (variable-rate channel) must FAIL, not make
+      // the rn >= n filter silently drop every row of the channel
+      .withColumn("n", when(col("samplerate").isNull,
+          raise_error(concat(lit("channel '"), col("channel"),
+            lit("' has a variable sample rate; resample() it before mov_rms"))).cast("int"))
+        .otherwise(round(col("samplerate") * lit(window)).cast("int")))
       .withColumn("rn", row_number().over(w))
       .withColumn("cnt", count(lit(1)).over(wAll))
       .withColumn("cum", sum(col("v") * col("v")).over(run))

@@ -97,8 +97,11 @@ object WavSource {
       val (format, nCh, sr, bits) = fmt.getOrElse(
         throw new IllegalArgumentException(s"$path: no fmt chunk"))
       require(dataOffset >= 0, s"$path: no data chunk")
-      require(format == 1 || format == 3, s"$path: unsupported WAV format code $format")
-      require(bits == 16 || bits == 32 || bits == 64, s"$path: unsupported bit depth $bits")
+      // validate the exact decodable combinations up front: a stray
+      // combination must fail here, not as a per-task storm mid-scan
+      require((format == 1 && bits == 16) || (format == 3 && (bits == 32 || bits == 64)),
+        s"$path: unsupported WAV layout (format=$format, bits=$bits); " +
+          "supported: PCM16, float32, float64")
       // clamp to the bytes actually present: a truncated file (header
       // overstating the data length) reads the frames that exist
       // instead of EOF-failing mid-scan

@@ -176,6 +176,9 @@ class ExtrasSpec extends AnyFunSuite {
     // out of range: default yields NULL, strict raises
     val nulls = graft.ops.Interp.interp1d(src, outRange, "linear").collect()
     assert(nulls.length == 1 && nulls(0).isNullAt(2))
+    // spline kinds honor the same NULL contract (kernel path)
+    val cnulls = graft.ops.Interp.interp1d(src, outRange, "cubic").collect()
+    assert(cnulls.length == 1 && cnulls(0).isNullAt(2))
     intercept[Exception] {
       graft.ops.Interp.interp1d(src, outRange, "linear", boundsError = true).collect()
     }
