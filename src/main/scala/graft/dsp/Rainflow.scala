@@ -32,6 +32,10 @@ object Rainflow {
       }
       i += 1
     }
+    // the final sample is always a reversal endpoint; a 2-sample
+    // series therefore yields one residual half cycle of its full
+    // range (the physically correct E1049 reading — some package
+    // implementations return nothing for the degenerate case)
     out += x
     out.toArray
   }
