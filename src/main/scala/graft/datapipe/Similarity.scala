@@ -104,13 +104,11 @@ object Similarity {
     // bucket each side by its OWN embedding (the hash is a pure
     // function of the vector) — joining queries against corpus
     // buckets would silently drop query ids absent from the corpus.
-    // One dims probe keeps both sides on the same hyperplanes.
+    // One dims probe keeps both sides on the same hyperplanes; an
+    // empty corpus flows through the normal (empty) plan so the
+    // output schema matches the non-empty case.
     val firstRow = corpus.select(size(emb(col("embedding")))).head(1)
-    if (firstRow.isEmpty)
-      return corpus.sparkSession.emptyDataFrame
-        .select(lit(0L).as("query_id"), lit(0L).as("neighbor_id"),
-          lit(0).as("rank"), lit(0.0).as("cos")).limit(0)
-    val dims = firstRow(0).getInt(0)
+    val dims = if (firstRow.isEmpty) 0 else firstRow(0).getInt(0)
     val c = corpus.join(lshBuckets(corpus, nPlanes, dims), "vec_id")
       .select(col("vec_id").as("neighbor_id"), emb(col("embedding")).as("ce"), col("bucket"))
     val q = queries.join(lshBuckets(queries, nPlanes, dims), "vec_id")

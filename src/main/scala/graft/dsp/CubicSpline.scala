@@ -114,11 +114,17 @@ object CubicSpline {
     require(n >= 2, "need >= 2 points")
     if (n == 2) return SigMath.interp1d(x, y, q, "linear")
     if (n == 3) {
-      // exact parabola through three points (Lagrange)
+      // exact parabola through three points (Lagrange); same bounds
+      // and NaN contract as the other branches
       return q.map { xx =>
-        y(0) * (xx - x(1)) * (xx - x(2)) / ((x(0) - x(1)) * (x(0) - x(2))) +
-          y(1) * (xx - x(0)) * (xx - x(2)) / ((x(1) - x(0)) * (x(1) - x(2))) +
-          y(2) * (xx - x(0)) * (xx - x(1)) / ((x(2) - x(0)) * (x(2) - x(1)))
+        if (xx.isNaN) Double.NaN
+        else if (xx < x(0) || xx > x(2))
+          throw new IllegalArgumentException(
+            s"A value ($xx) in x_new is outside the interpolation range.")
+        else
+          y(0) * (xx - x(1)) * (xx - x(2)) / ((x(0) - x(1)) * (x(0) - x(2))) +
+            y(1) * (xx - x(0)) * (xx - x(2)) / ((x(1) - x(0)) * (x(1) - x(2))) +
+            y(2) * (xx - x(0)) * (xx - x(1)) / ((x(2) - x(0)) * (x(2) - x(1)))
       }
     }
     val s = derivatives(x, y)

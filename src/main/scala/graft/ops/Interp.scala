@@ -99,11 +99,20 @@ object Interp {
     s.groupByKey(_.channel).cogroup(q.groupByKey(_.channel)) { (ch, srcIt, qIt) =>
       val srcArr = srcIt.toArray.sortBy(_.t)
       val qArr = qIt.toArray.sortBy(_.t)
-      if (srcArr.isEmpty || qArr.isEmpty) Iterator.empty
-      else {
+      if (qArr.isEmpty) Iterator.empty
+      else if (srcArr.isEmpty) {
+        // window-path parity: query channels with no source samples
+        // yield NULL rows (or raise under boundsError), never vanish
+        if (boundsError) throw new IllegalArgumentException(
+          s"A value in x_new is out of the interpolation range (channel=$ch)")
+        qArr.iterator.map(s => (ch, s.t, None: Option[Double]))
+      } else {
         val xs = srcArr.map(_.t)
         val ys = srcArr.map(_.v)
-        if (boundsError && (qArr.head.t < xs.head || qArr.last.t > xs.last))
+        // NaN sorts last but compares false, so the bounds check must
+        // scan, not test head/last
+        if (boundsError && qArr.exists(s =>
+            s.t.isNaN || s.t < xs.head || s.t > xs.last))
           throw new IllegalArgumentException(
             s"A value in x_new is out of the interpolation range (channel=$ch)")
         // default contract (same as the window path): out-of-range

@@ -28,7 +28,6 @@ object Psd {
   // access to these row classes
   case class SegRow(channel: String, w: Long, idx: Long, v: Double,
                     sr: Double, nWindow: Int)
-  case class PsdRow(channel: String, w: Long, freq: Double, p: Double)
   case class PsdRmsRow(channel: String, w: Long, freq: Double, p: Double, segRms: Double)
 
   private def chw = Window.partitionBy("channel").orderBy("t")

@@ -249,8 +249,13 @@ class ExtrasSpec extends AnyFunSuite {
   }
 
   test("malformed RIFF payloads fall back to the stub decode") {
-    // looks like RIFF/WAVE but the chunk walk runs off the buffer
-    val junk = "RIFF   WAVEJUNK   x".getBytes("ISO-8859-1")
+    // >= 44 bytes so the length guard passes, with an odd-length JUNK
+    // chunk whose word-aligned skip lands one byte past the buffer
+    // limit — the chunk walk itself must throw and be swallowed
+    val jb = java.nio.ByteBuffer.allocate(45).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    jb.put("RIFF".getBytes("ASCII")).putInt(37).put("WAVE".getBytes("ASCII"))
+      .put("JUNK".getBytes("ASCII")).putInt(25).put(new Array[Byte](25))
+    val junk = jb.array()
     val f = graft.datapipe.Multimodal.decodeStub(
       graft.datapipe.Multimodal.MediaRecord(1L, "image", junk))
     assert(f.n_frames == 1 && f.width >= 64 && f.width < 128) // stub path, no throw
