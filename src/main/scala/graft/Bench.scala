@@ -39,12 +39,12 @@ object Bench {
     }
     // The driver parses this line out of the LAST 2000 chars of stdout:
     // keep it compact (2-decimal timings) so the whole line fits the tail.
-    // 0.1 s resolution (whole seconds above 10) keeps the 82-query
+    // 0.1 s resolution (whole seconds above 5) keeps the 84-query
     // line well under 2000 chars even on a slow host — the driver
     // reads only the last 2000 chars of stdout. Locale.ROOT: a
     // comma-decimal default locale would corrupt the JSON.
     def num(v: Double): String = {
-      if (v >= 9.95) return String.format(java.util.Locale.ROOT, "%.0f", Double.box(v))
+      if (v >= 4.95) return String.format(java.util.Locale.ROOT, "%.0f", Double.box(v))
       val s = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v)).replaceAll("0+$", "")
       if (s.endsWith(".")) s.dropRight(1) else s
     }

@@ -138,6 +138,11 @@ object SparkEntry {
       ord(s, dir).join(li(s, dir), col("o_orderkey") === col("l_orderkey"), "left_anti")
         .groupBy("o_orderpriority").agg(count(lit(1)).as("n_orders"))
     }),
+    "q04_orders_with_items" -> ((s, dir) => {
+      // the semi-join complement of q07
+      ord(s, dir).join(li(s, dir), col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n_orders"))
+    }),
     "q05_top_customers" -> ((s, dir) => {
       // ranking window over a multi-join aggregate: top-3 customers by
       // revenue within each region (ties broken by name for
@@ -273,6 +278,14 @@ object SparkEntry {
       // scipy kind='slinear': first-order spline = linear
       val grid = Interp.resampleGrid(ev(s, dir), 777.0)
       Interp.interp1d(ev(s, dir), grid, "slinear")
+    }),
+    "q_finterp" -> ((s, dir) => {
+      // freq-axis interp1d (the FreqDomain accessor's own kind family)
+      val psd = pseudoPsd(s, dir)
+      val mx = max("freq").over(Window.partitionBy("channel"))
+      val grid = psd.withColumn("mx", mx).filter(col("freq") < col("mx"))
+        .select(col("channel"), (col("freq") + 0.25).as("freq"))
+      Spectrum(psd).interp1d(grid, "linear").df
     }),
     "q_interp_log" -> ((s, dir) => {
       val psd = pseudoPsd(s, dir)
@@ -515,6 +528,11 @@ object SparkEntry {
         |FROM orders WHERE NOT EXISTS (
         |  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
         |GROUP BY o_orderpriority""".stripMargin,
+    "q04_orders_with_items" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders WHERE EXISTS (
+        |  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |GROUP BY o_orderpriority""".stripMargin,
     "q03_region_revenue" ->
       """SELECT r_name,
         |       round(sum(l_extendedprice * (1 - l_discount)), 0) AS revenue,
@@ -666,6 +684,24 @@ object SparkEntry {
     "q_interp_nearest_up" -> resampleSql(777.0, "nearest-up"),
     "q_interp_zero" -> resampleSql(777.0, "zero"),
     "q_interp_slinear" -> resampleSql(777.0, "slinear"),
+    "q_finterp" ->
+      s"""WITH $PSEUDO_PSD,
+         |grid AS (
+         |  SELECT channel, freq + 0.25 AS freq
+         |  FROM psd WHERE freq < (SELECT max(p2.freq) FROM psd p2 WHERE p2.channel = psd.channel)
+         |),
+         |prevj AS (
+         |  SELECT g.channel, g.freq, s.freq AS pt, s.p AS pv
+         |  FROM grid g ASOF LEFT JOIN psd s ON g.channel = s.channel AND g.freq >= s.freq
+         |),
+         |nextj AS (
+         |  SELECT g.channel, g.freq, s.freq AS nt, s.p AS nv
+         |  FROM grid g ASOF LEFT JOIN psd s ON g.channel = s.channel AND g.freq <= s.freq
+         |)
+         |SELECT p.channel, p.freq,
+         |       CASE WHEN p.pt = n.nt THEN p.pv
+         |            ELSE p.pv + (n.nv - p.pv) * (p.freq - p.pt) / (n.nt - p.pt) END AS p
+         |FROM prevj p JOIN nextj n ON p.channel = n.channel AND p.freq = n.freq""".stripMargin,
     "q_interp_log" ->
       s"""WITH $PSEUDO_PSD,
          |lsrc AS (SELECT channel, log10(freq) AS lt, log10(p) AS lv FROM psd),
