@@ -250,6 +250,15 @@ object SparkEntry {
           col("l_extendedprice").as("v")))
       series(1).rss(series(2), series(3)).df
     }),
+    "q_rss_outer" -> ((s, dir) => {
+      // pandas outer-alignment rss (extension.py:801-810): timestamps
+      // present in only one series survive with NULL v
+      val l = li(s, dir)
+      def series(ln: Int) = Signal(l.filter(col("l_linenumber") === ln)
+        .select(lit("p").as("channel"), col("l_orderkey").cast("double").as("t"),
+          col("l_extendedprice").as("v")))
+      series(1).rssOuter(series(2)).df
+    }),
 
     // -- sigproc: interpolation / resampling (exact, unrounded) --
     "q_resample_linear" -> ((s, dir) => Interp.resample(ev(s, dir), 1.0 / 1000.0, "linear")),
@@ -391,7 +400,9 @@ object SparkEntry {
       Psd.getPsd(evUniform(s, dir), windowLength = Some(432000.0), detrend = "linear")),
     "q_ann_topk" -> ((s, dir) => {
       val e = emb(s, dir)
-      Similarity.annTopK(e, e.filter(col("vec_id") % 25 === 0), k = 10)
+      // dims passed explicitly (the fixture embeddings are 64-dim):
+      // keeps the plan fully lazy — no corpus-probe job at plan build
+      Similarity.annTopK(e, e.filter(col("vec_id") % 25 === 0), k = 10, dims = 64)
     }),
     "q_minhash_lsh_neardups" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -669,6 +680,18 @@ object SparkEntry {
         |SELECT s1.channel, s1.t, sqrt(s1.v * s1.v + s2.v * s2.v) AS v
         |FROM s1 JOIN s2 ON s1.channel = s2.channel AND s1.t = s2.t""".stripMargin,
 
+    "q_rss_outer" ->
+      """WITH s1 AS (
+        |  SELECT 'p' AS channel, CAST(l_orderkey AS DOUBLE) AS t, l_extendedprice AS v
+        |  FROM lineitem WHERE l_linenumber = 1
+        |), s2 AS (
+        |  SELECT 'p' AS channel, CAST(l_orderkey AS DOUBLE) AS t, l_extendedprice AS v
+        |  FROM lineitem WHERE l_linenumber = 2
+        |)
+        |SELECT coalesce(s1.channel, s2.channel) AS channel,
+        |       coalesce(s1.t, s2.t) AS t,
+        |       sqrt(s1.v * s1.v + s2.v * s2.v) AS v
+        |FROM s1 FULL JOIN s2 ON s1.channel = s2.channel AND s1.t = s2.t""".stripMargin,
     "q_rss3" ->
       """WITH s AS (
         |  SELECT l_linenumber AS ln, CAST(l_orderkey AS DOUBLE) AS t, l_extendedprice AS v

@@ -44,7 +44,12 @@ object Multimodal {
     */
   def decodeStub(rec: MediaRecord): MediaFeatures = {
     val n = rec.bytes.length
-    wavInfo(rec.bytes) match {
+    // Only records DECLARED audio attempt the real RIFF/WAVE header
+    // parse: an image/document payload that merely looks RIFF-shaped
+    // must take the deterministic stub path below (which the DuckDB
+    // oracle always replays — the kind gate keeps engine and oracle on
+    // the same branch for every non-audio payload).
+    if (rec.kind == "audio") wavInfo(rec.bytes) match {
       case Some((sr, nCh, frames)) =>
         return MediaFeatures(rec.media_id, rec.kind, n, sr, nCh, frames,
           histogram(rec.bytes))

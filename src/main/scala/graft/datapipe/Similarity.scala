@@ -99,19 +99,33 @@ object Similarity {
 
   /** Approximate top-k: candidates restricted to the query's LSH
     * bucket, then exact cosine rank within the bucket.
+    *
+    * Pass `dims` explicitly to keep the call fully lazy (no job until
+    * the query's own action) — the right form at scale and on
+    * streams. With the default `dims = -1`, the corpus is probed for
+    * one row at plan-build time (convenience for interactive use);
+    * when that probe finds an empty corpus, the result is an empty
+    * DataFrame with the output schema (every query has zero
+    * bucket-mates), not an error.
     */
-  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10, nPlanes: Int = 8): DataFrame = {
+  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10, nPlanes: Int = 8,
+              dims: Int = -1): DataFrame = {
     // bucket each side by its OWN embedding (the hash is a pure
     // function of the vector) — joining queries against corpus
-    // buckets would silently drop query ids absent from the corpus.
-    // One dims probe keeps both sides on the same hyperplanes; an
-    // empty corpus flows through the normal (empty) plan so the
-    // output schema matches the non-empty case.
-    val firstRow = corpus.select(size(emb(col("embedding")))).head(1)
-    val dims = if (firstRow.isEmpty) 0 else firstRow(0).getInt(0)
-    val c = corpus.join(lshBuckets(corpus, nPlanes, dims), "vec_id")
+    // buckets would silently drop query ids absent from the corpus;
+    // a single dims value keeps both sides on the same hyperplanes.
+    val d0 =
+      if (dims >= 0) dims
+      else {
+        val firstRow = corpus.select(size(emb(col("embedding")))).head(1)
+        if (firstRow.isEmpty)
+          return queries.limit(0).select(col("vec_id").as("query_id"),
+            col("vec_id").as("neighbor_id"), lit(1).as("rank"), lit(0.0).as("cos"))
+        firstRow(0).getInt(0)
+      }
+    val c = corpus.join(lshBuckets(corpus, nPlanes, d0), "vec_id")
       .select(col("vec_id").as("neighbor_id"), emb(col("embedding")).as("ce"), col("bucket"))
-    val q = queries.join(lshBuckets(queries, nPlanes, dims), "vec_id")
+    val q = queries.join(lshBuckets(queries, nPlanes, d0), "vec_id")
       .select(col("vec_id").as("query_id"), emb(col("embedding")).as("qe"), col("bucket"))
     val scored = c.join(broadcast(q), "bucket")
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -140,13 +140,26 @@ object Interp {
     interp1d(src, grid, kind)
   }
 
-  /** The np.arange grid as a DataFrame (channel, t). */
-  def resampleGrid(src: DataFrame, step: Double): DataFrame =
+  /** The np.arange grid as a DataFrame (channel, t), generated in TWO
+    * levels: an outer block sequence, a repartition spreading blocks
+    * across tasks, then an inner per-block sequence. A single-level
+    * explode materializes one n-element array per channel in one task
+    * — multi-GB for a long channel at scale, and `sequence` caps near
+    * 2^31 elements. Two levels bound any one array at `blockSize` and
+    * parallelize grid creation across (channel, block). t is computed
+    * from the GLOBAL index k, so values are bit-identical to the
+    * single-level form (np.arange semantics, `extension.py:880-887`).
+    */
+  def resampleGrid(src: DataFrame, step: Double, blockSize: Long = 1L << 16): DataFrame =
     src.groupBy("channel")
       .agg(min("t").as("t0"), max("t").as("t1"))
       .withColumn("n", ceil((col("t1") - col("t0")) / lit(step)).cast("long"))
       .filter(col("n") > 0)
+      .select(col("channel"), col("t0"), col("n"),
+        explode(sequence(lit(0L), floor((col("n") - 1) / lit(blockSize)))).as("blk"))
+      .repartition(col("channel"), col("blk"))
       .select(col("channel"), col("t0"),
-        explode(sequence(lit(0L), col("n") - 1)).as("k"))
+        explode(sequence(col("blk") * lit(blockSize),
+          least(col("blk") * lit(blockSize) + lit(blockSize - 1), col("n") - 1))).as("k"))
       .select(col("channel"), (col("t0") + col("k") * lit(step)).as("t"))
 }

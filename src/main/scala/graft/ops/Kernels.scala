@@ -79,13 +79,10 @@ object Kernels {
     import org.apache.spark.sql.functions._
     val nChunks = math.max(1, (freq.length + freqChunk - 1) / freqChunk)
     val chunks = spark.sparkContext.broadcast(freq.grouped(freqChunk).toArray)
-    val replicated = df.select(col("channel"), col("t"), col("v"),
-      explode(sequence(lit(0), lit(nChunks - 1))).as("chunk"))
-      .select(concat_ws("\u0000", col("channel"), col("chunk")).as("channel"),
-        col("t"), col("v"))
-    PerChannel.transform[(String, Double, Double)](replicated) { (key, ts, vs) =>
-      val Array(ch, chunkStr) = key.split("\u0000")
-      val grid = chunks.value(chunkStr.toInt)
+    val replicated = df.select(col("channel"),
+      explode(sequence(lit(0), lit(nChunks - 1))).as("chunk"), col("t"), col("v"))
+    PerChannel.transformChunked[(String, Double, Double)](replicated) { (ch, chunk, ts, vs) =>
+      val grid = chunks.value(chunk)
       val (pos, neg) = Srs.srs(ts, vs, grid, qualityFactor)
       Iterator.tabulate(grid.length)(i => (ch, grid(i), math.max(pos(i), neg(i))))
     }.toDF("channel", "freq", "p")

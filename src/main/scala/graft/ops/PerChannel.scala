@@ -48,6 +48,43 @@ object PerChannel {
       }
   }
 
+  case class ChunkedSample(channel: String, chunk: Int, t: Double, v: Double)
+
+  /** Like `transform`, but keyed by (channel, chunk) — for kernels
+    * that replicate or slice a channel across parallel work units
+    * (frequency-chunked SRS, overlap-chunked splines). The composite
+    * key is real columns, not an in-band delimiter, so channel names
+    * need no reserved characters.
+    */
+  def transformChunked[T: Encoder](df: DataFrame)(
+      f: (String, Int, Array[Double], Array[Double]) => Iterator[T]): Dataset[T] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.selectExpr("channel", "cast(chunk as int) chunk",
+        "cast(t as double) t", "cast(v as double) v").as[ChunkedSample]
+      .repartition(org.apache.spark.sql.functions.col("channel"),
+        org.apache.spark.sql.functions.col("chunk"))
+      .sortWithinPartitions("channel", "chunk", "t")
+      .mapPartitions { rows =>
+        val it = rows.buffered
+        new Iterator[Iterator[T]] {
+          def hasNext: Boolean = it.hasNext
+          def next(): Iterator[T] = {
+            val ch = it.head.channel
+            val ck = it.head.chunk
+            val tb = new ArrayBuilder.ofDouble
+            val vb = new ArrayBuilder.ofDouble
+            while (it.hasNext && it.head.channel == ch && it.head.chunk == ck) {
+              val s = it.next()
+              tb += s.t
+              vb += s.v
+            }
+            f(ch, ck, tb.result(), vb.result())
+          }
+        }.flatten
+      }
+  }
+
   /** Same-shape transform: each channel's arrays map to new (t, v)
     * rows (filters, spectra in long layout, etc.).
     */

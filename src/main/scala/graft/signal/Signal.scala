@@ -217,9 +217,15 @@ final case class Signal(df: DataFrame, name: String = "signal", unit: String = "
   def resample(sampleRate: Double, interpKind: String = "linear"): Signal =
     rebuild(graft.ops.Interp.resample(df, sampleRate, interpKind))
 
-  /** interp1d (`extension.py:819-851`); name -> interp(name). */
-  def interp1d(grid: DataFrame, kind: String = "linear"): Signal =
-    rebuild(graft.ops.Interp.interp1d(df, grid, kind), s"interp($name)")
+  /** interp1d (`extension.py:819-851`); name -> interp(name).
+    * Default `boundsError = true` is scipy parity (the reference path,
+    * `extension.py:992`, leaves scipy's bounds_error=True default):
+    * out-of-range grid points raise. Pass `boundsError = false` for
+    * the engine-level NULL-fill contract.
+    */
+  def interp1d(grid: DataFrame, kind: String = "linear",
+               boundsError: Boolean = true): Signal =
+    rebuild(graft.ops.Interp.interp1d(df, grid, kind, boundsError), s"interp($name)")
 
   /** Piecewise linear detrend with break points given as sample
     * indices into each channel (scipy.signal.detrend `bp` semantics,
@@ -247,14 +253,28 @@ final case class Signal(df: DataFrame, name: String = "signal", unit: String = "
 
   /** Root-sum-square with other signals: equi-join on (channel, t) then
     * sqrt of the sum of squares (`extension.py:783-817`; pandas index
-    * alignment = join on the time axis, SURVEY §2.4 — we take the inner
-    * join, the reference's outer-NaN rows are documented divergence).
+    * alignment = join on the time axis, SURVEY §2.4). The default is
+    * the inner join (only timestamps present in every series);
+    * `rssOuter` reproduces pandas' outer alignment.
     */
-  def rss(others: Signal*): Signal = {
+  def rss(others: Signal*): Signal = rssJoin("inner", others)
+
+  /** Pandas outer-alignment rss (`extension.py:801-810`): pandas `+`
+    * aligns indexes with an OUTER join, and any timestamp missing from
+    * a series contributes NaN to the sum — so unmatched rows appear
+    * with a missing value. The engine's missing-value convention is
+    * NULL (not NaN), applied via a full outer join on (channel, t)
+    * with null-propagating arithmetic.
+    */
+  def rssOuter(others: Signal*): Signal = rssJoin("full_outer", others)
+
+  private def rssJoin(joinType: String, others: Seq[Signal]): Signal = {
     val base = df.select(col("channel"), col("t"), (col("v") * col("v")).as("ss"))
     val joined = others.zipWithIndex.foldLeft(base) { case (acc, (o, i)) =>
       val od = o.df.select(col("channel"), col("t"), (col("v") * col("v")).as(s"ss_$i"))
-      acc.join(od, Seq("channel", "t"))
+      // using-columns join: Spark coalesces the (channel, t) key pair
+      // under full_outer, so unmatched rows keep their key
+      acc.join(od, Seq("channel", "t"), joinType)
     }
     val total = others.indices.foldLeft(col("ss")) { (c, i) => c + col(s"ss_$i") }
     val nm = (Seq(name) ++ others.map(_.name)).mkString("rss(", ",", ")")

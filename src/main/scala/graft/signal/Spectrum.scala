@@ -61,24 +61,28 @@ final case class Spectrum(df: DataFrame, name: String = "psd", unit: String = "n
     * grid (`extension.py:201-230`): as-of join on log10(freq) with
     * log10(p) values, then 10^y back.
     */
-  def interp1dLog(grid: DataFrame): Spectrum = {
+  def interp1dLog(grid: DataFrame, boundsError: Boolean = true): Spectrum = {
     val src = df.select(col("channel"), log10(col("freq")).as("t"), log10(col("p")).as("v"))
     // keep the caller's grid values as the output freq axis: a
     // pow(10, log10(f)) round-trip would perturb the key by an ulp
     val q = grid.select(col("channel"), col("freq"), log10(col("freq")).as("t"))
-    val res = graft.ops.Interp.interp1d(src, q.select("channel", "t"), "linear")
+    val res = graft.ops.Interp.interp1d(src, q.select("channel", "t"), "linear", boundsError)
     val out = res.join(q, Seq("channel", "t"))
       .select(col("channel"), col("freq"), pow(lit(10.0), col("v")).as("p"))
     copy(df = out, name = s"interp($name)")
   }
 
   /** Interpolate onto a new per-channel frequency grid
-    * (`extension.py:167-199`), linear family kinds.
+    * (`extension.py:167-199`), linear family kinds. Default
+    * `boundsError = true` is scipy parity (`extension.py:992` leaves
+    * scipy's bounds_error=True default): out-of-range grid points
+    * raise; pass false for the engine-level NULL-fill contract.
     */
-  def interp1d(grid: DataFrame, kind: String = "linear"): Spectrum = {
+  def interp1d(grid: DataFrame, kind: String = "linear",
+               boundsError: Boolean = true): Spectrum = {
     val src = df.select(col("channel"), col("freq").as("t"), col("p").as("v"))
     val q = grid.select(col("channel"), col("freq").as("t"))
-    val res = graft.ops.Interp.interp1d(src, q, kind)
+    val res = graft.ops.Interp.interp1d(src, q, kind, boundsError)
       .select(col("channel"), col("t").as("freq"), col("v").as("p"))
     copy(df = res, name = s"interp($name)")
   }

@@ -13,13 +13,34 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingOps {
 
+  /** Per-root-session streaming clone: same SparkContext, isolated
+    * SQL conf. Stateful operators create one state store per shuffle
+    * partition per batch; at smoke scale the per-store commit overhead
+    * dwarfs the data, so streaming queries plan with few partitions —
+    * set on the CLONE, so concurrent batch queries on the caller's
+    * session keep their own partition count (mutating the shared conf
+    * around each start() silently re-planned concurrent queries and
+    * could restore a stale value on interleaved calls).
+    */
+  private val streamSessions =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, SparkSession]
+
+  private def streamSession(root: SparkSession): SparkSession =
+    streamSessions.getOrElseUpdate(root, {
+      val s = root.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s
+    })
+
   /** The events fixture as a file-source stream: (channel, ts, v).
     * Schema is taken from a static read (required by file sources);
     * TIMESTAMP(NANOS) arrives as int64 nanos (see Channels.rawEvents)
-    * and is reduced to a microsecond timestamp.
+    * and is reduced to a microsecond timestamp. The stream is built on
+    * the streaming clone session (see `streamSession`).
     */
-  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def eventsStream(root: SparkSession, sfDir: String): DataFrame = {
+    val spark = streamSession(root)
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
@@ -106,17 +127,10 @@ object StreamingOps {
     * smoke harness for streaming queries.
     */
   def runToMemorySink(df: DataFrame, name: String, mode: String = "append"): DataFrame = {
-    val spark = df.sparkSession
-    // stateful operators create one state store per shuffle partition
-    // per batch; at smoke scale the per-store commit overhead dwarfs
-    // the data, so pin streaming queries to a few partitions (the
-    // partition count is a per-query property, fixed at first start)
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    spark.table(name)
+    // partition count is a property of df's own session (the streaming
+    // clone for eventsStream-derived plans) — nothing global to toggle
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    df.sparkSession.table(name)
   }
 }

@@ -256,9 +256,17 @@ class ExtrasSpec extends AnyFunSuite {
     jb.put("RIFF".getBytes("ASCII")).putInt(37).put("WAVE".getBytes("ASCII"))
       .put("JUNK".getBytes("ASCII")).putInt(25).put(new Array[Byte](25))
     val junk = jb.array()
+    // kind = audio so the RIFF parse is actually attempted (non-audio
+    // kinds skip it entirely); the malformed walk must throw inside
+    // wavInfo and be swallowed into the stub path
     val f = graft.datapipe.Multimodal.decodeStub(
-      graft.datapipe.Multimodal.MediaRecord(1L, "image", junk))
-    assert(f.n_frames == 1 && f.width >= 64 && f.width < 128) // stub path, no throw
+      graft.datapipe.Multimodal.MediaRecord(1L, "audio", junk))
+    assert(f.n_frames == 1 + junk.length % 1000) // audio stub path, no throw
+    assert(f.width >= 64 && f.width < 128)
+    // and a RIFF-shaped payload declared non-audio never parses
+    val img = graft.datapipe.Multimodal.decodeStub(
+      graft.datapipe.Multimodal.MediaRecord(2L, "image", junk))
+    assert(img.n_frames == 1 && img.width >= 64 && img.width < 128)
   }
 
   test("lshBuckets raises on ragged embedding dimensionality") {
