@@ -382,6 +382,50 @@ object SparkEntry {
       Psd.rescale(welchRmsBase(s, dir), "max rms", 4.0).filter(col("freq") > 0)),
     "k_psd_welch_damage" -> ((s, dir) =>
       Psd.rescale(welchRmsBase(s, dir), "damage", 4.0).filter(col("freq") > 0)),
+
+    // -- kernel AGGREGATION stages over the deterministic pseudo
+    // sub-PSD: same code paths as the k_psd_welch_* queries
+    // (Psd.summarizeAll / Psd.rescale), but with the FFT swapped for
+    // an engine-exact table, so DuckDB can replay them value-exactly --
+    "q_psd_summarize_mean" -> ((s, dir) =>
+      Psd.summarizeAll(pseudoSubPsd(s, dir), "mean")
+        .select(col("channel"), col("freq"), round(col("p") + 1e-7, 4).as("p"))),
+    "q_psd_summarize_median" -> ((s, dir) =>
+      Psd.summarizeAll(pseudoSubPsd(s, dir), "median")
+        .select(col("channel"), col("freq"), round(col("p") + 1e-7, 4).as("p"))),
+    // max/min select one exact per-row value — no rounding needed
+    "q_psd_summarize_max" -> ((s, dir) =>
+      Psd.summarizeAll(pseudoSubPsd(s, dir), "max")),
+    "q_psd_summarize_min" -> ((s, dir) =>
+      Psd.summarizeAll(pseudoSubPsd(s, dir), "min")),
+    "q_psd_maxrms" -> ((s, dir) =>
+      Psd.rescale(pseudoSubPsdRms(s, dir), "max rms", 4.0)
+        .select(col("channel"), col("freq"), round(col("p") + 1e-7, 4).as("p"))),
+    "q_psd_damage" -> ((s, dir) =>
+      Psd.rescale(pseudoSubPsdRms(s, dir), "damage", 4.0)
+        .select(col("channel"), col("freq"), round(col("p") + 1e-7, 4).as("p"))),
+    "q_srs_reduce" -> ((s, dir) => {
+      // pseudo per-sample SDOF responses: 20 natural frequencies,
+      // resp = the signed sample value — exercises the max(pos, |neg|)
+      // summarize stage (tools.py:373-374) with exact aggregates
+      val win = Window.partitionBy("channel").orderBy("t")
+      val resp = ev(s, dir).select(col("channel"),
+          (row_number().over(win) - 1).cast("long").as("rn"), col("v"))
+        .select(col("channel"), pmod(col("rn"), lit(20L)).cast("double").as("freq"),
+          col("v").as("resp"))
+      Kernels.srsReduce(resp)
+    }),
+    "q_rainflow_bin" -> ((s, dir) => {
+      // pseudo cycles table: rng = |v|, cycles alternating 0.5 / 1.0 —
+      // exercises the nbins binning stage (extension.py:944-959);
+      // bin edges and half-count sums are engine-exact
+      val win = Window.partitionBy("channel").orderBy("t")
+      val cyc = ev(s, dir).select(col("channel"),
+          (row_number().over(win) - 1).cast("long").as("rn"), col("v"))
+        .select(col("channel"), abs(col("v")).as("rng"),
+          ((pmod(col("rn"), lit(2L)) + 1).cast("double") * 0.5).as("cycles"))
+      Kernels.rainflowBin(cyc, nbins = Some(10))
+    }),
     "k_filt_butter" -> ((s, dir) =>
       Kernels.filtButter(evUniform(s, dir), Seq(3.0e-5), order = 4, btype = "lowpass")),
     "k_filt_cfc" -> ((s, dir) =>
@@ -504,6 +548,33 @@ object SparkEntry {
       (col("v") * col("v") + 1.0).as("p"))
   }
 
+  /** Deterministic pseudo SUB-PSD table (channel, w, freq, p): the
+    * `welchAllWithSegRms` shape minus the FFT, so the summarize and
+    * rescale AGGREGATION stages (`Psd.summarizeAll`, `Psd.rescale` —
+    * `tools.py:75-98`) get exact DuckDB oracles. Sample rank rn maps
+    * bijectively to (w = rn/32, freq = rn%32): every (w, freq) pair
+    * appears exactly once per channel, many windows per frequency.
+    * 32 frequencies keeps the trapezoid sum short, so the channel-
+    * global rescale factor's fp error stays orders of magnitude below
+    * the rounding quantum on every output row.
+    */
+  private def pseudoSubPsd(s: SparkSession, dir: String): DataFrame = {
+    val win = Window.partitionBy("channel").orderBy("t")
+    ev(s, dir).select(col("channel"),
+        (row_number().over(win) - 1).cast("long").as("rn"), col("v"))
+      .select(col("channel"),
+        floor(col("rn") / lit(32)).cast("long").as("w"),
+        pmod(col("rn"), lit(32L)).cast("double").as("freq"),
+        (col("v") * col("v") + 1.0).as("p"))
+  }
+
+  /** The pseudo sub-PSD with a per-(channel, w) segment RMS column —
+    * the input contract of `Psd.rescale` (seg_rms constant within a
+    * window; sqrt(w+1) is deterministic and engine-exact).
+    */
+  private def pseudoSubPsdRms(s: SparkSession, dir: String): DataFrame =
+    pseudoSubPsd(s, dir).withColumn("seg_rms", sqrt(col("w") + 1.0))
+
   // ---- oracle SQL --------------------------------------------------------
 
   private val PSEUDO_PSD =
@@ -514,6 +585,43 @@ object SparkEntry {
        |         v * v + 1.0 AS p
        |  FROM src
        |)""".stripMargin
+
+  /** DuckDB mirror of `pseudoSubPsd`: (channel, w, freq, p) with the
+    * same rank-to-(window, frequency) bijection.
+    */
+  private val PSEUDO_SUBPSD =
+    s"""$SRC,
+       |sub AS (
+       |  SELECT channel, (rn - 1) // 32 AS w,
+       |         CAST((rn - 1) % 32 AS DOUBLE) AS freq,
+       |         v * v + 1.0 AS p
+       |  FROM (SELECT channel, row_number() OVER (PARTITION BY channel ORDER BY t) AS rn, v
+       |        FROM src)
+       |)""".stripMargin
+
+  /** The `Psd.rescale` formula over the pseudo sub-PSD, shared by the
+    * max-rms and damage oracles: `factorSql` is the channel-global
+    * rescale factor (`tools.py:85-98`), everything else is identical.
+    */
+  private def psdRescaleSql(factorSql: String): String =
+    s"""WITH $PSEUDO_SUBPSD,
+       |rmsd AS (SELECT channel, w, freq, p, sqrt(w + 1.0) AS seg_rms FROM sub),
+       |perfreq AS (
+       |  SELECT channel, freq, avg(p) AS p, max(seg_rms) AS max_sub_rms,
+       |         avg(pow(seg_rms, 4.0)) AS mean_rms_pow
+       |  FROM rmsd GROUP BY channel, freq
+       |),
+       |wseg AS (
+       |  SELECT channel, freq, p, max_sub_rms, mean_rms_pow,
+       |         (p + lag(p) OVER wf) / 2.0 * (freq - lag(freq) OVER wf) AS seg
+       |  FROM perfreq WINDOW wf AS (PARTITION BY channel ORDER BY freq)
+       |),
+       |agg AS (
+       |  SELECT channel, freq, p,
+       |         ($factorSql) / sqrt(sum(seg) OVER (PARTITION BY channel)) AS factor
+       |  FROM wseg
+       |)
+       |SELECT channel, freq, round(p * factor * factor + 1e-7, 4) AS p FROM agg""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -789,6 +897,46 @@ object SparkEntry {
          |  )
          |)
          |SELECT channel, round(sqrt(sum(area)), 4) AS rms FROM segs GROUP BY channel""".stripMargin,
+
+    "q_psd_summarize_mean" ->
+      s"""WITH $PSEUDO_SUBPSD
+         |SELECT channel, freq, round(avg(p) + 1e-7, 4) AS p
+         |FROM sub GROUP BY channel, freq""".stripMargin,
+    "q_psd_summarize_median" ->
+      s"""WITH $PSEUDO_SUBPSD
+         |SELECT channel, freq, round(median(p) + 1e-7, 4) AS p
+         |FROM sub GROUP BY channel, freq""".stripMargin,
+    "q_psd_summarize_max" ->
+      s"WITH $PSEUDO_SUBPSD SELECT channel, freq, max(p) AS p FROM sub GROUP BY channel, freq",
+    "q_psd_summarize_min" ->
+      s"WITH $PSEUDO_SUBPSD SELECT channel, freq, min(p) AS p FROM sub GROUP BY channel, freq",
+    "q_psd_maxrms" ->
+      psdRescaleSql("max(max_sub_rms) OVER (PARTITION BY channel)"),
+    "q_psd_damage" ->
+      psdRescaleSql("pow(max(mean_rms_pow) OVER (PARTITION BY channel), 0.25)"),
+    "q_srs_reduce" ->
+      s"""WITH $SRC,
+         |resp AS (
+         |  SELECT channel, CAST((rn - 1) % 20 AS DOUBLE) AS freq, v AS resp
+         |  FROM (SELECT channel, row_number() OVER (PARTITION BY channel ORDER BY t) AS rn, v
+         |        FROM src)
+         |)
+         |SELECT channel, freq, greatest(max(resp), max(-resp)) AS p
+         |FROM resp GROUP BY channel, freq""".stripMargin,
+    "q_rainflow_bin" ->
+      s"""WITH $SRC,
+         |cyc AS (
+         |  SELECT channel, abs(v) AS rng, ((rn - 1) % 2 + 1) * 0.5 AS cycles
+         |  FROM (SELECT channel, row_number() OVER (PARTITION BY channel ORDER BY t) AS rn, v
+         |        FROM src)
+         |),
+         |sized AS (
+         |  SELECT channel, rng, cycles,
+         |         max(rng) OVER (PARTITION BY channel) / 10 AS size
+         |  FROM cyc
+         |)
+         |SELECT channel, greatest(ceil(rng / size), 1) * size AS rng, sum(cycles) AS cycles
+         |FROM sized GROUP BY channel, greatest(ceil(rng / size), 1) * size""".stripMargin,
 
     "q_text_stats" ->
       s"""SELECT lang, count(*) AS n_docs, round(avg(n_chars) + 1e-7, 4) AS avg_chars,

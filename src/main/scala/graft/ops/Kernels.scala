@@ -99,4 +99,39 @@ object Kernels {
       Rainflow.countCycles(vs, ndigits, nbins, binsize).iterator.map { case (r, c) => (ch, r, c) }
     }.toDF("channel", "rng", "cycles")
   }
+
+  /** The SRS summarize stage as a pure aggregation: p = max(pos, |neg|)
+    * = max over samples of max(resp, -resp), per (channel, freq)
+    * (`tools.py:373-374`) — factored out of the array kernel so a
+    * per-sample response table computed distributedly (one row per
+    * (channel, freq, sample)) reduces with a map-side-combinable
+    * groupBy instead of a sequential sweep.
+    */
+  def srsReduce(responses: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    responses.groupBy("channel", "freq")
+      .agg(greatest(max(col("resp")), max(-col("resp"))).as("p"))
+  }
+
+  /** The rainflow binning/keying stage over an already-counted cycles
+    * table (channel, rng, cycles): `nbins` equal-width bins of each
+    * channel's max range, or a fixed `binsize`, keyed by the bin's
+    * upper edge with empty-range cycles forced into bin 1 — the
+    * distributed form of `Rainflow.countCycles`'s binning kwargs
+    * (`extension.py:944-959`, PyPI rainflow contract).
+    */
+  def rainflowBin(cycles: DataFrame, nbins: Option[Int] = None,
+                  binsize: Option[Double] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val size = (nbins, binsize) match {
+      case (Some(nb), _) => max(col("rng")).over(Window.partitionBy("channel")) / lit(nb)
+      case (_, Some(s)) => lit(s)
+      case _ => throw new IllegalArgumentException("rainflowBin needs nbins or binsize")
+    }
+    cycles.withColumn("size", size)
+      .withColumn("bin", greatest(ceil(col("rng") / col("size")), lit(1L)))
+      .groupBy(col("channel"), (col("bin") * col("size")).as("rng"))
+      .agg(sum("cycles").as("cycles"))
+  }
 }

@@ -94,6 +94,41 @@ class Round3Spec extends AnyFunSuite {
     assert(out2.count() == 0)
   }
 
+  test("chunk-parallel spline matches the whole-channel solve to 1e-12") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val n = 2000
+    // non-uniform knots (jittered spacing) with a smooth + noisy value
+    val xs = new Array[Double](n)
+    var acc = 0.0
+    for (i <- 0 until n) { xs(i) = acc; acc += 0.5 + rng.nextDouble() }
+    val src = xs.toSeq.map(x => ("c", x, math.sin(x * 0.05) + 0.2 * rng.nextDouble()))
+      .toDF("channel", "t", "v")
+    val qts = (0 until 5000).map(_ => xs(0) + rng.nextDouble() * (xs(n - 1) - xs(0)))
+    val query = (qts ++ Seq(xs(0), xs(n - 1), xs(777))).map(("c", _)).toDF("channel", "t")
+    for (kind <- Seq("cubic", "quadratic")) {
+      // chunkKnots > n: single chunk == the round-2 whole-channel solve
+      val whole = graft.ops.Interp.interp1dSpline(src, query, kind, chunkKnots = 1 << 20)
+        .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+      val chunked = graft.ops.Interp
+        .interp1dSpline(src, query, kind, chunkKnots = 300, margin = 60)
+        .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+      assert(chunked.keySet == whole.keySet)
+      chunked.foreach { case (t, v) =>
+        assert(math.abs(v - whole(t)) <= 1e-12 * math.max(1.0, math.abs(whole(t))),
+          s"$kind diverges at t=$t: $v vs ${whole(t)}")
+      }
+    }
+    // out-of-range and no-source contracts survive chunking
+    val oor = Seq(("c", -5.0), ("c", 1e9), ("nosrc", 1.0)).toDF("channel", "t")
+    val nulls = graft.ops.Interp.interp1dSpline(src, oor, "cubic", chunkKnots = 300, margin = 60)
+      .collect()
+    assert(nulls.length == 3 && nulls.forall(_.isNullAt(2)))
+    intercept[Exception] {
+      graft.ops.Interp.interp1dSpline(src, oor, "cubic", boundsError = true).collect()
+    }
+  }
+
   test("srsParallel struct keys: channel names with spaces and chunked grid match srs") {
     import spark.implicits._
     val rng = new scala.util.Random(11)
