@@ -144,7 +144,11 @@ object Interp {
     val srcRanked = ranked.filter(col("isq") === 0)
       .select(col("channel"), col("t"), col("v"), (col("nsrc") - 1).as("rn"))
     val queries = ranked.filter(col("isq") === 1)
-    val inRange = col("nsrc") >= 1 && col("hasNext") === 1
+    // hasNext is 1 or NULL (never 0): use isNotNull so inRange is a
+    // real boolean. `hasNext === 1` is SQL NULL for above-range/NaN
+    // queries, which fails BOTH filter(inRange) and filter(!inRange)
+    // below — silently dropping those rows instead of NULL-filling.
+    val inRange = col("nsrc") >= 1 && col("hasNext").isNotNull
 
     // each source row lands in its core chunk plus (within margin of a
     // boundary) the neighbor chunk; chunk indices stay in range

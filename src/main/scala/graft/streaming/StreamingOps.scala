@@ -30,6 +30,14 @@ object StreamingOps {
       val s = root.newSession()
       s.conf.set("spark.sql.shuffle.partitions", "8")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // evict on context shutdown so a long-lived process that cycles
+      // many root sessions doesn't retain stopped clones (each pinning
+      // SQL conf/state) indefinitely
+      root.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          streamSessions.remove(root)
+      })
       s
     })
 

@@ -106,24 +106,39 @@ class Round3Spec extends AnyFunSuite {
       .toDF("channel", "t", "v")
     val qts = (0 until 5000).map(_ => xs(0) + rng.nextDouble() * (xs(n - 1) - xs(0)))
     val query = (qts ++ Seq(xs(0), xs(n - 1), xs(777))).map(("c", _)).toDF("channel", "t")
-    for (kind <- Seq("cubic", "quadratic")) {
-      // chunkKnots > n: single chunk == the round-2 whole-channel solve
-      val whole = graft.ops.Interp.interp1dSpline(src, query, kind, chunkKnots = 1 << 20)
-        .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
-      val chunked = graft.ops.Interp
-        .interp1dSpline(src, query, kind, chunkKnots = 300, margin = 60)
-        .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
-      assert(chunked.keySet == whole.keySet)
-      chunked.foreach { case (t, v) =>
-        assert(math.abs(v - whole(t)) <= 1e-12 * math.max(1.0, math.abs(whole(t))),
-          s"$kind diverges at t=$t: $v vs ${whole(t)}")
-      }
+    // cubic: chunkKnots > n (single chunk == the round-2 whole-channel
+    // solve) vs a many-chunk run of the same plan
+    val whole = graft.ops.Interp.interp1dSpline(src, query, "cubic", chunkKnots = 1 << 20)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    val chunked = graft.ops.Interp
+      .interp1dSpline(src, query, "cubic", chunkKnots = 300, margin = 60)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    assert(chunked.keySet == whole.keySet)
+    chunked.foreach { case (t, v) =>
+      assert(math.abs(v - whole(t)) <= 1e-12 * math.max(1.0, math.abs(whole(t))),
+        s"cubic diverges at t=$t: $v vs ${whole(t)}")
     }
-    // out-of-range and no-source contracts survive chunking
-    val oor = Seq(("c", -5.0), ("c", 1e9), ("nosrc", 1.0)).toDF("channel", "t")
+    // quadratic: the windowed prefix-sum plan vs the sequential kernel
+    val srcRows = src.orderBy("t").collect()
+    val kxs = srcRows.map(_.getDouble(1))
+    val kys = srcRows.map(_.getDouble(2))
+    val kq = query.orderBy("t").collect().map(_.getDouble(1))
+    val kernel = graft.dsp.CubicSpline.interpolateQuadratic(kxs, kys, kq)
+    val kExpect = kq.zip(kernel).toMap
+    val winq = graft.ops.Interp.interp1d(src, query, "quadratic")
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    assert(winq.keySet == kExpect.keySet)
+    winq.foreach { case (t, v) =>
+      assert(math.abs(v - kExpect(t)) <= 1e-12 * math.max(1.0, math.abs(kExpect(t))),
+        s"quadratic diverges at t=$t: $v vs ${kExpect(t)}")
+    }
+    // out-of-range (below AND above), NaN, and no-source contracts
+    // survive chunking: all NULL-filled, never silently dropped
+    val oor = Seq(("c", -5.0), ("c", 1e9), ("c", Double.NaN), ("nosrc", 1.0))
+      .toDF("channel", "t")
     val nulls = graft.ops.Interp.interp1dSpline(src, oor, "cubic", chunkKnots = 300, margin = 60)
       .collect()
-    assert(nulls.length == 3 && nulls.forall(_.isNullAt(2)))
+    assert(nulls.length == 4 && nulls.forall(_.isNullAt(2)))
     intercept[Exception] {
       graft.ops.Interp.interp1dSpline(src, oor, "cubic", boundsError = true).collect()
     }
