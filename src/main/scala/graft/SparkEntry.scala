@@ -465,6 +465,15 @@ object SparkEntry {
       // keeps the plan fully lazy — no corpus-probe job at plan build
       Similarity.annTopK(e, e.filter(col("vec_id") % 25 === 0), k = 10, dims = 64)
     }),
+    "q_ivf_topk" -> ((s, dir) => {
+      // IVF-flat ANN: the coarse-quantizer complement of the sign-LSH
+      // path (deterministic md5 centroids; map-side assignment)
+      val e = emb(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") % 25 === 0),
+        k = 10, nlist = 16, nprobe = 4, dims = 64)
+    }),
+    "q_simhash_neardups" -> ((s, dir) =>
+      Dedup.simhashNearDups(docs(s, dir))),
     "q_minhash_lsh_neardups" -> ((s, dir) => {
       val d = docs(s, dir)
       val sig = Dedup.minhashSignaturesFromHashes(docShingles(s, dir), k = 16)
@@ -1101,6 +1110,8 @@ object SparkEntry {
         |  FROM documents WHERE doc_id % 3 = 2
         |)""".stripMargin,
     "q_simhash" -> simhashSql,
+    "q_simhash_neardups" -> simhashNearDupsSql,
+    "q_ivf_topk" -> ivfTopkSql,
     "q_ngram_jaccard" -> ngramJaccardSql,
 
     "q_embedding_norms" ->
@@ -1566,8 +1577,11 @@ object SparkEntry {
       |       CASE WHEN m.n = 0 THEN 0.0 ELSE CAST(coalesce(c7, 0) AS DOUBLE) / m.n END AS f7
       |FROM m LEFT JOIN hc ON m.media_id = hc.media_id""".stripMargin
 
-  private def simhashSql: String =
-    """WITH toks AS (
+  /** CTE chain ending in `sim(doc_id, simhash)` — shared by the
+    * signature and near-dup oracles.
+    */
+  private val SIMHASH_CTE =
+    """toks AS (
       |  SELECT doc_id,
       |         ('0x' || substr(md5(tok), 1, 13))::BIGINT AS h
       |  FROM (
@@ -1581,10 +1595,92 @@ object SparkEntry {
       |         sum(CAST(floor(h / pow(2.0, j)) AS BIGINT) % 2 * 2 - 1) AS s
       |  FROM toks, (SELECT unnest(generate_series(0, 51)) AS j)
       |  GROUP BY doc_id, j
-      |)
-      |SELECT doc_id,
-      |       CAST(sum(CASE WHEN s > 0 THEN pow(2.0, j) ELSE 0.0 END) AS BIGINT) AS simhash
-      |FROM bits GROUP BY doc_id""".stripMargin
+      |),
+      |sim AS (
+      |  SELECT doc_id,
+      |         CAST(sum(CASE WHEN s > 0 THEN pow(2.0, j) ELSE 0.0 END) AS BIGINT) AS simhash
+      |  FROM bits GROUP BY doc_id
+      |)""".stripMargin
+
+  private def simhashSql: String =
+    s"WITH $SIMHASH_CTE SELECT doc_id, simhash FROM sim"
+
+  /** Banded SimHash near-dup oracle: 4x13-bit band keys, candidate
+    * pairs by band equi-join, hamming verification, per-doc counts.
+    */
+  private def simhashNearDupsSql: String =
+    s"""WITH $SIMHASH_CTE,
+       |bands AS (
+       |  SELECT doc_id, simhash, b AS band,
+       |         CAST(floor(simhash / pow(2.0, b * 13)) AS BIGINT) % 8192 AS key
+       |  FROM sim, (SELECT unnest(generate_series(0, 3)) AS b)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.simhash AS sa, y.simhash AS sb
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+       |),
+       |ver AS (SELECT a, b, bit_count(xor(sa, sb)) AS hd FROM cand),
+       |perdoc AS (
+       |  SELECT doc_id, count(*) AS n_cand,
+       |         CAST(sum(CASE WHEN hd <= 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+       |  FROM (SELECT a AS doc_id, hd FROM ver UNION ALL SELECT b AS doc_id, hd FROM ver)
+       |  GROUP BY doc_id
+       |)
+       |SELECT d.doc_id, coalesce(p.n_cand, 0) AS n_cand, coalesce(p.n_dup, 0) AS n_dup
+       |FROM documents d LEFT JOIN perdoc p USING (doc_id)""".stripMargin
+
+  /** IVF-flat ANN oracle: per-vector centroid scores (md5 centroids,
+    * the exact Scala literals re-derived in SQL; norms inlined from
+    * the same Scala computation), argmax assignment and top-nprobe
+    * probes with the (s DESC, list DESC) tie order the Spark plan's
+    * reverse(array_sort) produces, then exact cosine within probed
+    * lists.
+    */
+  private def ivfTopkSql: String = {
+    val norms = (0 until 16).map { j =>
+      val c = graft.datapipe.Similarity.centroid(j, 64)
+      s"($j, ${OracleDsp.dlit(math.sqrt(c.map(x => x * x).sum))})"
+    }.mkString(", ")
+    s"""WITH nrm(j, n) AS (VALUES $norms),
+       |sc AS (
+       |  SELECT e.vec_id, nrm.j,
+       |         list_dot_product(
+       |           e.embedding::DOUBLE[],
+       |           list_transform(generate_series(0, len(e.embedding) - 1), d ->
+       |             ('0x' || substr(md5('ivf:' || nrm.j || ':' || d), 1, 13))::BIGINT
+       |               / 4503599627370496.0 - 0.5)) / nrm.n AS s
+       |  FROM embeddings e, nrm
+       |),
+       |ranked AS (
+       |  SELECT vec_id, j AS list,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, j DESC) AS pr
+       |  FROM sc
+       |),
+       |assign AS (SELECT vec_id, list FROM ranked WHERE pr = 1),
+       |probes AS (SELECT vec_id, list FROM ranked WHERE pr <= 4 AND vec_id % 25 = 0),
+       |q AS (
+       |  SELECT e.vec_id AS query_id, e.embedding::DOUBLE[] AS qe, p.list
+       |  FROM embeddings e JOIN probes p ON e.vec_id = p.vec_id
+       |),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |         list_dot_product(q.qe, c.embedding::DOUBLE[]) /
+       |           (sqrt(list_dot_product(q.qe, q.qe)) *
+       |            sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS cos
+       |  FROM embeddings c
+       |  JOIN assign a ON c.vec_id = a.vec_id
+       |  JOIN q ON q.list = a.list AND q.query_id != c.vec_id
+       |),
+       |rk AS (
+       |  SELECT query_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS rank,
+       |         round(cos, 6) AS cos
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, rank, cos FROM rk WHERE rank <= 10""".stripMargin
+  }
 
   private def ngramJaccardSql: String =
     s"""WITH $shinglesSql,

@@ -165,4 +165,39 @@ object Dedup {
   /** Hamming distance between two simhash longs (bit-count of xor). */
   def hamming(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-duplicate diagnostic: the 52-bit signature banded
+    * into `bands` equal keys; documents sharing any band key become
+    * candidate pairs (an equi-join on (band, key) — never all-pairs,
+    * the scale-safe shape), then each pair is verified by hamming
+    * distance. Returns one row per document: candidate count and
+    * verified near-dup count (hamming <= maxHamming).
+    *
+    * Bit slicing uses the same floor-div/mod arithmetic as `simhash`
+    * (exact for 52-bit values, portable to the DuckDB oracle).
+    */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 6, bands: Int = 4): DataFrame = {
+    val bandBits = 52 / bands
+    val sig = simhash(docs)
+    val banded = sig.select(col("doc_id"), col("simhash"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            pmod(floor(col("simhash") / pow(lit(2.0), lit(b * bandBits))).cast("long"),
+              lit(1L << bandBits)).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.simhash").as("sa"), col("y.simhash").as("sb"))
+      .distinct()
+    val verified = cand.withColumn("hd", hamming(col("sa"), col("sb")))
+    val perDoc = verified.select(col("a").as("doc_id"), col("hd"))
+      .unionAll(verified.select(col("b").as("doc_id"), col("hd")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_cand"),
+        sum(when(col("hd") <= maxHamming, 1L).otherwise(0L)).as("n_dup"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0, Seq("n_cand", "n_dup"))
+  }
 }

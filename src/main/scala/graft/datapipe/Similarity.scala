@@ -136,6 +136,76 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Deterministic pseudo-random centroid component for (list j,
+    * dim d) — the IVF analog of `planeComponent` (md5-derived value
+    * in [-0.5, 0.5), reproducible in any engine).
+    */
+  def centroidComponent(j: Int, d: Int): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"ivf:$j:$d".getBytes("UTF-8"))
+    val hex = digest.map(b => f"$b%02x").mkString.substring(0, 13)
+    java.lang.Long.parseLong(hex, 16) / 4503599627370496.0 - 0.5
+  }
+
+  def centroid(j: Int, dims: Int): Array[Double] =
+    Array.tabulate(dims)(d => centroidComponent(j, d))
+
+  /** Per-vector centroid scores as an array of (s, list) structs —
+    * all `nlist` centroids folded into the plan as literals, dot
+    * products and the 1/|c_j| normalization computed map-side. Scores
+    * order-compare as (cos-to-centroid, list id).
+    */
+  private def ivfScores(nlist: Int, dims: Int): Column =
+    array((0 until nlist).map { j =>
+      val c = centroid(j, dims)
+      val lit_c = typedLit(c)
+      val normC = math.sqrt(c.map(x => x * x).sum)
+      val dp = aggregate(zip_with(emb(col("embedding")), lit_c, (x, p) => x * p),
+        lit(0.0), (acc, x) => acc + x)
+      struct((dp / lit(normC)).as("s"), lit(j).as("list"))
+    }: _*)
+
+  /** IVF (inverted-file) ANN: every corpus vector is assigned to its
+    * best-cosine centroid out of `nlist` deterministic md5-derived
+    * centroids — a pure map-side argmax over plan literals (the
+    * inverted file IS the list id column; no shuffle to build it).
+    * Each query probes its `nprobe` best lists, and exact cosine runs
+    * only inside probed lists: at scale the search is one equi-join
+    * on list id with per-query work bounded by the probed lists'
+    * sizes, the classic IVF-flat trade (nprobe/nlist recall dial).
+    *
+    * Ties on centroid score break toward the LARGER list id (both
+    * sides use descending (s, list) order) — deterministic and
+    * engine-reproducible.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10, nlist: Int = 16,
+              nprobe: Int = 4, dims: Int = -1): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist, "nprobe must be in [1, nlist]")
+    val d0 =
+      if (dims >= 0) dims
+      else {
+        val firstRow = corpus.select(size(emb(col("embedding")))).head(1)
+        if (firstRow.isEmpty)
+          return queries.limit(0).select(col("vec_id").as("query_id"),
+            col("vec_id").as("neighbor_id"), lit(1).as("rank"), lit(0.0).as("cos"))
+        firstRow(0).getInt(0)
+      }
+    val scores = ivfScores(nlist, d0)
+    val best = element_at(reverse(array_sort(scores)), 1).getField("list")
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      emb(col("embedding")).as("ce"), best.as("list"))
+    val q = queries.select(col("vec_id").as("query_id"), emb(col("embedding")).as("qe"),
+        explode(slice(reverse(array_sort(scores)), 1, nprobe)).as("probe"))
+      .select(col("query_id"), col("qe"), col("probe.list").as("list"))
+    val scored = c.join(broadcast(q), "list")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qe"), col("ce")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(round(col("cos"), 6).desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 6).as("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold (brute
     * force all-pairs; the LSH bucket join is the scale path). No
     * broadcast hint — the planner picks the join strategy for a
