@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.signal.{Channels, Signal, Spectrum}
-import graft.datapipe.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.datapipe.{Clustering, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.ops.{Interp, Kernels, Psd}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -474,6 +474,10 @@ object SparkEntry {
     }),
     "q_simhash_neardups" -> ((s, dir) =>
       Dedup.simhashNearDups(docs(s, dir))),
+    "q_kmeans" -> ((s, dir) =>
+      // deterministic Lloyd's over the embedding table (md5 seeds,
+      // per-iteration centroid rounding = exact cross-engine replay)
+      Clustering.kmeans(emb(s, dir), k = 8, iters = 3, dims = 64)),
     "q_minhash_lsh_neardups" -> ((s, dir) => {
       val d = docs(s, dir)
       val sig = Dedup.minhashSignaturesFromHashes(docShingles(s, dir), k = 16)
@@ -1112,6 +1116,7 @@ object SparkEntry {
     "q_simhash" -> simhashSql,
     "q_simhash_neardups" -> simhashNearDupsSql,
     "q_ivf_topk" -> ivfTopkSql,
+    "q_kmeans" -> kmeansSql,
     "q_ngram_jaccard" -> ngramJaccardSql,
 
     "q_embedding_norms" ->
@@ -1744,6 +1749,59 @@ object SparkEntry {
       |  FROM scored
       |)
       |SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 10""".stripMargin
+
+  /** Deterministic k-means oracle: the 3 Lloyd iterations UNROLLED as
+    * CTE levels. Per-iteration centroid rounding (round 6, part of
+    * the operator's determinism contract) makes every distance
+    * bit-identical across engines, so assignments — ties toward the
+    * smaller cluster id — replay exactly. Empty clusters keep the
+    * previous centroid (the coalesce).
+    */
+  private def kmeansSql: String = {
+    val k = 8
+    val dims = 64
+    val iters = 3
+    def diff(e: String, c: String) =
+      s"list_transform(generate_series(1, $dims), i -> $e.embedding[i]::DOUBLE - $c.cl[i])"
+    def dist(e: String, c: String) = s"list_dot_product(${diff(e, c)}, ${diff(e, c)})"
+    val cent0 = (for (j <- 0 until k; d <- 0 until dims)
+      yield s"($j, $d, ${OracleDsp.dlit(Clustering.initComponent(j, d))})")
+      .mkString(", ")
+    val iterCtes = (1 to iters).map { t =>
+      s"""a$t AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT e.vec_id, c.cluster,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |                              ORDER BY ${dist("e", "c")} ASC, c.cluster ASC) AS pr
+         |    FROM embeddings e, c${t - 1} c
+         |  ) WHERE pr = 1
+         |),
+         |m$t AS (
+         |  SELECT a.cluster, ed.dim, round(avg(ed.x), 6) AS m
+         |  FROM a$t a JOIN ed ON ed.vec_id = a.vec_id GROUP BY a.cluster, ed.dim
+         |),
+         |c${t}d AS (
+         |  SELECT c.cluster, c.dim, coalesce(m.m, c.m) AS m
+         |  FROM c${t - 1}d c LEFT JOIN m$t m USING (cluster, dim)
+         |),
+         |c$t AS (SELECT cluster, list(m ORDER BY dim) AS cl FROM c${t}d GROUP BY cluster)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH c0d(cluster, dim, m) AS (VALUES $cent0),
+       |c0 AS (SELECT cluster, list(m ORDER BY dim) AS cl FROM c0d GROUP BY cluster),
+       |ed AS (
+       |  SELECT vec_id, d AS dim, embedding[d + 1]::DOUBLE AS x
+       |  FROM embeddings, (SELECT unnest(generate_series(0, ${dims - 1})) AS d)
+       |),
+       |$iterCtes,
+       |fin AS (
+       |  SELECT e.vec_id, c.cluster, ${dist("e", "c")} AS dist,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY ${dist("e", "c")} ASC, c.cluster ASC) AS pr
+       |  FROM embeddings e, c$iters c
+       |)
+       |SELECT vec_id, cluster, round(sqrt(dist), 6) AS dist FROM fin WHERE pr = 1""".stripMargin
+  }
 
   private def cosineTopkSql: String =
     """WITH q AS (

@@ -191,7 +191,13 @@ object Similarity {
         firstRow(0).getInt(0)
       }
     val scores = ivfScores(nlist, d0)
-    val best = element_at(reverse(array_sort(scores)), 1).getField("list")
+    // ragged inputs null-pad the zip_with and silently zero scores —
+    // fail loudly instead (same contract as lshBuckets)
+    def guard(c: Column): Column =
+      when(size(emb(col("embedding"))) === d0, c)
+        .otherwise(raise_error(concat(
+          lit(s"ivfTopK: embedding dims != $d0 for vec_id="), col("vec_id"))).cast("int"))
+    val best = guard(element_at(reverse(array_sort(scores)), 1).getField("list"))
     val c = corpus.select(col("vec_id").as("neighbor_id"),
       emb(col("embedding")).as("ce"), best.as("list"))
     val q = queries.select(col("vec_id").as("query_id"), emb(col("embedding")).as("qe"),

@@ -70,6 +70,34 @@ class Round4Spec extends AnyFunSuite {
     assert(out.contains(3L) && out.contains(4L))
   }
 
+  test("kmeans separates well-separated blobs and is deterministic") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    // two tight blobs far apart in 8 dims
+    def blob(center: Float, ids: Range) =
+      ids.map(i => (i.toLong, Array.fill(8)(center + rng.nextFloat() * 0.1f)))
+    val vecs = (blob(5f, 0 until 30) ++ blob(-5f, 30 until 60)).toDF("vec_id", "embedding")
+    val out = graft.datapipe.Clustering.kmeans(vecs, k = 4, iters = 4, dims = 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.size == 60)
+    // each blob lands in exactly one cluster, and the two differ
+    val c1 = (0 until 30).map(i => out(i.toLong)).distinct
+    val c2 = (30 until 60).map(i => out(i.toLong)).distinct
+    assert(c1.size == 1 && c2.size == 1 && c1 != c2)
+    // deterministic: re-run produces identical assignments
+    val out2 = graft.datapipe.Clustering.kmeans(vecs, k = 4, iters = 4, dims = 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out2 == out)
+  }
+
+  test("kmeans: empty input returns empty with schema") {
+    import spark.implicits._
+    val vecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val out = graft.datapipe.Clustering.kmeans(vecs)
+    assert(out.columns.toSeq == Seq("vec_id", "cluster", "dist"))
+    assert(out.count() == 0)
+  }
+
   test("centroidComponent is deterministic and within [-0.5, 0.5)") {
     val v1 = Similarity.centroidComponent(3, 7)
     val v2 = Similarity.centroidComponent(3, 7)
