@@ -19,12 +19,11 @@ object OracleDsp {
 
   def dlit(v: Double): String = f"$v%.17e"
 
+  // the kernel's own normalization — the bit-exact replay depends on
+  // using the identical doubles
   private def normalize(b: Array[Double],
-                        a: Array[Double]): (Array[Double], Array[Double]) = {
-    val n = math.max(b.length, a.length)
-    (Array.tabulate(n)(i => (if (i < b.length) b(i) else 0.0) / a(0)),
-     Array.tabulate(n)(i => (if (i < a.length) a(i) else 0.0) / a(0)))
-  }
+                        a: Array[Double]): (Array[Double], Array[Double]) =
+    IIR.normalized(b, a)
 
   /** One recursive-CTE DFIIt lfilter named `name` over
     * `series(channel, rn, x)` (rn 0-based contiguous per channel),

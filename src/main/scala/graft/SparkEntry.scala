@@ -956,16 +956,18 @@ object SparkEntry {
 
     // -- sequential IIR/SRS kernels, oracled via recursive CTEs that
     // replay the exact DFIIt recurrence (bit-exact; see OracleDsp) --
-    "k_filt_butter" ->
-      OracleDsp.filtfiltUniformSql(uniformSql(3600.0),
-        kernelButter(Seq(3.0e-5), "lowpass")._1, kernelButter(Seq(3.0e-5), "lowpass")._2),
-    "k_filt_butter_hp" ->
-      OracleDsp.filtfiltUniformSql(uniformSql(3600.0),
-        kernelButter(Seq(5.0e-5), "highpass")._1, kernelButter(Seq(5.0e-5), "highpass")._2),
-    "k_filt_butter_bp" ->
-      OracleDsp.filtfiltUniformSql(uniformSql(3600.0),
-        kernelButter(Seq(2.0e-5, 8.0e-5), "bandpass")._1,
-        kernelButter(Seq(2.0e-5, 8.0e-5), "bandpass")._2),
+    "k_filt_butter" -> {
+      val (b, a) = kernelButter(Seq(3.0e-5), "lowpass")
+      OracleDsp.filtfiltUniformSql(uniformSql(3600.0), b, a)
+    },
+    "k_filt_butter_hp" -> {
+      val (b, a) = kernelButter(Seq(5.0e-5), "highpass")
+      OracleDsp.filtfiltUniformSql(uniformSql(3600.0), b, a)
+    },
+    "k_filt_butter_bp" -> {
+      val (b, a) = kernelButter(Seq(2.0e-5, 8.0e-5), "bandpass")
+      OracleDsp.filtfiltUniformSql(uniformSql(3600.0), b, a)
+    },
     "k_filt_cfc" -> {
       val (b, a) = graft.dsp.FilterDesign.cfcCoefficients(2.0e-5, 1.0 / UNI_SR)
       OracleDsp.filtfiltUniformSql(uniformSql(3600.0), b, a)
@@ -1365,12 +1367,15 @@ object SparkEntry {
     val pop = "len(f.st) >= 3 AND abs(f.st[-1] - f.st[-2]) >= abs(f.st[-2] - f.st[-3])"
     s"""$SRC,
        |ordv AS MATERIALIZED (
-       |  SELECT channel, row_number() OVER (PARTITION BY channel ORDER BY t) AS rn, v FROM src
+       |  SELECT channel, row_number() OVER (PARTITION BY channel ORDER BY t) AS rn, v,
+       |         count(*) OVER (PARTITION BY channel) AS orig_n
+       |  FROM src
        |),
        |comp AS (
        |  SELECT channel, row_number() OVER (PARTITION BY channel ORDER BY rn) AS crn, v,
-       |         count(*) OVER (PARTITION BY channel) AS m
-       |  FROM (SELECT channel, rn, v, lag(v) OVER (PARTITION BY channel ORDER BY rn) AS pv
+       |         count(*) OVER (PARTITION BY channel) AS m, orig_n
+       |  FROM (SELECT channel, rn, v, orig_n,
+       |               lag(v) OVER (PARTITION BY channel ORDER BY rn) AS pv
        |        FROM ordv)
        |  WHERE pv IS NULL OR v != pv
        |),
@@ -1380,6 +1385,11 @@ object SparkEntry {
        |               lag(v) OVER wc AS pv, lead(v) OVER wc AS nv
        |        FROM comp WINDOW wc AS (PARTITION BY channel ORDER BY crn))
        |  WHERE crn = 1 OR crn = m OR (v - pv) * (nv - v) < 0
+       |  UNION ALL
+       |  -- a constant channel compresses to ONE point, but the kernel
+       |  -- (Rainflow.reversals) always appends the final sample for
+       |  -- >= 2 input samples: [v, v] -> one 0-range half cycle
+       |  SELECT channel, 1 AS rn, v FROM comp WHERE m = 1 AND orig_n >= 2
        |),
        |rf AS (
        |  SELECT channel, CAST(0 AS BIGINT) AS pos, CAST([] AS DOUBLE[]) AS st,
@@ -1777,7 +1787,7 @@ object SparkEntry {
          |  ) WHERE pr = 1
          |),
          |m$t AS (
-         |  SELECT a.cluster, ed.dim, round(avg(ed.x), 6) AS m
+         |  SELECT a.cluster, ed.dim, round(avg(ed.x) + 1e-7, 6) AS m
          |  FROM a$t a JOIN ed ON ed.vec_id = a.vec_id GROUP BY a.cluster, ed.dim
          |),
          |c${t}d AS (

@@ -29,12 +29,7 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
-  def initComponent(j: Int, d: Int): Double = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"kmeans:$j:$d".getBytes("UTF-8"))
-    val hex = digest.map(b => f"$b%02x").mkString.substring(0, 13)
-    java.lang.Long.parseLong(hex, 16) / 4503599627370496.0 - 0.5
-  }
+  def initComponent(j: Int, d: Int): Double = Similarity.hashComponent("kmeans", j, d)
 
   /** Squared L2 distance of the embedding column to a centroid
     * literal, left-to-right accumulation (engine-portable).
@@ -67,19 +62,27 @@ object Clustering {
         firstRow(0).getInt(0)
       }
     var centroids = Array.tabulate(k)(j => Array.tabulate(d0)(d => initComponent(j, d)))
-    for (_ <- 0 until iters) {
-      val assigned = vectors.select(col("vec_id"), col("embedding"),
-        guard(d0, assignExpr(centroids)).as("cluster"))
-      // per-(cluster, dim) means; n*dims rows but fully partial-agg'd
-      val means = assigned
-        .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "x")))
-        .groupBy("cluster", "dim")
-        .agg(round(avg(col("x").cast("double")), 6).as("m"))
-        .collect()
-      val next = centroids.map(_.clone())
-      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-      centroids = next
-    }
+    // the iterations scan the input once per Lloyd step — cache the
+    // projection so steps 2..iters hit memory, not the source
+    val proj = vectors.select(col("vec_id"), col("embedding")).cache()
+    try {
+      for (_ <- 0 until iters) {
+        val assigned = proj.select(col("vec_id"), col("embedding"),
+          guard(d0, assignExpr(centroids)).as("cluster"))
+        // per-(cluster, dim) means; n*dims rows but fully partial-agg'd.
+        // +1e-7 before round: means of discrete-valued embeddings can
+        // land exactly on round-6 midpoints where engines tie-break
+        // differently (see the parity notes in SparkEntry)
+        val means = assigned
+          .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "x")))
+          .groupBy("cluster", "dim")
+          .agg(round(avg(col("x").cast("double")) + 1e-7, 6).as("m"))
+          .collect()
+        val next = centroids.map(_.clone())
+        means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+        centroids = next
+      }
+    } finally proj.unpersist(blocking = false)
     val best = array_min(array(centroids.zipWithIndex.map { case (c, j) =>
       struct(sqDist(c).as("dist"), lit(j).as("cluster"))
     }: _*))

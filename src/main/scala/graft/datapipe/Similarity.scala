@@ -52,16 +52,21 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 6).as("cos"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane j,
-    * dim d), computed driver-side: md5-derived value in [-0.5, 0.5).
-    * Same bit pattern as the SQL `hash52('plane:j:d') / 2^52 - 0.5`.
+  /** Deterministic pseudo-random component for key "prefix:j:d":
+    * md5-derived value in [-0.5, 0.5), the single source of truth for
+    * every driver-side plane/centroid/seed derivation. Same bit
+    * pattern as the SQL `hash52('prefix:j:d') / 2^52 - 0.5` the
+    * oracles re-derive.
     */
-  def planeComponent(j: Int, d: Int): Double = {
+  def hashComponent(prefix: String, j: Int, d: Int): Double = {
     val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"plane:$j:$d".getBytes("UTF-8"))
+      .digest(s"$prefix:$j:$d".getBytes("UTF-8"))
     val hex = digest.map(b => f"$b%02x").mkString.substring(0, 13)
     java.lang.Long.parseLong(hex, 16) / 4503599627370496.0 - 0.5
   }
+
+  /** Hyperplane component for (plane j, dim d). */
+  def planeComponent(j: Int, d: Int): Double = hashComponent("plane", j, d)
 
   /** Sign-LSH bucket key from `nPlanes` deterministic hyperplanes:
     * bucket = sum_j 2^j * (v . plane_j > 0). The planes are
@@ -137,15 +142,9 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random centroid component for (list j,
-    * dim d) — the IVF analog of `planeComponent` (md5-derived value
-    * in [-0.5, 0.5), reproducible in any engine).
+    * dim d) — the IVF analog of `planeComponent`.
     */
-  def centroidComponent(j: Int, d: Int): Double = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"ivf:$j:$d".getBytes("UTF-8"))
-    val hex = digest.map(b => f"$b%02x").mkString.substring(0, 13)
-    java.lang.Long.parseLong(hex, 16) / 4503599627370496.0 - 0.5
-  }
+  def centroidComponent(j: Int, d: Int): Double = hashComponent("ivf", j, d)
 
   def centroid(j: Int, dims: Int): Array[Double] =
     Array.tabulate(dims)(d => centroidComponent(j, d))
@@ -202,7 +201,14 @@ object Similarity {
       emb(col("embedding")).as("ce"), best.as("list"))
     val q = queries.select(col("vec_id").as("query_id"), emb(col("embedding")).as("qe"),
         explode(slice(reverse(array_sort(scores)), 1, nprobe)).as("probe"))
-      .select(col("query_id"), col("qe"), col("probe.list").as("list"))
+      // same ragged-dims contract on the query side (scores are NULL
+      // for a wrong-length embedding, which would silently pick probe
+      // lists by list id alone)
+      .select(col("query_id"), col("qe"),
+        when(size(col("qe")) === d0, col("probe.list"))
+          .otherwise(raise_error(concat(
+            lit(s"ivfTopK: embedding dims != $d0 for vec_id="),
+            col("query_id"))).cast("int")).as("list"))
     val scored = c.join(broadcast(q), "list")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("qe"), col("ce")).as("cos"))

@@ -48,7 +48,9 @@ object IIR {
     x
   }
 
-  private def normalized(b: Array[Double], a: Array[Double]): (Array[Double], Array[Double]) = {
+  // package-visible: OracleDsp replays the recurrence bit-for-bit and
+  // must use the SAME normalization doubles
+  private[graft] def normalized(b: Array[Double], a: Array[Double]): (Array[Double], Array[Double]) = {
     val n = math.max(b.length, a.length)
     val bp = Array.tabulate(n)(i => if (i < b.length) b(i) / a(0) else 0.0)
     val ap = Array.tabulate(n)(i => if (i < a.length) a(i) / a(0) else 0.0)
