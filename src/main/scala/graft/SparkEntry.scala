@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.signal.{Channels, Signal, Spectrum}
-import graft.datapipe.{Clustering, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.datapipe.{Clustering, Dedup, Multimodal, Ranking, Sampling, Sessions, Similarity, TextAnalysis}
 import graft.ops.{Interp, Kernels, Psd}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -35,6 +35,7 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def ev(s: SparkSession, dir: String) =
     evCache.getOrElseUpdate((s, dir), Channels.events(s, dir).cache())
+  private def rawEvents(s: SparkSession, dir: String) = Channels.rawEvents(s, dir)
 
   /** events channels resampled to a uniform 1/3600 Hz grid — the
     * constant-rate substrate for the samplerate-dependent kernels.
@@ -94,6 +95,35 @@ object SparkEntry {
       |         (epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY event_type)) / 1000000.0 AS t,
       |         value AS v
       |  FROM events
+      |)""".stripMargin
+
+  /** Sessionized event log (8 h gap), shared by the session oracles.
+    * Mirrors Sessions.sessionize: lag + running sum over the per-user
+    * (ts, event_id)-ordered window, exact integer microseconds.
+    */
+  private val SESS =
+    """e AS (
+      |  SELECT event_id, user_id, value, epoch_us(ts) AS us,
+      |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+      |  FROM events
+      |),
+      |sess AS (
+      |  SELECT event_id, user_id, us, value,
+      |         CAST(sum(CASE WHEN prev IS NULL OR us - prev > 28800000000 THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      |  FROM e
+      |)""".stripMargin
+
+  /** Per-(doc, term) frequencies — the shared base of the TF-IDF and
+    * BM25 oracles (mirrors Ranking.termCounts).
+    */
+  private val TERM_COUNTS =
+    """tc AS (
+      |  SELECT doc_id, g AS term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS g
+      |        FROM documents)
+      |  GROUP BY doc_id, g
       |)""".stripMargin
 
   // ---- flagship ----------------------------------------------------------
@@ -574,7 +604,42 @@ object SparkEntry {
       val (b, a) = graft.dsp.FilterDesign.butter(2, (sr / 8) / (sr / 2), "lowpass")
       graft.ops.ParallelIIR.lfilterDistributed(evUniform(s, dir), b, a, chunk = 500)
         .select(col("channel"), col("t"), format_string("%.4e", col("v")).as("v"))
-    })
+    }),
+
+    // -- sessionization (behavioral grouping over the raw event log) --
+    "q_sessionize" -> ((s, dir) =>
+      Sessions.sessionize(rawEvents(s, dir), gapSec = 28800)
+        .select(col("event_id"), col("user_id"), col("session_seq"))),
+    "q_session_stats" -> ((s, dir) =>
+      Sessions.sessionStats(rawEvents(s, dir), gapSec = 28800)
+        .select(col("user_id"), col("session_seq"), col("n_events"),
+          col("dur_sec"), round(col("sum_value") + 1e-7, 4).as("sum_value"))),
+
+    // -- repetition / n-gram quality signals (Gopher-style) --
+    "q_repetition" -> ((s, dir) => TextAnalysis.repetition(docs(s, dir))),
+
+    // -- lexical ranking: TF-IDF salient terms, BM25 retrieval --
+    "q_tfidf_topk" -> ((s, dir) =>
+      Ranking.tfidfTopK(docs(s, dir), k = 3)
+        .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+          round(col("tfidf") + 1e-7, 6).as("tfidf"))),
+    "q_bm25" -> ((s, dir) =>
+      Ranking.bm25(docs(s, dir), Seq("spark", "data", "query", "window", "stream"))
+        .select(col("doc_id"), round(col("bm25") + 1e-7, 4).as("bm25"),
+          col("n_matched"))),
+
+    // -- deterministic sampling / splitting --
+    "q_hash_split" -> ((s, dir) =>
+      Sampling.hashSplit(docs(s, dir), col("doc_id"), "split1",
+          Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .select(col("doc_id"), col("lang"), col("split"))),
+    "q_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(docs(s, dir), col("lang"), col("doc_id"), "strat1",
+          Map("en" -> 0.25, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.5, "zh" -> 0.1))
+        .select(col("doc_id"), col("lang"))),
+    "q_group_sample" -> ((s, dir) =>
+      Sampling.perGroupSample(docs(s, dir), col("source"), col("doc_id"), "grp1", k = 5)
+        .select(col("source"), col("sample_rank"), col("doc_id")))
   )
 
   /** Deterministic pseudo-spectrum per channel: freq = sample rank,
@@ -1066,7 +1131,7 @@ object SparkEntry {
          |         max(rng) OVER (PARTITION BY channel) / 10 AS size
          |  FROM cyc
          |)
-         |SELECT channel, greatest(ceil(rng / size), 1) * size AS rng, sum(cycles) AS cycles
+         |SELECT channel, greatest(ceil(rng / size), 1) * size AS rng, CAST(sum(cycles) AS DOUBLE) AS cycles
          |FROM sized GROUP BY channel, greatest(ceil(rng / size), 1) * size""".stripMargin,
 
     "q_text_stats" ->
@@ -1120,6 +1185,111 @@ object SparkEntry {
     "q_ivf_topk" -> ivfTopkSql,
     "q_kmeans" -> kmeansSql,
     "q_ngram_jaccard" -> ngramJaccardSql,
+
+    // -- sessionization: lag/running-sum boundary detection replayed
+    // verbatim; all arithmetic on exact integer microseconds --
+    "q_sessionize" ->
+      s"""WITH $SESS
+         |SELECT event_id, user_id, session_seq FROM sess""".stripMargin,
+    "q_session_stats" ->
+      s"""WITH $SESS
+         |SELECT user_id, session_seq, count(*) AS n_events,
+         |       (max(us) - min(us)) / 1000000.0 AS dur_sec,
+         |       round(sum(value) + 1e-7, 4) AS sum_value
+         |FROM sess GROUP BY user_id, session_seq""".stripMargin,
+
+    // -- repetition signals: ratios are exact integer divisions, so no
+    // rounding anywhere --
+    "q_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS a FROM documents
+        |),
+        |uni AS (
+        |  SELECT doc_id, g, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(a) AS g FROM toks) GROUP BY doc_id, g
+        |),
+        |us AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
+        |         max(c) AS top_tok_n
+        |  FROM uni GROUP BY doc_id
+        |),
+        |bi AS (
+        |  SELECT doc_id, g, count(*) AS c
+        |  FROM (SELECT doc_id,
+        |               unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i + 1])) AS g
+        |        FROM toks) GROUP BY doc_id, g
+        |),
+        |bs AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, max(c) AS top_bigram_n
+        |  FROM bi GROUP BY doc_id
+        |)
+        |SELECT us.doc_id, n_tokens, n_distinct,
+        |       CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+        |       CAST(top_tok_n AS DOUBLE) / n_tokens AS top_tok_frac,
+        |       CAST(top_bigram_n AS DOUBLE) / n_bigrams AS top_bigram_frac
+        |FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id""".stripMargin,
+
+    // -- lexical ranking: rank keys are integers/strings (tf desc, df
+    // asc, term asc) so the selected rows are engine-exact; only the
+    // displayed ln()-scores are rounded --
+    "q_tfidf_topk" ->
+      s"""WITH $TERM_COUNTS,
+         |dfreq AS (SELECT term, count(*) AS df FROM tc GROUP BY term),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+         |r AS (
+         |  SELECT tc.doc_id, tc.term, tc.tf, dfreq.df,
+         |         row_number() OVER (PARTITION BY tc.doc_id
+         |                            ORDER BY tc.tf DESC, dfreq.df ASC, tc.term ASC) AS rank
+         |  FROM tc JOIN dfreq USING (term)
+         |)
+         |SELECT doc_id, rank, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+         |       round(tf * ln(1.0 + (SELECT n_docs FROM n) / df) + 1e-7, 6) AS tfidf
+         |FROM r WHERE rank <= 3""".stripMargin,
+    "q_bm25" ->
+      s"""WITH $TERM_COUNTS,
+         |dfreq AS (SELECT term, count(*) AS df FROM tc GROUP BY term),
+         |dl AS (SELECT doc_id,
+         |              CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS DOUBLE) AS dl
+         |       FROM documents),
+         |stats AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n_docs,
+         |                 (SELECT avg(dl) FROM dl) AS avgdl),
+         |q AS (SELECT unnest(['spark', 'data', 'query', 'window', 'stream']) AS term),
+         |scored AS (
+         |  SELECT tc.doc_id,
+         |         ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         |           * tc.tf * (1.2 + 1.0)
+         |           / (tc.tf + 1.2 * (0.25 + dl.dl / stats.avgdl * 0.75)) AS contrib
+         |  FROM tc JOIN q USING (term) JOIN dfreq USING (term) JOIN dl USING (doc_id), stats
+         |)
+         |SELECT doc_id, round(sum(contrib) + 1e-7, 4) AS bm25, count(*) AS n_matched
+         |FROM scored GROUP BY doc_id""".stripMargin,
+
+    // -- deterministic sampling: the salted md5 bucket replayed with
+    // the same '0x'||substr(md5) 52-bit trick as minhash/IVF; the
+    // stratified thresholds repeat Spark's f * 10000.0 double product
+    // so boundary buckets agree bit-exactly --
+    "q_hash_split" ->
+      """SELECT doc_id, lang,
+        |       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id, lang,
+        |             ('0x' || substr(md5('split1:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT % 100 AS b
+        |      FROM documents)""".stripMargin,
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang
+        |FROM (SELECT doc_id, lang,
+        |             ('0x' || substr(md5('strat1:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT % 10000 AS b
+        |      FROM documents)
+        |WHERE b < CASE lang WHEN 'en' THEN 0.25 * 10000.0 WHEN 'de' THEN 0.5 * 10000.0
+        |               WHEN 'fr' THEN 0.5 * 10000.0 WHEN 'es' THEN 0.5 * 10000.0
+        |               WHEN 'zh' THEN 0.1 * 10000.0 ELSE -1.0 END""".stripMargin,
+    "q_group_sample" ->
+      """SELECT source, sample_rank, doc_id
+        |FROM (SELECT source, doc_id,
+        |             row_number() OVER (PARTITION BY source
+        |               ORDER BY ('0x' || substr(md5('grp1:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT,
+        |                        CAST(doc_id AS VARCHAR)) AS sample_rank
+        |      FROM documents)
+        |WHERE sample_rank <= 5""".stripMargin,
 
     "q_embedding_norms" ->
       """SELECT vec_id,

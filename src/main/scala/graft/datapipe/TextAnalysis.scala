@@ -100,4 +100,48 @@ object TextAnalysis {
     */
   def hash52(c: Column): Column =
     conv(substring(md5(to_binary(c, lit("utf-8"))), 1, 13), 16, 10).cast("long")
+
+  /** Lowercased whitespace tokens as an array column. */
+  def tokensOf(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** Adjacent-token bigrams, built map-side from the token array
+    * (zip_with over two slices — no shuffle, no window needed to pair
+    * neighbors).
+    */
+  def bigramsOf(tokens: Column): Column =
+    zip_with(
+      slice(tokens, lit(1), size(tokens) - 1),
+      slice(tokens, lit(2), size(tokens) - 1),
+      (a, b) => concat(a, lit(" "), b))
+
+  /** Gopher-style repetition signals per document: token counts,
+    * distinct-token ratio, and the fraction of tokens claimed by the
+    * most frequent unigram / bigram. High top-n-gram fractions flag
+    * degenerate machine-generated or boilerplate text.
+    *
+    * Scale shape: explode + two-level aggregation keyed (doc, gram) —
+    * map-side partial aggregation collapses repeats before the
+    * shuffle, so shuffle volume is per-doc distinct grams. All ratios
+    * are exact integer divisions (bit-identical across engines, no
+    * rounding needed).
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokensOf(col("text")).as("toks"))
+    val uni = toks.select(col("doc_id"), explode(col("toks")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max("c").as("top_tok_n"))
+    val bi = toks.select(col("doc_id"), explode(bigramsOf(col("toks"))).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_bigrams"),
+        max("c").as("top_bigram_n"))
+    uni.join(bi, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (col("n_distinct").cast("double") / col("n_tokens")).as("distinct_ratio"),
+        (col("top_tok_n").cast("double") / col("n_tokens")).as("top_tok_frac"),
+        (col("top_bigram_n").cast("double") / col("n_bigrams")).as("top_bigram_frac"))
+  }
 }

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.datapipe.{Ranking, Sampling, Sessions, TextAnalysis}
+
+/** Tests for the pipeline operators added in round 4: gap-based
+  * sessionization, repetition signals, TF-IDF/BM25 ranking, and
+  * deterministic sampling/splitting.
+  */
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docsDf = {
+    import spark.implicits._
+    Seq(
+      (0L, "the cat sat on the mat the cat", "en", "s0"),
+      (1L, "dog dog dog dog", "en", "s0"),
+      (2L, "one two three four five six", "en", "s1"),
+      (3L, "alpha", "de", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+  }
+
+  test("sessionize: boundaries exactly at gap threshold, per-user restart") {
+    import spark.implicits._
+    // user 1: gaps of 10s, exactly 3600s (NOT a new session: > means
+    // strictly greater), 3601s (new session); user 2: single event
+    val us = Seq(0L, 10L, 3610L, 7211L).map(_ * 1000000L)
+    val events = (us.zipWithIndex.map { case (u, i) => (i.toLong, 1L, u, 1.0) } :+
+      (99L, 2L, 5L * 1000000L, 2.0))
+      .toDF("event_id", "user_id", "us", "value")
+    val out = Sessions.sessionize(events, gapSec = 3600)
+      .select("event_id", "user_id", "session_seq").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((0L, 1L, 1L), (1L, 1L, 1L), (2L, 1L, 1L), (3L, 1L, 2L),
+      (99L, 2L, 1L)))
+    val stats = Sessions.sessionStats(events, gapSec = 3600)
+      .orderBy("user_id", "session_seq").collect()
+    assert(stats.map(_.getLong(2)).toSeq == Seq(3L, 1L, 1L)) // n_events
+    assert(stats(0).getDouble(3) == 3610.0) // dur_sec of first session
+  }
+
+  test("repetition: exact fractions, single-token doc yields null bigram stats") {
+    val out = TextAnalysis.repetition(docsDf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 0: 8 tokens, top word "the" x3; bigram "the cat" x2 of 7
+    assert(out(0L).getLong(1) == 8 && out(0L).getDouble(4) == 3.0 / 8)
+    assert(out(0L).getDouble(5) == 2.0 / 7)
+    // doc 1: fully repeated
+    assert(out(1L).getDouble(4) == 1.0 && out(1L).getDouble(5) == 1.0)
+    // doc 2: all distinct
+    assert(out(2L).getDouble(3) == 1.0)
+    // doc 3: one token -> no bigrams -> null fraction
+    assert(out(3L).isNullAt(5))
+  }
+
+  test("tfidf: integer-keyed ranks, rare terms outrank common ones at equal tf") {
+    val rows = Ranking.tfidfTopK(docsDf, k = 2).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.values.forall(rs => rs.map(_.getInt(1)).sorted.sameElements(1 to rs.length)))
+    // doc 0: "the" (tf 3) then "cat" (tf 2)
+    val d0 = byDoc(0L).sortBy(_.getInt(1)).map(_.getString(2)).toSeq
+    assert(d0 == Seq("the", "cat"))
+    // scores are positive and finite
+    assert(rows.forall(r => r.getDouble(5) > 0 && !r.getDouble(5).isNaN))
+  }
+
+  test("bm25: only matching docs scored, repeated-term doc saturates below linear") {
+    val out = Ranking.bm25(docsDf, Seq("dog", "cat"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(0L, 1L))
+    assert(out(0L)._2 == 1 && out(1L)._2 == 1)
+    // tf saturation: doc 1 has tf=4 of "dog" but score must be well
+    // under 4x the idf (k1=1.2 caps the tf term at k1+1)
+    val idfDog = math.log(1.0 + (4 - 1 + 0.5) / (1 + 0.5))
+    assert(out(1L)._1 < 4 * idfDog)
+  }
+
+  test("hashSplit: deterministic, partition-independent, full cover") {
+    val a = Sampling.hashSplit(docsDf, col("doc_id"), "s",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    val b = Sampling.hashSplit(docsDf.repartition(7), col("doc_id"), "s",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    val am = a.collect().map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    val bm = b.collect().map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    assert(am == bm && am.size == 4)
+    assert(am.values.forall(Set("train", "val", "test")))
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(docsDf, col("doc_id"), "s", Seq("a" -> 50, "b" -> 40))
+    }
+  }
+
+  test("stratifiedSample: subset, deterministic, respects 0 and 1 fractions") {
+    val full = Sampling.stratifiedSample(docsDf, col("lang"), col("doc_id"), "x",
+      Map("en" -> 1.0, "de" -> 1.0))
+    assert(full.count() == 4)
+    val none = Sampling.stratifiedSample(docsDf, col("lang"), col("doc_id"), "x",
+      Map("en" -> 0.0))
+    assert(none.count() == 0)
+    val s1 = Sampling.stratifiedSample(docsDf, col("lang"), col("doc_id"), "y",
+      Map("en" -> 0.5, "de" -> 0.5)).collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.stratifiedSample(docsDf.repartition(5), col("lang"), col("doc_id"), "y",
+      Map("en" -> 0.5, "de" -> 0.5)).collect().map(_.getLong(0)).toSet
+    assert(s1 == s2)
+  }
+
+  test("perGroupSample: exactly min(k, group size) per group, stable under repartition") {
+    val a = Sampling.perGroupSample(docsDf, col("source"), col("doc_id"), "z", k = 1)
+      .collect().map(r => (r.getAs[String]("source"), r.getLong(0))).toSet
+    val b = Sampling.perGroupSample(docsDf.repartition(3), col("source"), col("doc_id"), "z", k = 1)
+      .collect().map(r => (r.getAs[String]("source"), r.getLong(0))).toSet
+    assert(a == b && a.size == 2)
+    val all = Sampling.perGroupSample(docsDf, col("source"), col("doc_id"), "z", k = 10)
+    assert(all.count() == 4)
+  }
+}
