@@ -76,16 +76,29 @@ object SparkEntry {
     shingleCache.getOrElseUpdate((s, dir),
       Dedup.shingleHashes(Dedup.shingles(docs(s, dir), distinct = false)).cache())
 
+  /** Per-(doc, term) frequency table, cached per (session, dir): the
+    * TF-IDF and BM25 queries both branch from it several times (tf
+    * side, docFreq side, doc-length side), and Spark won't share the
+    * tokenize/explode lineage across branches — materializing it runs
+    * the corpus tokenization exactly once.
+    */
+  private val termCountCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def docTermCounts(s: SparkSession, dir: String): DataFrame =
+    termCountCache.getOrElseUpdate((s, dir),
+      Ranking.termCounts(docs(s, dir)).cache())
+
   /** Untimed warm-up for Bench: materialize the shared cached inputs
     * (events projection, uniform resample, Welch sub-PSD tables,
-    * document shingles) so no measured query absorbs a cache fill
-    * that several others reuse.
+    * document shingles, term counts) so no measured query absorbs a
+    * cache fill that several others reuse.
     */
   def warm(s: SparkSession, dir: String): Unit = {
     ev(s, dir).count()
     evUniform(s, dir).count()
     welchRmsBase(s, dir).count()
     docShingles(s, dir).count()
+    docTermCounts(s, dir).count()
   }
 
   /** The DuckDB view of the same channel model (µs-exact). */
@@ -565,6 +578,15 @@ object SparkEntry {
       s.read.format(graft.sources.WavSource.NAME).option("partitionFrames", 4096L)
         .load(tmp.getAbsolutePath).filter(col("ch") === 0)
     }),
+    "q_stream_sessions" -> ((s, dir) => {
+      // streaming sessionization: native session_window state merged
+      // across micro-batches; complete mode emits every closed-and-open
+      // session over the bounded source
+      import graft.streaming.StreamingOps._
+      runToMemorySink(sessionWindows(userEventsStream(s, dir)), "stream_sessions", "complete")
+        .select(col("user_id"), col("start_us"), col("n_events"),
+          round(col("sum_value") + 1e-7, 4).as("sum_value"))
+    }),
     "q_stream_dedup" -> ((s, dir) => {
       // streaming exact-dedup: watermarked dropDuplicates on the
       // (channel, ts) key — the streaming analog of deduplicate()
@@ -620,11 +642,12 @@ object SparkEntry {
 
     // -- lexical ranking: TF-IDF salient terms, BM25 retrieval --
     "q_tfidf_topk" -> ((s, dir) =>
-      Ranking.tfidfTopK(docs(s, dir), k = 3)
+      Ranking.tfidfTopK(docs(s, dir), k = 3, tc = Some(docTermCounts(s, dir)))
         .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
           round(col("tfidf") + 1e-7, 6).as("tfidf"))),
     "q_bm25" -> ((s, dir) =>
-      Ranking.bm25(docs(s, dir), Seq("spark", "data", "query", "window", "stream"))
+      Ranking.bm25(docs(s, dir), Seq("spark", "data", "query", "window", "stream"),
+          tc = Some(docTermCounts(s, dir)))
         .select(col("doc_id"), round(col("bm25") + 1e-7, 4).as("bm25"),
           col("n_matched"))),
 
@@ -1185,6 +1208,26 @@ object SparkEntry {
     "q_ivf_topk" -> ivfTopkSql,
     "q_kmeans" -> kmeansSql,
     "q_ngram_jaccard" -> ngramJaccardSql,
+
+    // -- streaming sessionization: session_window merges events
+    // strictly closer than the gap, so the batch replay uses >= for
+    // the boundary (vs > in the lag-based batch form below); equal
+    // timestamps merge under either ordering, so no tie-break key --
+    "q_stream_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, value,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev
+        |  FROM events
+        |),
+        |sess AS (
+        |  SELECT user_id, us, value,
+        |         CAST(sum(CASE WHEN prev IS NULL OR us - prev >= 28800000000 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM e
+        |)
+        |SELECT user_id, min(us) AS start_us, count(*) AS n_events,
+        |       round(sum(value) + 1e-7, 4) AS sum_value
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
 
     // -- sessionization: lag/running-sum boundary detection replayed
     // verbatim; all arithmetic on exact integer microseconds --

@@ -40,14 +40,19 @@ object Ranking {
   /** Top-k terms per document by TF-IDF. The rank orders on
     * (tf desc, df asc, term asc) — all integers/strings — and the
     * smoothed score ln(1 + N/df) * tf is emitted for inspection.
+    *
+    * Pass a materialized (cached) `termCounts` table via `tc` when
+    * running several ranking queries: Spark does not share the
+    * explode/aggregate lineage across the tc and docFreq branches, so
+    * without it the corpus is tokenized once per branch.
     */
-  def tfidfTopK(docs: DataFrame, k: Int): DataFrame = {
-    val tc = termCounts(docs)
-    val df = docFreq(tc)
+  def tfidfTopK(docs: DataFrame, k: Int, tc: Option[DataFrame] = None): DataFrame = {
+    val tcDf = tc.getOrElse(termCounts(docs))
+    val df = docFreq(tcDf)
     val n = docs.select(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("tf").desc, col("df").asc, col("term").asc)
-    tc.join(broadcast(df), "term")
+    tcDf.join(broadcast(df), "term")
       .crossJoin(broadcast(n))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -59,21 +64,23 @@ object Ranking {
   /** Okapi BM25 score of a fixed query-term set against every
     * document. idf is the standard smoothed form
     * ln(1 + (N - df + 0.5)/(df + 0.5)); document length is the
-    * whitespace token count; avgdl/N come from one corpus-stats
-    * aggregate (broadcast).
+    * whitespace token count — derived as sum(tf) from the term-count
+    * table, so the corpus text is never re-scanned; avgdl/N come from
+    * one corpus-stats aggregate (broadcast). The only touch of the
+    * raw docs table is a metadata-only count(*).
     */
   def bm25(docs: DataFrame, queryTerms: Seq[String],
-           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+           k1: Double = 1.2, b: Double = 0.75,
+           tc: Option[DataFrame] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val tc = termCounts(docs)
-    val df = docFreq(tc)
-    val dl = docs.select(col("doc_id"),
-      size(termsOf(col("text"))).cast("double").as("dl"))
+    val tcDf = tc.getOrElse(termCounts(docs))
+    val df = docFreq(tcDf)
+    val dl = tcDf.groupBy("doc_id").agg(sum("tf").cast("double").as("dl"))
     val stats = docs.select(count(lit(1)).cast("double").as("n_docs"))
       .crossJoin(dl.select(avg("dl").as("avgdl")))
     val q = queryTerms.toDF("term")
-    tc.join(broadcast(q), "term")
+    tcDf.join(broadcast(q), "term")
       .join(broadcast(df), "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))

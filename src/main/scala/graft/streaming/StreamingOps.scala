@@ -47,7 +47,7 @@ object StreamingOps {
     * and is reduced to a microsecond timestamp. The stream is built on
     * the streaming clone session (see `streamSession`).
     */
-  def eventsStream(root: SparkSession, sfDir: String): DataFrame = {
+  private def rawStream(root: SparkSession, sfDir: String): (DataFrame, org.apache.spark.sql.Column) = {
     val spark = streamSession(root)
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val raw = spark.readStream.schema(schema)
@@ -57,8 +57,40 @@ object StreamingOps {
       if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
         timestamp_micros(expr("ts div 1000"))
       else col("ts").cast("timestamp")
+    (raw, ts)
+  }
+
+  def eventsStream(root: SparkSession, sfDir: String): DataFrame = {
+    val (raw, ts) = rawStream(root, sfDir)
     raw.select(col("event_type").as("channel"), ts.as("ts"), col("value").as("v"))
   }
+
+  /** The events fixture as a per-user stream (user_id, ts, value) —
+    * the input shape of streaming sessionization.
+    */
+  def userEventsStream(root: SparkSession, sfDir: String): DataFrame = {
+    val (raw, ts) = rawStream(root, sfDir)
+    raw.select(col("user_id"), ts.as("ts"), col("value"))
+  }
+
+  /** Streaming sessionization via the native session_window operator:
+    * per-user sessions close when no event arrives within `gap`. This
+    * is the streaming analog of datapipe.Sessions.sessionize — state
+    * (the open session per user) lives in the state store and merges
+    * across micro-batches; the watermark bounds how late an event may
+    * extend a session. Note the boundary convention differs from the
+    * batch lag-based form: session_window merges strictly-closer-than-
+    * gap events (gap >= threshold starts a new session).
+    */
+  def sessionWindows(stream: DataFrame, gap: String = "8 hours",
+                     watermark: String = "1 hour"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        col("n_events"), col("sum_value"))
 
   /** Sliding-window RMS per channel with a watermark for late data —
     * the streaming analog of mov_rms over wall-clock windows.

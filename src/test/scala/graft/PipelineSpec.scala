@@ -112,6 +112,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(s1 == s2)
   }
 
+  test("sessionWindows: bounded stream equals batch gap-sessionization (>= boundary)") {
+    import graft.streaming.StreamingOps._
+    val sfDir = "/root/testdata/sf0.001"
+    val streamed = runToMemorySink(
+      sessionWindows(userEventsStream(spark, sfDir)), "t_sessions", "complete")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // batch replay with session_window's strict-merge convention:
+    // events exactly gap apart do NOT merge
+    val batch = Sessions.sessionize(
+      graft.signal.Channels.rawEvents(spark, sfDir), gapSec = 28800 - 1)
+    // gapSec-1 with > boundary == gap with >= boundary only when no
+    // gap is exactly 28800s; assert that precondition, then compare
+    val exact = graft.signal.Channels.rawEvents(spark, sfDir)
+      .selectExpr("user_id", "us")
+      .withColumn("prev", lag("us", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("us")))
+      .filter(col("us") - col("prev") === 28800L * 1000000L)
+    assert(exact.count() == 0)
+    val batchAgg = batch.groupBy("user_id", "session_seq")
+      .agg(min("us").as("start_us"), count(lit(1)).as("n_events"))
+      .select("user_id", "start_us", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batchAgg)
+  }
+
+  test("ranking with a shared term-count table matches the self-computed path") {
+    val tc = Ranking.termCounts(docsDf)
+    val a = Ranking.tfidfTopK(docsDf, k = 2).collect().map(_.toString).sorted.toSeq
+    val b = Ranking.tfidfTopK(docsDf, k = 2, tc = Some(tc)).collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+    val c = Ranking.bm25(docsDf, Seq("dog", "cat")).collect().map(_.toString).sorted.toSeq
+    val d = Ranking.bm25(docsDf, Seq("dog", "cat"), tc = Some(tc)).collect().map(_.toString).sorted.toSeq
+    assert(c == d)
+  }
+
   test("perGroupSample: exactly min(k, group size) per group, stable under repartition") {
     val a = Sampling.perGroupSample(docsDf, col("source"), col("doc_id"), "z", k = 1)
       .collect().map(r => (r.getAs[String]("source"), r.getLong(0))).toSet
