@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.signal.{Channels, Signal, Spectrum}
-import graft.datapipe.{Clustering, Dedup, Multimodal, Ranking, Sampling, Sessions, Similarity, TextAnalysis}
+import graft.datapipe.{Clustering, Dedup, Multimodal, Packing, Ranking, Sampling, Sessions, Similarity, TextAnalysis}
 import graft.ops.{Interp, Kernels, Psd}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -662,7 +662,14 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))),
     "q_group_sample" -> ((s, dir) =>
       Sampling.perGroupSample(docs(s, dir), col("source"), col("doc_id"), "grp1", k = 5)
-        .select(col("source"), col("sample_rank"), col("doc_id")))
+        .select(col("source"), col("sample_rank"), col("doc_id"))),
+
+    // -- sequence packing (concat-and-chunk training batch assembly) --
+    "q_pack" -> ((s, dir) =>
+      Packing.packChunks(docs(s, dir), TextAnalysis.wsTokenCount(col("text")),
+          budget = 512, col("source"), col("doc_id"))
+        .select(col("doc_id"), col("source"), col("tokens"), col("start_off"),
+          col("bin_first"), col("bin_last")))
   )
 
   /** Deterministic pseudo-spectrum per channel: freq = sample rank,
@@ -1333,6 +1340,25 @@ object SparkEntry {
         |                        CAST(doc_id AS VARCHAR)) AS sample_rank
         |      FROM documents)
         |WHERE sample_rank <= 5""".stripMargin,
+
+    // -- sequence packing: running token offsets are exact integer
+    // window sums; chunk ids are exact floor divisions --
+    "q_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tokens
+        |  FROM documents
+        |),
+        |o AS (
+        |  SELECT doc_id, source, tokens,
+        |         CAST(coalesce(sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+        |  FROM t
+        |)
+        |SELECT doc_id, source, tokens, start_off,
+        |       CAST(floor(start_off / 512) AS BIGINT) AS bin_first,
+        |       CAST(floor((start_off + tokens - 1) / 512) AS BIGINT) AS bin_last
+        |FROM o""".stripMargin,
 
     "q_embedding_norms" ->
       """SELECT vec_id,

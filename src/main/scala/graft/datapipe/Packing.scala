@@ -1,0 +1,39 @@
+package graft.datapipe
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for training-batch assembly: documents are
+  * concatenated in a deterministic order within each shard and cut
+  * into fixed token-budget chunks (the concat-and-chunk convention —
+  * a document whose span crosses a boundary straddles two bins).
+  *
+  * Scale shape: one shuffle on the shard key; the running token
+  * offset is an UNBOUNDED PRECEDING window sum (incremental O(n) per
+  * partition, no driver state, no sequential bin-packing loop). Shard
+  * = the unit a trainer reads independently, so bin ids only need to
+  * be unique within a shard.
+  */
+object Packing {
+
+  /** Assign each document its token span and chunk range.
+    * `tokens` must be an integer token-count column; ordering within
+    * a shard is (orderCol asc) and must be unique per shard for
+    * determinism. Emits start_off (tokens before this doc in its
+    * shard), bin_first/bin_last (chunk ids the doc lands in). A
+    * zero-token doc yields bin_last < bin_first (occupies no chunk).
+    */
+  def packChunks(docs: DataFrame, tokens: Column, budget: Long,
+                 shard: Column, orderCol: Column): DataFrame = {
+    val w = Window.partitionBy(shard).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val start = coalesce(sum(tokens).over(w), lit(0L))
+    docs
+      .withColumn("tokens", tokens.cast("long"))
+      .withColumn("start_off", start)
+      .withColumn("bin_first", floor(col("start_off") / budget))
+      .withColumn("bin_last",
+        floor((col("start_off") + col("tokens") - 1) / budget))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.datapipe.{Ranking, Sampling, Sessions, TextAnalysis}
+import graft.datapipe.{Packing, Ranking, Sampling, Sessions, TextAnalysis}
 
 /** Tests for the pipeline operators added in round 4: gap-based
   * sessionization, repetition signals, TF-IDF/BM25 ranking, and
@@ -145,6 +145,25 @@ class PipelineSpec extends AnyFunSuite {
     val c = Ranking.bm25(docsDf, Seq("dog", "cat")).collect().map(_.toString).sorted.toSeq
     val d = Ranking.bm25(docsDf, Seq("dog", "cat"), tc = Some(tc)).collect().map(_.toString).sorted.toSeq
     assert(c == d)
+  }
+
+  test("packChunks: contiguous spans, straddling docs, budget-boundary exactness") {
+    import spark.implicits._
+    // tokens per doc: 3, 4, 5 in shard A (budget 4); 4 in shard B
+    val d = Seq((0L, "a b c", "A"), (1L, "d e f g", "A"), (2L, "h i j k l", "A"),
+      (3L, "m n o p", "B")).toDF("doc_id", "text", "source")
+    val out = Packing.packChunks(d, TextAnalysis.wsTokenCount(col("text")),
+        budget = 4, col("source"), col("doc_id"))
+      .select("doc_id", "start_off", "bin_first", "bin_last")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val m = out
+    // doc0 [0,3) -> bin 0; doc1 [3,7) straddles bins 0..1; doc2 [7,12) bins 1..2
+    assert(m(0L) == (0L, 0L, 0L))
+    assert(m(1L) == (3L, 0L, 1L))
+    assert(m(2L) == (7L, 1L, 2L))
+    // shard B restarts offsets; doc3 [0,4) ends exactly at the budget
+    // boundary and must stay in bin 0
+    assert(m(3L) == (0L, 0L, 0L))
   }
 
   test("perGroupSample: exactly min(k, group size) per group, stable under repartition") {
