@@ -1218,18 +1218,21 @@ object SparkEntry {
 
     // -- streaming sessionization: session_window merges events
     // strictly closer than the gap, so the batch replay uses >= for
-    // the boundary (vs > in the lag-based batch form below); equal
-    // timestamps merge under either ordering, so no tie-break key --
+    // the boundary (vs > in the lag-based batch form below). Both
+    // window sorts carry the event_id tie-break: with duplicate
+    // (user, us) rows at a boundary, the flag-1 row must sort before
+    // its flag-0 duplicates in the running sum or the sum assigns the
+    // old session id nondeterministically --
     "q_stream_sessions" ->
       """WITH e AS (
-        |  SELECT user_id, epoch_us(ts) AS us, value,
-        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev
+        |  SELECT event_id, user_id, epoch_us(ts) AS us, value,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
         |  FROM events
         |),
         |sess AS (
         |  SELECT user_id, us, value,
         |         CAST(sum(CASE WHEN prev IS NULL OR us - prev >= 28800000000 THEN 1 ELSE 0 END)
-        |           OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |           OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
         |  FROM e
         |)
         |SELECT user_id, min(us) AS start_us, count(*) AS n_events,

@@ -25,8 +25,12 @@ import org.apache.spark.sql.functions._
   */
 object Ranking {
 
-  /** Whitespace tokenization into lowercase terms. */
-  def termsOf(text: Column): Column = split(trim(lower(text)), "\\s+")
+  /** Whitespace tokenization into lowercase terms — the single
+    * tokenizer shared with the repetition/quality operators (the
+    * DuckDB oracles replicate its exact semantics, so there must be
+    * only one).
+    */
+  def termsOf(text: Column): Column = TextAnalysis.tokensOf(text)
 
   /** (doc_id, term, tf) — one row per distinct term per document. */
   def termCounts(docs: DataFrame): DataFrame =
@@ -68,21 +72,32 @@ object Ranking {
     * table, so the corpus text is never re-scanned; avgdl/N come from
     * one corpus-stats aggregate (broadcast). The only touch of the
     * raw docs table is a metadata-only count(*).
+    *
+    * Scale shape: ONE exchange of the term-count table (the per-doc
+    * aggregate). That aggregate computes doc length AND collects the
+    * query-term hits in the same pass; the explode, the broadcast
+    * joins (vocab-sized df, 1-row stats) and the re-aggregation all
+    * preserve the doc_id partitioning, so no further shuffle of
+    * doc-grain data. Non-matching docs drop before the explode.
     */
   def bm25(docs: DataFrame, queryTerms: Seq[String],
            k1: Double = 1.2, b: Double = 0.75,
            tc: Option[DataFrame] = None): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     val tcDf = tc.getOrElse(termCounts(docs))
     val df = docFreq(tcDf)
-    val dl = tcDf.groupBy("doc_id").agg(sum("tf").cast("double").as("dl"))
+    val perDoc = tcDf.groupBy("doc_id").agg(
+      sum("tf").cast("double").as("dl"),
+      // collect_list skips the otherwise-branch nulls, so qtf holds
+      // exactly this doc's query-term (term, tf) hits
+      collect_list(when(col("term").isInCollection(queryTerms),
+        struct(col("term"), col("tf")))).as("qtf"))
     val stats = docs.select(count(lit(1)).cast("double").as("n_docs"))
-      .crossJoin(dl.select(avg("dl").as("avgdl")))
-    val q = queryTerms.toDF("term")
-    tcDf.join(broadcast(q), "term")
+      .crossJoin(broadcast(perDoc.select(avg("dl").as("avgdl"))))
+    perDoc.filter(size(col("qtf")) > 0)
+      .select(col("doc_id"), col("dl"), explode(col("qtf")).as("hit"))
+      .select(col("doc_id"), col("dl"),
+        col("hit.term").as("term"), col("hit.tf").as("tf"))
       .join(broadcast(df), "term")
-      .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))

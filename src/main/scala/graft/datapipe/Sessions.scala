@@ -26,11 +26,20 @@ object Sessions {
     */
   def sessionize(events: DataFrame, gapSec: Long,
                  userCol: String = "user_id", usCol: String = "us",
-                 idCol: String = "event_id"): DataFrame = {
+                 idCol: String = "event_id"): DataFrame =
+    sessionizeMicros(events, gapSec * 1000000L, userCol, usCol, idCol)
+
+  /** Microsecond-grain variant: a new session starts when the gap is
+    * STRICTLY greater than `gapUs`. To express a `gap >= G` boundary
+    * (session_window's convention) pass `gapUs = G - 1`.
+    */
+  def sessionizeMicros(events: DataFrame, gapUs: Long,
+                       userCol: String = "user_id", usCol: String = "us",
+                       idCol: String = "event_id"): DataFrame = {
     val w = Window.partitionBy(userCol).orderBy(col(usCol), col(idCol))
     val prevUs = lag(col(usCol), 1).over(w)
     val isStart = when(
-      prevUs.isNull || col(usCol) - prevUs > gapSec * 1000000L,
+      prevUs.isNull || col(usCol) - prevUs > gapUs,
       1L).otherwise(0L)
     events.withColumn("session_seq",
       sum(isStart).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -118,18 +118,11 @@ class PipelineSpec extends AnyFunSuite {
     val streamed = runToMemorySink(
       sessionWindows(userEventsStream(spark, sfDir)), "t_sessions", "complete")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    // batch replay with session_window's strict-merge convention:
-    // events exactly gap apart do NOT merge
-    val batch = Sessions.sessionize(
-      graft.signal.Channels.rawEvents(spark, sfDir), gapSec = 28800 - 1)
-    // gapSec-1 with > boundary == gap with >= boundary only when no
-    // gap is exactly 28800s; assert that precondition, then compare
-    val exact = graft.signal.Channels.rawEvents(spark, sfDir)
-      .selectExpr("user_id", "us")
-      .withColumn("prev", lag("us", 1).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("us")))
-      .filter(col("us") - col("prev") === 28800L * 1000000L)
-    assert(exact.count() == 0)
+    // batch replay with session_window's strict-merge convention
+    // (new session iff gap >= 8h, i.e. > 8h - 1us) — exact for every
+    // possible gap, no precondition needed
+    val batch = Sessions.sessionizeMicros(
+      graft.signal.Channels.rawEvents(spark, sfDir), gapUs = 28800L * 1000000L - 1)
     val batchAgg = batch.groupBy("user_id", "session_seq")
       .agg(min("us").as("start_us"), count(lit(1)).as("n_events"))
       .select("user_id", "start_us", "n_events")
