@@ -669,7 +669,15 @@ object SparkEntry {
       Packing.packChunks(docs(s, dir), TextAnalysis.wsTokenCount(col("text")),
           budget = 512, col("source"), col("doc_id"))
         .select(col("doc_id"), col("source"), col("tokens"), col("start_off"),
-          col("bin_first"), col("bin_last")))
+          col("bin_first"), col("bin_last"))),
+
+    // -- exact interpolated percentiles (corpus length distribution) --
+    "q_percentiles" -> ((s, dir) =>
+      docs(s, dir).groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        round(percentile(col("n_chars"), lit(0.5)) + 1e-7, 4).as("p50_chars"),
+        round(percentile(col("n_chars"), lit(0.9)) + 1e-7, 4).as("p90_chars"),
+        max("n_chars").as("max_chars")))
   )
 
   /** Deterministic pseudo-spectrum per channel: freq = sample rank,
@@ -1343,6 +1351,16 @@ object SparkEntry {
         |                        CAST(doc_id AS VARCHAR)) AS sample_rank
         |      FROM documents)
         |WHERE sample_rank <= 5""".stripMargin,
+
+    // -- percentiles: both engines use the (n-1)*p linear-interpolated
+    // quantile; rounded because the interpolation arithmetic
+    // associates differently --
+    "q_percentiles" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       round(quantile_cont(n_chars, 0.5) + 1e-7, 4) AS p50_chars,
+        |       round(quantile_cont(n_chars, 0.9) + 1e-7, 4) AS p90_chars,
+        |       max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang""".stripMargin,
 
     // -- sequence packing: running token offsets are exact integer
     // window sums; chunk ids are exact floor divisions --
