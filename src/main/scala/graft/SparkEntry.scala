@@ -638,7 +638,8 @@ object SparkEntry {
           col("dur_sec"), round(col("sum_value") + 1e-7, 4).as("sum_value"))),
 
     // -- repetition / n-gram quality signals (Gopher-style) --
-    "q_repetition" -> ((s, dir) => TextAnalysis.repetition(docs(s, dir))),
+    "q_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(docs(s, dir), tc = Some(docTermCounts(s, dir)))),
 
     // -- lexical ranking: TF-IDF salient terms, BM25 retrieval --
     "q_tfidf_topk" -> ((s, dir) =>

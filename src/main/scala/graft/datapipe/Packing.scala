@@ -33,7 +33,11 @@ object Packing {
       .withColumn("tokens", tokens.cast("long"))
       .withColumn("start_off", start)
       .withColumn("bin_first", floor(col("start_off") / budget))
+      // tokens = 0 must yield bin_last = bin_first - 1 for ANY offset
+      // (floor((start-1)/budget) only does so at budget boundaries)
       .withColumn("bin_last",
-        floor((col("start_off") + col("tokens") - 1) / budget))
+        when(col("tokens") > 0,
+          floor((col("start_off") + col("tokens") - 1) / budget))
+          .otherwise(col("bin_first") - 1))
   }
 }

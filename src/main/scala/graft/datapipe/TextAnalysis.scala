@@ -124,15 +124,22 @@ object TextAnalysis {
     * shuffle, so shuffle volume is per-doc distinct grams. All ratios
     * are exact integer divisions (bit-identical across engines, no
     * rounding needed).
+    *
+    * Pass a materialized per-(doc, term) frequency table via `tc`
+    * (Ranking.termCounts shape) to derive the unigram statistics from
+    * it instead of re-tokenizing the corpus — only the bigram branch
+    * then touches the text.
     */
-  def repetition(docs: DataFrame): DataFrame = {
+  def repetition(docs: DataFrame, tc: Option[DataFrame] = None): DataFrame = {
     val toks = docs.select(col("doc_id"), tokensOf(col("text")).as("toks"))
-    val uni = toks.select(col("doc_id"), explode(col("toks")).as("g"))
-      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val uniBase = tc.getOrElse(
+      toks.select(col("doc_id"), explode(col("toks")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+    val uni = uniBase
       .groupBy("doc_id").agg(
-        sum("c").as("n_tokens"),
+        sum("tf").as("n_tokens"),
         count(lit(1)).as("n_distinct"),
-        max("c").as("top_tok_n"))
+        max("tf").as("top_tok_n"))
     val bi = toks.select(col("doc_id"), explode(bigramsOf(col("toks"))).as("g"))
       .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(

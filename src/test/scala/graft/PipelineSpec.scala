@@ -157,6 +157,20 @@ class PipelineSpec extends AnyFunSuite {
     // shard B restarts offsets; doc3 [0,4) ends exactly at the budget
     // boundary and must stay in bin 0
     assert(m(3L) == (0L, 0L, 0L))
+    // zero-token doc at a NON-boundary offset still occupies no chunk
+    // (bin_last < bin_first regardless of start_off % budget)
+    val z = Seq((0L, 5L, "A"), (1L, 0L, "A")).toDF("doc_id", "ntok", "source")
+    val zr = Packing.packChunks(z, col("ntok"), budget = 4, col("source"), col("doc_id"))
+      .filter(col("doc_id") === 1).select("bin_first", "bin_last").collect().head
+    assert(zr.getLong(1) < zr.getLong(0))
+  }
+
+  test("repetition with a shared term-count table matches the self-computed path") {
+    val tc = Ranking.termCounts(docsDf)
+    val a = TextAnalysis.repetition(docsDf).collect().map(_.toString).sorted.toSeq
+    val b = TextAnalysis.repetition(docsDf, tc = Some(tc))
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
   }
 
   test("perGroupSample: exactly min(k, group size) per group, stable under repartition") {
