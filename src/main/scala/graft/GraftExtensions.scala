@@ -5,7 +5,10 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatDot, SortedIntersectCount}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{CountOccurrencesSum, FloatDot, SortedIntersectCount}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * expressions for SQL use. Install with
@@ -22,15 +25,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo("graft.functions.SortedIntersectCount", "sorted_intersect_count"),
       (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("count_occurrences_sum"),
+      new ExpressionInfo("graft.functions.CountOccurrencesSum", "count_occurrences_sum"),
+      (exprs: Seq[Expression]) =>
+        CountOccurrencesSum(exprs.head, GraftExtensions.literalNeedles(exprs.tail))))
   }
 }
 
 object GraftExtensions {
+  /** SQL-side needles must be foldable string literals (the expression
+    * compiles them into the generated code).
+    */
+  private[graft] def literalNeedles(exprs: Seq[Expression]): Seq[String] =
+    exprs.map {
+      case Literal(s: UTF8String, _) => s.toString
+      case other => throw new IllegalArgumentException(
+        s"count_occurrences_sum needles must be string literals, got $other")
+    }
+
   /** Runtime registration for an already-built session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "float_dot", exprs => FloatDot(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_intersect_count", exprs => SortedIntersectCount(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "count_occurrences_sum",
+      exprs => CountOccurrencesSum(exprs.head, literalNeedles(exprs.tail)), "scala_udf")
   }
 }

@@ -40,11 +40,18 @@ object TextAnalysis {
   /** n-gram-free language-ID heuristic: CJK detection via the
     * bytes-vs-chars excess ratio, then stopword voting for
     * en/de/fr/es. Deterministic tie-break order (en > de > fr > es).
+    *
+    * Each language's vote is one CountOccurrencesSum — a fused
+    * zero-allocation indexOf scan with replace-identical counting
+    * semantics (see the expression's scaladoc), so the replace-trick
+    * DuckDB oracle stays value-exact while the hot path stops copying
+    * every document once per stopword.
     */
   def langId(text: Column): Column = {
     val padded = concat(lit(" "), lower(text), lit(" "))
     def score(words: Seq[String]): Column =
-      words.map(w => occurrences(padded, s" $w ")).reduce(_ + _)
+      graft.functions.CountOccurrencesSum.countOccurrencesSum(
+        padded, words.map(w => s" $w "))
     val en = score(Seq("the", "and", "is", "of", "to"))
     val de = score(Seq("der", "und", "die", "ist", "das", "nicht"))
     val fr = score(Seq("le", "et", "les", "est", "une", "pas"))

@@ -173,6 +173,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("CountOccurrencesSum matches the replace-count trick, incl. overlap semantics") {
+    import spark.implicits._
+    import graft.functions.CountOccurrencesSum.countOccurrencesSum
+    // " the the " is the adversarial case: replace consumes the shared
+    // space, so the padded form counts ONE " the " — the scan must too
+    val rows = Seq(
+      "the cat the dog the", "the the the", "und der das ist", "",
+      "no stopwords here at all", "the", "thethe the  the",
+      ("x " * 500) + "the end").toDF("text")
+    val needles = Seq("the", "und", "der").map(w => s" $w ")
+    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    val fast = countOccurrencesSum(padded, needles)
+    val slow = needles.map { n =>
+      ((length(padded) - length(call_function("replace", padded, lit(n), lit(""))))
+        / n.length).cast("long")
+    }.reduce(_ + _)
+    val diff = rows.select(fast.as("f"), slow.as("s")).filter(col("f") =!= col("s"))
+    assert(diff.count() == 0)
+    // null text -> null count
+    val withNull = Seq(Some("the x"), None).toDF("text")
+    val out = withNull.select(countOccurrencesSum(
+      concat(lit(" "), col("text"), lit(" ")), Seq(" the "))).collect()
+    assert(out(0).getLong(0) == 1 && out(1).isNullAt(0))
+    // SQL registration path
+    graft.GraftExtensions.register(spark)
+    val viaSql = rows.selectExpr(
+      "count_occurrences_sum(concat(' ', lower(text), ' '), ' the ', ' und ', ' der ') AS c")
+      .agg(sum("c")).collect().head.getLong(0)
+    val viaCol = rows.select(fast.as("c")).agg(sum("c")).collect().head.getLong(0)
+    assert(viaSql == viaCol)
+  }
+
   test("perGroupSample: exactly min(k, group size) per group, stable under repartition") {
     val a = Sampling.perGroupSample(docsDf, col("source"), col("doc_id"), "z", k = 1)
       .collect().map(r => (r.getAs[String]("source"), r.getLong(0))).toSet
