@@ -532,6 +532,12 @@ object SparkEntry {
         Seq("doc_id"), "left")
         .na.fill(0, Seq("n_candidates"))
     }),
+    "q_dedup_components" -> ((s, dir) => {
+      // near-dup clusters: LSH candidate pairs -> bounded min-label
+      // propagation (3 rounds; dup clusters are near-cliques)
+      val sig = Dedup.minhashSignaturesFromHashes(docShingles(s, dir), k = 16)
+      Dedup.connectedComponents(Dedup.lshCandidates(sig, rowsPerBand = 4))
+    }),
     "q_multimodal_features" -> ((s, dir) => {
       // flatten the feature vector (the comparator can't sort ndarray
       // cells); every value — header metadata and byte-histogram — is
@@ -1195,6 +1201,7 @@ object SparkEntry {
         |FROM f""".stripMargin,
     "q_minhash_sig" -> minhashSql,
     "q_minhash_lsh_neardups" -> lshNearDupsSql,
+    "q_dedup_components" -> dedupComponentsSql,
     "q_multimodal_features" -> multimodalSql,
     "q_media_resize" ->
       """WITH m AS (
@@ -1779,12 +1786,13 @@ object SparkEntry {
        |FROM shingles, (SELECT unnest(generate_series(0, 15)) AS i)
        |GROUP BY doc_id, i""".stripMargin
 
-  /** LSH candidate counts: band signature = md5 of the band's sorted
-    * "i:minhash" strings — Spark's sort_array/concat_ws reproduced
-    * with DuckDB's ordered string_agg (both binary collation).
+  /** Shared LSH candidate-pair pipeline (through the `cand` CTE):
+    * band signature = md5 of the band's sorted "i:minhash" strings —
+    * Spark's sort_array/concat_ws reproduced with DuckDB's ordered
+    * string_agg (both binary collation).
     */
-  private def lshNearDupsSql: String =
-    s"""WITH $shinglesSql,
+  private def lshCandPrefix: String =
+    s"""$shinglesSql,
        |sig AS (
        |  SELECT doc_id, i,
        |         min((('0x' || substr(md5(shingle), 1, 13))::BIGINT
@@ -1802,7 +1810,10 @@ object SparkEntry {
        |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
-       |),
+       |)""".stripMargin
+
+  private def lshNearDupsSql: String =
+    s"""WITH $lshCandPrefix,
        |cnt AS (
        |  SELECT doc_id, count(*) AS n_candidates
        |  FROM (SELECT a AS doc_id FROM cand UNION ALL SELECT b AS doc_id FROM cand)
@@ -1810,6 +1821,28 @@ object SparkEntry {
        |)
        |SELECT d.doc_id, coalesce(c.n_candidates, 0) AS n_candidates
        |FROM documents d LEFT JOIN cnt c USING (doc_id)""".stripMargin
+
+  /** Min-label propagation replay: the same fixed 3 rounds as
+    * Dedup.connectedComponents — deterministic in both engines after
+    * identical round counts, converged for cluster diameter <= 3.
+    */
+  private def dedupComponentsSql: String = {
+    def round(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT l.doc_id, least(l.label, min(nl.label)) AS label
+         |  FROM $prev l JOIN e ON e.x = l.doc_id JOIN $prev nl ON nl.doc_id = e.y
+         |  GROUP BY l.doc_id, l.label
+         |)""".stripMargin
+    s"""WITH $lshCandPrefix,
+       |e AS (SELECT a AS x, b AS y FROM cand UNION ALL SELECT b AS x, a AS y FROM cand),
+       |l0 AS (SELECT DISTINCT x AS doc_id, x AS label FROM e),
+       |${round("l0", "l1")},
+       |${round("l1", "l2")},
+       |${round("l2", "l3")}
+       |SELECT doc_id, label AS component,
+       |       count(*) OVER (PARTITION BY label) AS n_members
+       |FROM l3""".stripMargin
+  }
 
   /** The multimodal decode-stub is byte-deterministic, so DuckDB can
     * replay it from hex(encode(text)): header fields from the first

@@ -137,6 +137,39 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Near-duplicate CLUSTERS from candidate pairs by bounded-round
+    * min-label propagation: every node starts labeled with its own id;
+    * each round every node takes the min of its label and its
+    * neighbors' labels. After `iters` rounds all components of
+    * diameter <= iters carry their minimum doc_id as the component
+    * id — LSH dup clusters are near-cliques (diameter 1-2), so 3
+    * rounds converge in practice, and the result is deterministic in
+    * any case (both engines run the same round count).
+    *
+    * Scale shape: one (edges x labels) equi-join + min-aggregate per
+    * round — the standard alternating-join distributed CC kernel; no
+    * driver-side union-find, no unbounded iteration. For deep chain
+    * topologies raise `iters` (rounds needed = graph diameter) and
+    * checkpoint every few rounds to cut the plan lineage.
+    */
+  def connectedComponents(pairs: DataFrame, iters: Int = 3): DataFrame = {
+    val edges = pairs.select(col("a").as("x"), col("b").as("y"))
+      .unionAll(pairs.select(col("b").as("x"), col("a").as("y")))
+    var labels = edges.select(col("x").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+    for (_ <- 1 to iters) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("y"), col("label").as("ylab")), "y")
+        .groupBy("x").agg(min("ylab").as("nmin"))
+        .withColumnRenamed("x", "doc_id")
+      labels = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+    }
+    labels.select(col("doc_id"), col("label").as("component"),
+      count(lit(1)).over(Window.partitionBy("label")).as("n_members"))
+  }
+
   /** 52-bit SimHash per document over whitespace tokens: per bit j,
     * sum +-1 weighted by token-hash bit j; simhash bit j = (sum > 0).
     * Returned as a double-exact long. Engine-portable (md5 hashes,

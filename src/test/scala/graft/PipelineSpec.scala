@@ -173,6 +173,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("connectedComponents: chain within round budget, separate clusters stay apart") {
+    import spark.implicits._
+    import graft.datapipe.Dedup
+    // chain 1-2-3-4 (diameter 3 = iters budget), clique {10,11,12},
+    // isolated pair {20,21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("a", "b")
+    val out = Dedup.connectedComponents(pairs, iters = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(out(_) == (1L, 4L)))
+    assert(Seq(10L, 11L, 12L).forall(out(_) == (10L, 3L)))
+    assert(Seq(20L, 21L).forall(out(_) == (20L, 2L)))
+  }
+
   test("CountOccurrencesSum matches the replace-count trick, incl. overlap semantics") {
     import spark.implicits._
     import graft.functions.CountOccurrencesSum.countOccurrencesSum
