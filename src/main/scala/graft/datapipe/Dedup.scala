@@ -153,8 +153,13 @@ object Dedup {
     * checkpoint every few rounds to cut the plan lineage.
     */
   def connectedComponents(pairs: DataFrame, iters: Int = 3): DataFrame = {
+    // every round references the edge list, and Spark re-runs its
+    // lineage (here: the whole LSH candidate pipeline) per reference —
+    // cache the skinny pair table once; it is candidate-sized, far
+    // smaller than the corpus, and evicted LRU like any cached table
     val edges = pairs.select(col("a").as("x"), col("b").as("y"))
       .unionAll(pairs.select(col("b").as("x"), col("a").as("y")))
+      .cache()
     var labels = edges.select(col("x").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
     for (_ <- 1 to iters) {
