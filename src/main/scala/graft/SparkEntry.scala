@@ -678,6 +678,10 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("tokens"), col("start_off"),
           col("bin_first"), col("bin_last"))),
 
+    // -- overlapping passage windows (retrieval/pretraining chunking) --
+    "q_passages" -> ((s, dir) =>
+      Packing.passages(docs(s, dir), chunk = 32, stride = 24)),
+
     // -- exact interpolated percentiles (corpus length distribution) --
     "q_percentiles" -> ((s, dir) =>
       docs(s, dir).groupBy("lang").agg(
@@ -1359,6 +1363,24 @@ object SparkEntry {
         |                        CAST(doc_id AS VARCHAR)) AS sample_rank
         |      FROM documents)
         |WHERE sample_rank <= 5""".stripMargin,
+
+    // -- passage windows: slice bounds are exact integer arithmetic;
+    // DuckDB's inclusive 1-based a[i:j] mirrors Spark's slice(a,i,len),
+    // both truncating past the end --
+    "q_passages" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS a FROM documents
+        |),
+        |c AS (
+        |  SELECT doc_id, a,
+        |         unnest(generate_series(0,
+        |           CAST(floor((greatest(len(a) - 32, 0) + 23) / 24) AS BIGINT))) AS pid
+        |  FROM t
+        |)
+        |SELECT doc_id, pid,
+        |       CAST(len(a[pid * 24 + 1 : pid * 24 + 32]) AS BIGINT) AS n_tokens,
+        |       array_to_string(a[pid * 24 + 1 : pid * 24 + 32], ' ') AS passage
+        |FROM c""".stripMargin,
 
     // -- percentiles: both engines use the (n-1)*p linear-interpolated
     // quantile; rounded because the interpolation arithmetic

@@ -40,4 +40,28 @@ object Packing {
           floor((col("start_off") + col("tokens") - 1) / budget))
           .otherwise(col("bin_first") - 1))
   }
+
+  /** Overlapping passage windows per document (retrieval/pretraining
+    * chunking): passage p covers tokens [p*stride, p*stride+chunk);
+    * the last passage starts at ceil(max(n-chunk,0)/stride)*stride so
+    * every token is covered and trailing windows shorter than `chunk`
+    * are emitted as-is. Pure map-side (tokenize, per-row sequence
+    * explode, array slice) — NO shuffle at all; passage count per doc
+    * is 1 + ceil(max(n-chunk,0)/stride).
+    */
+  def passages(docs: DataFrame, chunk: Int, stride: Int): DataFrame = {
+    require(chunk > 0 && stride > 0, "chunk and stride must be positive")
+    val toks = graft.datapipe.TextAnalysis.tokensOf(col("text"))
+    val extra = greatest(size(col("toks")) - chunk, lit(0))
+    val lastPid = floor((extra + (stride - 1)).cast("double") / stride).cast("int")
+    docs
+      .withColumn("toks", toks)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), lastPid)).as("pid"))
+      .select(col("doc_id"), col("pid").cast("long").as("pid"),
+        slice(col("toks"), col("pid") * stride + 1, lit(chunk)).as("ptoks"))
+      .select(col("doc_id"), col("pid"),
+        size(col("ptoks")).cast("long").as("n_tokens"),
+        array_join(col("ptoks"), " ").as("passage"))
+  }
 }

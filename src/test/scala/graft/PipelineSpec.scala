@@ -165,6 +165,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(zr.getLong(1) < zr.getLong(0))
   }
 
+  test("passages: full coverage, overlap, short-doc single window") {
+    import spark.implicits._
+    // 10 tokens, chunk 4, stride 3 -> passages at 0,3,6 (extra=6,
+    // ceil(6/3)=2 -> pids 0..2); last covers tokens 7..10
+    val d = Seq((0L, (1 to 10).map(i => s"t$i").mkString(" ")),
+      (1L, "a b")).toDF("doc_id", "text")
+    val out = Packing.passages(d, chunk = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3))).toMap
+    assert(out((0L, 0L)) == (4L, "t1 t2 t3 t4"))
+    assert(out((0L, 1L)) == (4L, "t4 t5 t6 t7"))
+    assert(out((0L, 2L)) == (4L, "t7 t8 t9 t10"))
+    // short doc: one window, shorter than chunk
+    assert(out((1L, 0L)) == (2L, "a b"))
+    assert(out.size == 4)
+    // every token of doc 0 appears in at least one passage
+    val covered = out.collect { case ((0L, _), (_, p)) => p.split(" ") }.flatten.toSet
+    assert(covered == (1 to 10).map(i => s"t$i").toSet)
+  }
+
   test("repetition with a shared term-count table matches the self-computed path") {
     val tc = Ranking.termCounts(docsDf)
     val a = TextAnalysis.repetition(docsDf).collect().map(_.toString).sorted.toSeq
