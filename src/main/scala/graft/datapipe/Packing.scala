@@ -49,13 +49,14 @@ object Packing {
     * explode, array slice) — NO shuffle at all; passage count per doc
     * is 1 + ceil(max(n-chunk,0)/stride).
     */
-  def passages(docs: DataFrame, chunk: Int, stride: Int): DataFrame = {
+  def passages(docs: DataFrame, chunk: Int, stride: Int,
+               id: Column = col("doc_id"),
+               text: Column = col("text")): DataFrame = {
     require(chunk > 0 && stride > 0, "chunk and stride must be positive")
-    val toks = graft.datapipe.TextAnalysis.tokensOf(col("text"))
     val extra = greatest(size(col("toks")) - chunk, lit(0))
     val lastPid = floor((extra + (stride - 1)).cast("double") / stride).cast("int")
     docs
-      .withColumn("toks", toks)
+      .select(id.as("doc_id"), TextAnalysis.tokensOf(text).as("toks"))
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(0), lastPid)).as("pid"))
       .select(col("doc_id"), col("pid").cast("long").as("pid"),

@@ -18,12 +18,17 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** The 52-bit hash of "salt:key" — the one salting convention every
+    * sampler here (and its DuckDB oracle) shares.
+    */
+  def saltedHash(key: Column, salt: String): Column =
+    TextAnalysis.hash52(concat(lit(salt + ":"), key.cast("string")))
+
   /** Uniform bucket in [0, buckets) from a salted key — the basis of
     * all assignments here. md5-derived: identical in any engine.
     */
   def hashBucket(key: Column, salt: String, buckets: Int): Column =
-    pmod(TextAnalysis.hash52(concat(lit(salt + ":"), key.cast("string"))),
-      lit(buckets.toLong))
+    pmod(saltedHash(key, salt), lit(buckets.toLong))
 
   /** Assign each row to a named split by cumulative percentage, e.g.
     * Seq("train" -> 80, "val" -> 10, "test" -> 10). Percentages must
@@ -62,8 +67,8 @@ object Sampling {
     */
   def perGroupSample(df: DataFrame, group: Column, key: Column,
                      salt: String, k: Int): DataFrame = {
-    val h = TextAnalysis.hash52(concat(lit(salt + ":"), key.cast("string")))
-    val w = Window.partitionBy(group).orderBy(h.asc, key.cast("string").asc)
+    val w = Window.partitionBy(group)
+      .orderBy(saltedHash(key, salt).asc, key.cast("string").asc)
     df.withColumn("sample_rank", row_number().over(w))
       .filter(col("sample_rank") <= k)
   }
