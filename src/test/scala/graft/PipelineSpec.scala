@@ -192,6 +192,63 @@ class PipelineSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("sampling/packing invariants on a 1000-key population") {
+    import spark.implicits._
+    val pop = (0L until 1000L).map(i => (i, s"k$i", if (i % 3 == 0) "en" else "de"))
+      .toDF("doc_id", "text", "lang")
+    // hash split proportions track the percentages (md5 is uniform;
+    // ±4% absolute at n=1000 is ~5 sigma)
+    val counts = Sampling.hashSplit(pop, col("doc_id"), "propcheck",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("train") - 800L) < 40)
+    assert(math.abs(counts("val") - 100L) < 40)
+    assert(math.abs(counts("test") - 100L) < 40)
+    // stratified rates track the per-stratum fractions
+    val strat = Sampling.stratifiedSample(pop, col("lang"), col("doc_id"), "ratecheck",
+        Map("en" -> 0.3, "de" -> 0.6))
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(strat("en") - 0.3 * 334) < 35)
+    assert(math.abs(strat("de") - 0.6 * 666) < 45)
+    // packChunks bookkeeping: per shard, offsets partition the token
+    // stream (last start_off + tokens == total tokens) and bins are
+    // contiguous from 0
+    val packed = pop.select(col("doc_id"), col("lang"),
+      (col("doc_id") % 7 + 1).as("ntok"))
+    val p = Packing.packChunks(packed, col("ntok"), budget = 10, col("lang"), col("doc_id"))
+    val chk = p.groupBy("lang").agg(
+        max(col("start_off") + col("tokens")).as("end"),
+        sum("tokens").as("total"),
+        min("bin_first").as("b0"),
+        countDistinct("bin_first").as("nbins"),
+        max("bin_first").as("bmax")).collect()
+    chk.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2)) // end == total
+      assert(r.getLong(3) == 0L) // first bin is 0
+      // every bin id in [0, bmax] is some doc's bin_first (contiguous
+      // starts, since no doc exceeds the budget here)
+      assert(r.getLong(4) == r.getLong(5) + 1)
+    }
+  }
+
+  test("connectedComponents: component id is the min member and a real member") {
+    import spark.implicits._
+    // pseudo-random sparse graph over 60 nodes, deterministic
+    val rng = new scala.util.Random(7)
+    val pairs = (1 to 80).map { _ =>
+      val a = rng.nextInt(60).toLong; val b = rng.nextInt(60).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct.toDF("a", "b")
+    val out = graft.datapipe.Dedup.connectedComponents(pairs, iters = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nodes = out.keySet
+    out.foreach { case (doc, comp) =>
+      assert(comp <= doc) // labels only decrease toward the min id
+      assert(nodes.contains(comp)) // component id is a real member
+      assert(out(comp) == comp) // the min member carries its own id
+    }
+  }
+
   test("connectedComponents: chain within round budget, separate clusters stay apart") {
     import spark.implicits._
     import graft.datapipe.Dedup
