@@ -33,7 +33,14 @@ object Bench {
     def sweep(label: String): Map[String, Double] =
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // a crashing query must not kill the sweep, but it must be
+        // self-diagnosing in the bench log, not a silent timing
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            System.err.println(
+              s"[bench:$label] $name FAILED ${e.getClass.getName}: ${e.getMessage}")
+            -1L
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[bench:$label] $name%-30s $dt%8.2f s")
         name -> dt

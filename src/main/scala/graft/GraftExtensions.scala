@@ -28,8 +28,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       new FunctionIdentifier("count_occurrences_sum"),
       new ExpressionInfo("graft.functions.CountOccurrencesSum", "count_occurrences_sum"),
-      (exprs: Seq[Expression]) =>
-        CountOccurrencesSum(exprs.head, GraftExtensions.literalNeedles(exprs.tail))))
+      (exprs: Seq[Expression]) => {
+        require(exprs.size >= 2,
+          "count_occurrences_sum(text, needle, ...) requires at least one needle")
+        CountOccurrencesSum(exprs.head, GraftExtensions.literalNeedles(exprs.tail))
+      }))
   }
 }
 
@@ -52,6 +55,10 @@ object GraftExtensions {
       "sorted_intersect_count", exprs => SortedIntersectCount(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "count_occurrences_sum",
-      exprs => CountOccurrencesSum(exprs.head, literalNeedles(exprs.tail)), "scala_udf")
+      exprs => {
+        require(exprs.size >= 2,
+          "count_occurrences_sum(text, needle, ...) requires at least one needle")
+        CountOccurrencesSum(exprs.head, literalNeedles(exprs.tail))
+      }, "scala_udf")
   }
 }

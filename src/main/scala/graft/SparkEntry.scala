@@ -33,8 +33,32 @@ object SparkEntry {
   private def emb(s: SparkSession, dir: String) = s.read.parquet(s"$dir/embeddings.parquet")
   private val evCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Application-end eviction for the shared-table caches below (the
+    * same listener StreamingOps installs for its session clones): a
+    * long-lived process that cycles many sessions must not retain
+    * DataFrames pinning stopped sessions' state.
+    */
+  private val evictionInstalled =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, Unit]
+  private def memo(cache: scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame],
+                   s: SparkSession, dir: String)(mk: => DataFrame): DataFrame =
+    cache.getOrElseUpdate((s, dir), {
+      evictionInstalled.getOrElseUpdate(s, {
+        s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+            Seq(evCache, uniformCache, welchRmsCache, shingleCache, termCountCache)
+              .foreach(c => c.keys.filter(_._1 eq s).foreach(c.remove))
+            evictionInstalled.remove(s)
+          }
+        })
+      })
+      mk
+    })
+
   private def ev(s: SparkSession, dir: String) =
-    evCache.getOrElseUpdate((s, dir), Channels.events(s, dir).cache())
+    memo(evCache, s, dir)(Channels.events(s, dir).cache())
   private def rawEvents(s: SparkSession, dir: String) = Channels.rawEvents(s, dir)
 
   /** events channels resampled to a uniform 1/3600 Hz grid — the
@@ -45,8 +69,7 @@ object SparkEntry {
   private val uniformCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def evUniform(s: SparkSession, dir: String): DataFrame =
-    uniformCache.getOrElseUpdate((s, dir),
-      Interp.resample(ev(s, dir), 1.0 / 3600.0, "linear").cache())
+    memo(uniformCache, s, dir)(Interp.resample(ev(s, dir), 1.0 / 3600.0, "linear").cache())
 
   /** The default Welch sub-PSD table (432000 s hann windows over the
     * uniform grid), cached per (session, dir): five summarize modes
@@ -57,8 +80,7 @@ object SparkEntry {
   private val welchRmsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def welchRmsBase(s: SparkSession, dir: String): DataFrame =
-    welchRmsCache.getOrElseUpdate((s, dir),
-      Psd.welchAllWithSegRms(evUniform(s, dir), 432000.0).cache())
+    memo(welchRmsCache, s, dir)(Psd.welchAllWithSegRms(evUniform(s, dir), 432000.0).cache())
 
   /** The plain sub-PSD view is the seg_rms table minus one column —
     * derive it instead of materializing the FFT pipeline twice.
@@ -73,8 +95,20 @@ object SparkEntry {
   private val shingleCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def docShingles(s: SparkSession, dir: String): DataFrame =
-    shingleCache.getOrElseUpdate((s, dir),
+    memo(shingleCache, s, dir)(
       Dedup.shingleHashes(Dedup.shingles(docs(s, dir), distinct = false)).cache())
+
+  /** Degenerate dedup fixture: the first 10 documents plus 50 clones
+    * of doc 0's text (doc_ids 1000-1049) — a boilerplate cluster that
+    * overflows a maxBucket = 8 band bucket, exercising the
+    * oversized-bucket guard in `Dedup.lshCandidates`.
+    */
+  private def cloneFixture(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    d.filter(col("doc_id") < 10).select(col("doc_id"), col("text"))
+      .unionAll(d.filter(col("doc_id") === 0)
+        .select(explode(sequence(lit(1000L), lit(1049L))).as("doc_id"), col("text")))
+  }
 
   /** Per-(doc, term) frequency table, cached per (session, dir): the
     * TF-IDF and BM25 queries both branch from it several times (tf
@@ -85,8 +119,7 @@ object SparkEntry {
   private val termCountCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def docTermCounts(s: SparkSession, dir: String): DataFrame =
-    termCountCache.getOrElseUpdate((s, dir),
-      Ranking.termCounts(docs(s, dir)).cache())
+    memo(termCountCache, s, dir)(Ranking.termCounts(docs(s, dir)).cache())
 
   /** Untimed warm-up for Bench: materialize the shared cached inputs
     * (events projection, uniform resample, Welch sub-PSD tables,
@@ -515,6 +548,37 @@ object SparkEntry {
       Similarity.ivfTopK(e, e.filter(col("vec_id") % 25 === 0),
         k = 10, nlist = 16, nprobe = 4, dims = 64)
     }),
+    "q_ivf_trained" -> ((s, dir) => {
+      // IVF with k-means-TRAINED coarse quantizer: the centroids come
+      // from Clustering.kmeansCentroids (k=16, 2 Lloyd rounds) instead
+      // of md5 noise — the composition both operators were built for
+      val e = emb(s, dir)
+      val cents = Clustering.kmeansCentroids(e, k = 16, iters = 2, dims = 64)
+      Similarity.ivfTopKWith(e, e.filter(col("vec_id") % 25 === 0), cents,
+        k = 10, nprobe = 4, dims = 64)
+    }),
+    "q_ann_recall" -> ((s, dir) => {
+      // recall@10 per query for both ANN paths vs the exact
+      // brute-force ground truth — the observability dial for
+      // nPlanes/nlist/nprobe tuning; fully deterministic on both
+      // sides, hence oracle-checkable
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") % 25 === 0)
+      val truth = Similarity.bruteForceTopK(e, q, k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      def recallOf(approx: DataFrame, name: String): DataFrame =
+        truth.join(
+            approx.select(col("query_id"), col("neighbor_id"), lit(1).as("hit")),
+            Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("n_true"),
+            sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+          .select(lit(name).as("method"), col("query_id"), col("n_true"),
+            col("n_hits"), round(col("n_hits") / col("n_true"), 6).as("recall"))
+      recallOf(Similarity.annTopK(e, q, k = 10, dims = 64), "ann")
+        .unionAll(recallOf(
+          Similarity.ivfTopK(e, q, k = 10, nlist = 16, nprobe = 4, dims = 64), "ivf"))
+    }),
     "q_simhash_neardups" -> ((s, dir) =>
       Dedup.simhashNearDups(docs(s, dir))),
     "q_kmeans" -> ((s, dir) =>
@@ -533,11 +597,33 @@ object SparkEntry {
         .na.fill(0, Seq("n_candidates"))
     }),
     "q_dedup_components" -> ((s, dir) => {
-      // near-dup clusters: LSH candidate pairs -> bounded min-label
-      // propagation (3 rounds; dup clusters are near-cliques)
+      // near-dup clusters: LSH candidate pairs -> min-label
+      // propagation to fixpoint (convergence-counted, checkpointed).
+      // maxIters MUST equal CC_ORACLE_ROUNDS (see dedupComponentsSql)
       val sig = Dedup.minhashSignaturesFromHashes(docShingles(s, dir), k = 16)
-      Dedup.connectedComponents(Dedup.lshCandidates(sig, rowsPerBand = 4))
+      Dedup.connectedComponents(Dedup.lshCandidates(sig, rowsPerBand = 4),
+        maxIters = CC_ORACLE_ROUNDS)
     }),
+    "q_lsh_bucket_cap" -> ((s, dir) => {
+      // degenerate boilerplate fixture: 50 clones of doc 0 overflow a
+      // maxBucket = 8 cap — candidate counts must stay bounded
+      // (C(8,2) full pairs + 43 star edges, never C(51,2))
+      val corpus = cloneFixture(s, dir)
+      val cands = Dedup.lshCandidates(
+        Dedup.minhashSignatures(corpus, k = 16), rowsPerBand = 4, maxBucket = 8)
+      corpus.select(col("doc_id")).join(
+        cands.select(col("a").as("doc_id")).unionAll(cands.select(col("b").as("doc_id")))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_candidates")),
+        Seq("doc_id"), "left")
+        .na.fill(0, Seq("n_candidates"))
+    }),
+    "q_lsh_bucket_overflow" -> ((s, dir) =>
+      // the observability half of the cap: which buckets overflowed,
+      // by how much, and who represents them
+      Dedup.lshBucketStats(
+        Dedup.minhashSignatures(cloneFixture(s, dir), k = 16), rowsPerBand = 4, maxBucket = 8)
+        .select(col("band").cast("long").as("band"), col("representative"),
+          col("n_members"), col("n_starred"))),
     "q_multimodal_features" -> ((s, dir) => {
       // flatten the feature vector (the comparator can't sort ndarray
       // cells); every value — header metadata and byte-histogram — is
@@ -601,6 +687,13 @@ object SparkEntry {
         .withWatermark("ts", "1 hour").dropDuplicates("channel", "ts")
         .groupBy("channel").agg(count(lit(1)).as("n_distinct"))
       runToMemorySink(st, "stream_dedup", "complete")
+    }),
+    "q_stream_fingerprint" -> ((s, dir) => {
+      // streaming corpus dedup: fingerprint dropDuplicates state
+      // merged across micro-batches; bounded stream ≡ batch distinct
+      import graft.streaming.StreamingOps._
+      runToMemorySink(streamFingerprintDedup(documentsStream(s, dir)),
+        "stream_fingerprint", "complete")
     }),
     "q_movrms_time" -> ((s, dir) =>
       Signal(evUniform(s, dir)).movRms(7200.0).df
@@ -673,8 +766,11 @@ object SparkEntry {
 
     // -- sequence packing (concat-and-chunk training batch assembly) --
     "q_pack" -> ((s, dir) =>
-      Packing.packChunks(docs(s, dir), TextAnalysis.wsTokenCount(col("text")),
-          budget = 512, col("source"), col("doc_id"))
+      // two-level form: blocks of 64 docs prefix-sum in parallel and
+      // stitch through per-block offsets — bit-identical output
+      // (exact longs), no one-task-per-shard ceiling
+      Packing.packChunksBlocked(docs(s, dir), TextAnalysis.wsTokenCount(col("text")),
+          budget = 512, col("source"), col("doc_id"), floor(col("doc_id") / 64))
         .select(col("doc_id"), col("source"), col("tokens"), col("start_off"),
           col("bin_first"), col("bin_last"))),
 
@@ -1206,6 +1302,8 @@ object SparkEntry {
     "q_minhash_sig" -> minhashSql,
     "q_minhash_lsh_neardups" -> lshNearDupsSql,
     "q_dedup_components" -> dedupComponentsSql,
+    "q_lsh_bucket_cap" -> lshBucketCapSql,
+    "q_lsh_bucket_overflow" -> lshBucketOverflowSql,
     "q_multimodal_features" -> multimodalSql,
     "q_media_resize" ->
       """WITH m AS (
@@ -1233,6 +1331,8 @@ object SparkEntry {
     "q_simhash" -> simhashSql,
     "q_simhash_neardups" -> simhashNearDupsSql,
     "q_ivf_topk" -> ivfTopkSql,
+    "q_ivf_trained" -> ivfTrainedSql,
+    "q_ann_recall" -> annRecallSql,
     "q_kmeans" -> kmeansSql,
     "q_ngram_jaccard" -> ngramJaccardSql,
 
@@ -1408,7 +1508,10 @@ object SparkEntry {
         |)
         |SELECT doc_id, source, tokens, start_off,
         |       CAST(floor(start_off / 512) AS BIGINT) AS bin_first,
-        |       CAST(floor((start_off + tokens - 1) / 512) AS BIGINT) AS bin_last
+        |       CASE WHEN tokens > 0
+        |            THEN CAST(floor((start_off + tokens - 1) / 512) AS BIGINT)
+        |            ELSE CAST(floor(start_off / 512) AS BIGINT) - 1
+        |       END AS bin_last
         |FROM o""".stripMargin,
 
     "q_embedding_norms" ->
@@ -1423,6 +1526,10 @@ object SparkEntry {
     "q_stream_dedup" ->
       """SELECT event_type AS channel, count(DISTINCT epoch_us(ts)) AS n_distinct
         |FROM events GROUP BY event_type""".stripMargin,
+    "q_stream_fingerprint" ->
+      """SELECT source,
+        |       count(DISTINCT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))) AS n_unique
+        |FROM documents GROUP BY source""".stripMargin,
     // time-window mov_rms on the uniform 1/3600 Hz grid: n = round(
     // 7200 * sr) = 2 samples, t shifted back by window/2, warm-up row
     // and final row trimmed (extension.py:684,695-697)
@@ -1786,15 +1893,16 @@ object SparkEntry {
       |FROM m""".stripMargin
 
   private val normSql = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
-  private val shinglesSql =
+  private def shinglesSqlFrom(table: String): String =
     s"""shingles AS (
        |  SELECT DISTINCT doc_id, substr(norm, pos, 5) AS shingle
        |  FROM (
        |    SELECT doc_id, norm,
        |           unnest(generate_series(1, greatest(length(norm) - 4, 1))) AS pos
-       |    FROM (SELECT doc_id, $normSql AS norm FROM documents)
+       |    FROM (SELECT doc_id, $normSql AS norm FROM $table)
        |  )
        |)""".stripMargin
+  private val shinglesSql = shinglesSqlFrom("documents")
 
   private def minhashSql: String =
     // Kirsch-Mitzenmacher double hashing, mirroring Dedup
@@ -1811,11 +1919,19 @@ object SparkEntry {
   /** Shared LSH candidate-pair pipeline (through the `cand` CTE):
     * band signature = md5 of the band's sorted "i:minhash" strings —
     * Spark's sort_array/concat_ws reproduced with DuckDB's ordered
-    * string_agg (both binary collation).
+    * string_agg (both binary collation). Mirrors the oversized-bucket
+    * guard of `Dedup.lshCandidates`: members ranked by doc_id within
+    * each (band, bsig) bucket; full pairing up to rank `maxBucket`,
+    * representative-vs-rest star edges beyond it.
     */
-  private def lshCandPrefix: String =
-    s"""$shinglesSql,
-       |sig AS (
+  private def lshCandPrefix(maxBucket: Int = 256): String =
+    s"$shinglesSql,\n${lshCandChain(maxBucket)}"
+
+  /** The sig → bands → ranked → capped-cand CTE chain, assuming a
+    * `shingles(doc_id, shingle)` CTE is already in scope.
+    */
+  private def lshCandChain(maxBucket: Int): String =
+    s"""sig AS MATERIALIZED (
        |  SELECT doc_id, i,
        |         min((('0x' || substr(md5(shingle), 1, 13))::BIGINT
        |              + i * (('0x' || substr(md5(shingle), 14, 13))::BIGINT))
@@ -1823,19 +1939,31 @@ object SparkEntry {
        |  FROM shingles, (SELECT unnest(generate_series(0, 15)) AS i)
        |  GROUP BY doc_id, i
        |),
-       |bands AS (
+       |bands AS MATERIALIZED (
        |  SELECT doc_id, i // 4 AS band,
        |         md5(string_agg(i || ':' || minhash, ',' ORDER BY i || ':' || minhash)) AS bsig
        |  FROM sig GROUP BY doc_id, i // 4
        |),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+       |bandsr AS MATERIALIZED (
+       |  SELECT doc_id, band, bsig,
+       |         row_number() OVER (PARTITION BY band, bsig ORDER BY doc_id) AS r
+       |  FROM bands
+       |),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT x.doc_id AS a, y.doc_id AS b
+       |    FROM bandsr x JOIN bandsr y
+       |      ON x.band = y.band AND x.bsig = y.bsig
+       |     AND x.r <= $maxBucket AND y.r <= $maxBucket AND x.doc_id < y.doc_id
+       |    UNION ALL
+       |    SELECT x.doc_id AS a, y.doc_id AS b
+       |    FROM bandsr x JOIN bandsr y
+       |      ON x.band = y.band AND x.bsig = y.bsig AND x.r = 1 AND y.r > $maxBucket
+       |  )
        |)""".stripMargin
 
   private def lshNearDupsSql: String =
-    s"""WITH $lshCandPrefix,
+    s"""WITH ${lshCandPrefix()},
        |cnt AS (
        |  SELECT doc_id, count(*) AS n_candidates
        |  FROM (SELECT a AS doc_id FROM cand UNION ALL SELECT b AS doc_id FROM cand)
@@ -1844,26 +1972,76 @@ object SparkEntry {
        |SELECT d.doc_id, coalesce(c.n_candidates, 0) AS n_candidates
        |FROM documents d LEFT JOIN cnt c USING (doc_id)""".stripMargin
 
-  /** Min-label propagation replay: the same fixed 3 rounds as
-    * Dedup.connectedComponents — deterministic in both engines after
-    * identical round counts, converged for cluster diameter <= 3.
+  /** Degenerate boilerplate fixture shared by the bucket-cap oracles:
+    * the first 10 documents plus 50 clones of doc 0's text (doc_ids
+    * 1000-1049) — one identical-signature bucket of 51 members in
+    * every band, overflowing a maxBucket = 8 cap (the production
+    * failure mode the cap guards against).
     */
+  private val cloneCorpusSql =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 10
+      |  UNION ALL
+      |  SELECT 1000 + i AS doc_id, (SELECT text FROM documents WHERE doc_id = 0) AS text
+      |  FROM (SELECT unnest(generate_series(0, 49)) AS i)
+      |)""".stripMargin
+
+  /** Capped candidate counts over the degenerate fixture: the 51-doc
+    * boilerplate bucket must emit C(8,2) full pairs + 43 star edges,
+    * not C(51,2) — bounded output is the assertion.
+    */
+  private def lshBucketCapSql: String =
+    s"""WITH $cloneCorpusSql,
+       |${shinglesSqlFrom("corpus")},
+       |${lshCandChain(8)},
+       |cnt AS (
+       |  SELECT doc_id, count(*) AS n_candidates
+       |  FROM (SELECT a AS doc_id FROM cand UNION ALL SELECT b AS doc_id FROM cand)
+       |  GROUP BY doc_id
+       |)
+       |SELECT c.doc_id, coalesce(n.n_candidates, 0) AS n_candidates
+       |FROM corpus c LEFT JOIN cnt n USING (doc_id)""".stripMargin
+
+  /** Overflow diagnostic replay: the oversized buckets themselves. */
+  private def lshBucketOverflowSql: String =
+    s"""WITH $cloneCorpusSql,
+       |${shinglesSqlFrom("corpus")},
+       |${lshCandChain(8)}
+       |SELECT band, min(doc_id) AS representative,
+       |       count(*) AS n_members, count(*) - 8 AS n_starred
+       |FROM bands GROUP BY band, bsig HAVING count(*) > 8""".stripMargin
+
+  /** Min-label propagation replay. Dedup.connectedComponents iterates
+    * to fixpoint BOUNDED BY maxIters, and the oracle unrolls exactly
+    * that bound: if Spark converged in r* < maxIters rounds, the
+    * oracle's extra rounds are no-ops (labels already stable); if
+    * Spark hit the bound, both engines ran the identical maxIters
+    * synchronous rounds — equal either way. (sf0.1 has candidate
+    * chains of diameter > 8 through shingle-similar docs, so a
+    * smaller unroll under-merges: this constant MUST stay equal to
+    * the maxIters the q_dedup_components query uses.) Each round is
+    * one join+aggregate over the candidate-sized edge list — cheap
+    * because the chain is AS MATERIALIZED.
+    */
+  private val CC_ORACLE_ROUNDS = 20
   private def dedupComponentsSql: String = {
+    // AS MATERIALIZED is load-bearing: each round references the
+    // previous CTE twice, and DuckDB's default inlining would expand
+    // the whole LSH prefix 2^rounds times (measured: >100x slower)
     def round(prev: String, cur: String): String =
-      s"""$cur AS (
+      s"""$cur AS MATERIALIZED (
          |  SELECT l.doc_id, least(l.label, min(nl.label)) AS label
          |  FROM $prev l JOIN e ON e.x = l.doc_id JOIN $prev nl ON nl.doc_id = e.y
          |  GROUP BY l.doc_id, l.label
          |)""".stripMargin
-    s"""WITH $lshCandPrefix,
-       |e AS (SELECT a AS x, b AS y FROM cand UNION ALL SELECT b AS x, a AS y FROM cand),
-       |l0 AS (SELECT DISTINCT x AS doc_id, x AS label FROM e),
-       |${round("l0", "l1")},
-       |${round("l1", "l2")},
-       |${round("l2", "l3")}
+    val rounds = (1 to CC_ORACLE_ROUNDS).map(t => round(s"l${t - 1}", s"l$t")).mkString(",\n")
+    s"""WITH ${lshCandPrefix()},
+       |e AS MATERIALIZED (SELECT a AS x, b AS y FROM cand UNION ALL SELECT b AS x, a AS y FROM cand),
+       |l0 AS MATERIALIZED (SELECT DISTINCT x AS doc_id, x AS label FROM e),
+       |$rounds
        |SELECT doc_id, label AS component,
        |       count(*) OVER (PARTITION BY label) AS n_members
-       |FROM l3""".stripMargin
+       |FROM l$CC_ORACLE_ROUNDS""".stripMargin
   }
 
   /** The multimodal decode-stub is byte-deterministic, so DuckDB can
@@ -1938,18 +2116,30 @@ object SparkEntry {
 
   /** Banded SimHash near-dup oracle: 4x13-bit band keys, candidate
     * pairs by band equi-join, hamming verification, per-doc counts.
+    * Mirrors the oversized-bucket guard of `Dedup.simhashNearDups`
+    * (full pairing to rank 256, star edges beyond).
     */
   private def simhashNearDupsSql: String =
     s"""WITH $SIMHASH_CTE,
        |bands AS (
        |  SELECT doc_id, simhash, b AS band,
-       |         CAST(floor(simhash / pow(2.0, b * 13)) AS BIGINT) % 8192 AS key
+       |         CAST(floor(simhash / pow(2.0, b * 13)) AS BIGINT) % 8192 AS key,
+       |         row_number() OVER (PARTITION BY b,
+       |           CAST(floor(simhash / pow(2.0, b * 13)) AS BIGINT) % 8192
+       |           ORDER BY doc_id) AS r
        |  FROM sim, (SELECT unnest(generate_series(0, 3)) AS b)
        |),
        |cand AS (
-       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.simhash AS sa, y.simhash AS sb
-       |  FROM bands x JOIN bands y
-       |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+       |  SELECT DISTINCT a, b, sa, sb FROM (
+       |    SELECT x.doc_id AS a, y.doc_id AS b, x.simhash AS sa, y.simhash AS sb
+       |    FROM bands x JOIN bands y
+       |      ON x.band = y.band AND x.key = y.key
+       |     AND x.r <= 256 AND y.r <= 256 AND x.doc_id < y.doc_id
+       |    UNION ALL
+       |    SELECT x.doc_id AS a, y.doc_id AS b, x.simhash AS sa, y.simhash AS sb
+       |    FROM bands x JOIN bands y
+       |      ON x.band = y.band AND x.key = y.key AND x.r = 1 AND y.r > 256
+       |  )
        |),
        |ver AS (SELECT a, b, bit_count(xor(sa, sb)) AS hd FROM cand),
        |perdoc AS (
@@ -2083,13 +2273,19 @@ object SparkEntry {
     * smaller cluster id — replay exactly. Empty clusters keep the
     * previous centroid (the coalesce).
     */
-  private def kmeansSql: String = {
-    val k = 8
-    val dims = 64
-    val iters = 3
-    def diff(e: String, c: String) =
+  private def kmeansDistSql(dims: Int)(e: String, c: String): String = {
+    val diff =
       s"list_transform(generate_series(1, $dims), i -> $e.embedding[i]::DOUBLE - $c.cl[i])"
-    def dist(e: String, c: String) = s"list_dot_product(${diff(e, c)}, ${diff(e, c)})"
+    s"list_dot_product($diff, $diff)"
+  }
+
+  /** The Lloyd-training CTE chain (seed centroids → `iters` unrolled
+    * assign/mean/update rounds), ending in `c$iters(cluster, cl)` —
+    * shared by the kmeans oracle and the trained-IVF oracle so both
+    * replay the exact `Clustering.kmeansCentroids` fit.
+    */
+  private def kmeansChainSql(k: Int, dims: Int, iters: Int): String = {
+    val dist = kmeansDistSql(dims) _
     val cent0 = (for (j <- 0 until k; d <- 0 until dims)
       yield s"($j, $d, ${OracleDsp.dlit(Clustering.initComponent(j, d))})")
       .mkString(", ")
@@ -2113,13 +2309,19 @@ object SparkEntry {
          |c$t AS (SELECT cluster, list(m ORDER BY dim) AS cl FROM c${t}d GROUP BY cluster)"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH c0d(cluster, dim, m) AS (VALUES $cent0),
+    s"""c0d(cluster, dim, m) AS (VALUES $cent0),
        |c0 AS (SELECT cluster, list(m ORDER BY dim) AS cl FROM c0d GROUP BY cluster),
        |ed AS (
        |  SELECT vec_id, d AS dim, embedding[d + 1]::DOUBLE AS x
        |  FROM embeddings, (SELECT unnest(generate_series(0, ${dims - 1})) AS d)
        |),
-       |$iterCtes,
+       |$iterCtes""".stripMargin
+  }
+
+  private def kmeansSql: String = {
+    val iters = 3
+    val dist = kmeansDistSql(64) _
+    s"""WITH ${kmeansChainSql(k = 8, dims = 64, iters = iters)},
        |fin AS (
        |  SELECT e.vec_id, c.cluster, ${dist("e", "c")} AS dist,
        |         row_number() OVER (PARTITION BY e.vec_id
@@ -2127,6 +2329,73 @@ object SparkEntry {
        |  FROM embeddings e, c$iters c
        |)
        |SELECT vec_id, cluster, round(sqrt(dist), 6) AS dist FROM fin WHERE pr = 1""".stripMargin
+  }
+
+  /** Trained-IVF oracle: re-trains the k=16 x 2-iteration Lloyd fit
+    * in SQL (identical by the round-6 determinism contract), then
+    * replays the IVF search against those centroids — same
+    * (s DESC, list DESC) probe order and in-list exact cosine as
+    * `ivfTopkSql`.
+    */
+  private def ivfTrainedSql: String =
+    s"""WITH ${kmeansChainSql(k = 16, dims = 64, iters = 2)},
+       |cent AS (
+       |  SELECT cluster AS j, cl, sqrt(list_dot_product(cl, cl)) AS n FROM c2
+       |),
+       |sc AS (
+       |  SELECT e.vec_id, cent.j,
+       |         list_dot_product(e.embedding::DOUBLE[], cent.cl) / cent.n AS s
+       |  FROM embeddings e, cent
+       |),
+       |ranked AS (
+       |  SELECT vec_id, j AS list,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, j DESC) AS pr
+       |  FROM sc
+       |),
+       |assign AS (SELECT vec_id, list FROM ranked WHERE pr = 1),
+       |probes AS (SELECT vec_id, list FROM ranked WHERE pr <= 4 AND vec_id % 25 = 0),
+       |q AS (
+       |  SELECT e.vec_id AS query_id, e.embedding::DOUBLE[] AS qe, p.list
+       |  FROM embeddings e JOIN probes p ON e.vec_id = p.vec_id
+       |),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |         list_dot_product(q.qe, c.embedding::DOUBLE[]) /
+       |           (sqrt(list_dot_product(q.qe, q.qe)) *
+       |            sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS cos
+       |  FROM embeddings c
+       |  JOIN assign a ON c.vec_id = a.vec_id
+       |  JOIN q ON q.list = a.list AND q.query_id != c.vec_id
+       |),
+       |rk AS (
+       |  SELECT query_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS rank,
+       |         round(cos, 6) AS cos
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, rank, cos FROM rk WHERE rank <= 10""".stripMargin
+
+  /** Recall@10 oracle: the three top-k oracles composed as nested
+    * subqueries (each is already hash-verified standalone), joined
+    * truth-vs-approx per query. Counts are exact integers; recall is
+    * a small-integer ratio rounded to 6.
+    */
+  private def annRecallSql: String = {
+    def leg(name: String): String =
+      s"""SELECT '$name' AS method, t.query_id,
+         |       count(*) AS n_true,
+         |       CAST(sum(CASE WHEN x.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |       round(CAST(sum(CASE WHEN x.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |             / count(*), 6) AS recall
+         |FROM truth t LEFT JOIN $name x USING (query_id, neighbor_id)
+         |GROUP BY t.query_id""".stripMargin
+    s"""WITH truth AS (SELECT query_id, neighbor_id FROM ($cosineTopkSql)),
+       |ann AS (SELECT query_id, neighbor_id FROM ($annTopkSql)),
+       |ivf AS (SELECT query_id, neighbor_id FROM ($ivfTopkSql))
+       |${leg("ann")}
+       |UNION ALL
+       |${leg("ivf")}""".stripMargin
   }
 
   private def cosineTopkSql: String =

@@ -47,28 +47,24 @@ object Clustering {
       struct(sqDist(c).as("dist"), lit(j).as("cluster"))
     }: _*)).getField("cluster")
 
-  /** Run `iters` Lloyd iterations from the deterministic seed
-    * centroids; returns (vec_id, cluster, dist) under the final
-    * centroids. Empty clusters keep their previous centroid.
+  /** The trained centroids after `iters` Lloyd iterations from the
+    * deterministic seed — the k*dims doubles that cross the driver
+    * (inherent to Lloyd's, same as MLlib). Exposed so downstream
+    * operators (IVF list training in `Similarity.ivfTopKWith`) can
+    * fold the SAME centroids into their plans as literals; the
+    * per-iteration round-6 contract makes the composition replay
+    * exactly in the DuckDB oracle.
     */
-  def kmeans(vectors: DataFrame, k: Int = 8, iters: Int = 3, dims: Int = -1): DataFrame = {
-    val d0 =
-      if (dims >= 0) dims
-      else {
-        val firstRow = vectors.select(size(col("embedding"))).head(1)
-        if (firstRow.isEmpty)
-          return vectors.limit(0).select(col("vec_id"), lit(0).as("cluster"),
-            lit(0.0).as("dist"))
-        firstRow(0).getInt(0)
-      }
-    var centroids = Array.tabulate(k)(j => Array.tabulate(d0)(d => initComponent(j, d)))
+  def kmeansCentroids(vectors: DataFrame, k: Int, iters: Int,
+                      dims: Int): Array[Array[Double]] = {
+    var centroids = Array.tabulate(k)(j => Array.tabulate(dims)(d => initComponent(j, d)))
     // the iterations scan the input once per Lloyd step — cache the
     // projection so steps 2..iters hit memory, not the source
     val proj = vectors.select(col("vec_id"), col("embedding")).cache()
     try {
       for (_ <- 0 until iters) {
         val assigned = proj.select(col("vec_id"), col("embedding"),
-          guard(d0, assignExpr(centroids)).as("cluster"))
+          guard(dims, assignExpr(centroids)).as("cluster"))
         // per-(cluster, dim) means; n*dims rows but fully partial-agg'd.
         // +1e-7 before round: means of discrete-valued embeddings can
         // land exactly on round-6 midpoints where engines tie-break
@@ -83,6 +79,24 @@ object Clustering {
         centroids = next
       }
     } finally proj.unpersist(blocking = false)
+    centroids
+  }
+
+  /** Run `iters` Lloyd iterations from the deterministic seed
+    * centroids; returns (vec_id, cluster, dist) under the final
+    * centroids. Empty clusters keep their previous centroid.
+    */
+  def kmeans(vectors: DataFrame, k: Int = 8, iters: Int = 3, dims: Int = -1): DataFrame = {
+    val d0 =
+      if (dims >= 0) dims
+      else {
+        val firstRow = vectors.select(size(col("embedding"))).head(1)
+        if (firstRow.isEmpty)
+          return vectors.limit(0).select(col("vec_id"), lit(0).as("cluster"),
+            lit(0.0).as("dist"))
+        firstRow(0).getInt(0)
+      }
+    val centroids = kmeansCentroids(vectors, k, iters, d0)
     val best = array_min(array(centroids.zipWithIndex.map { case (c, j) =>
       struct(sqDist(c).as("dist"), lit(j).as("cluster"))
     }: _*))

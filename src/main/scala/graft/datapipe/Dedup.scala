@@ -73,18 +73,77 @@ object Dedup {
     * minhashes in each band; docs sharing any band signature are
     * candidates. Self-join on (band, sig) — a plain equi-join that
     * Spark shuffles on the band key (the 100 TB-safe shape).
+    *
+    * OVERSIZED-BUCKET GUARD: an unbounded self-join emits m^2 pairs
+    * inside ONE join key for a bucket of m members — a 1M-doc
+    * boilerplate cluster would be 10^12 pairs in a single task, and
+    * AQE cannot split one key's output. Buckets larger than
+    * `maxBucket` therefore switch to representative-vs-rest pairing:
+    * the first `maxBucket` members (by doc_id — deterministic and
+    * engine-replayable) pair fully, and every member beyond the cap
+    * pairs ONCE with the bucket representative (the min doc_id).
+    * Pair count per bucket drops from C(m,2) to C(K,2) + (m - K)
+    * while every member stays connected, so the downstream Jaccard
+    * verify + connected-components still merge the whole cluster —
+    * an oversized bucket is by definition a near-dup cluster, and
+    * the star keeps its members one verified hop from the
+    * representative. The per-bucket ranking window sorts m rows in
+    * one task (linear — the m^2 blowup was the join output, not the
+    * bucket itself).
     */
-  def lshCandidates(signatures: DataFrame, rowsPerBand: Int = 4): DataFrame = {
+  def lshCandidates(signatures: DataFrame, rowsPerBand: Int = 4,
+                    maxBucket: Int = 256): DataFrame = {
     val bands = signatures
       .withColumn("band", (col("i") / rowsPerBand).cast("int"))
       .groupBy("doc_id", "band")
       .agg(md5(to_binary(concat_ws(",", sort_array(collect_list(
         concat(col("i"), lit(":"), col("minhash"))))), lit("utf-8"))).as("sig"))
-    val a = bands.select(col("band"), col("sig"), col("doc_id").as("a"))
-    val b = bands.select(col("band"), col("sig"), col("doc_id").as("b"))
-    a.join(b, Seq("band", "sig"))
+    bandedPairs(bands, Seq("band", "sig"), maxBucket, Seq.empty).distinct()
+  }
+
+  /** Per-bucket overflow diagnostic for the band join: one row per
+    * (band, sig) bucket larger than `maxBucket`, with member and
+    * dropped-pair counts — the observability half of the cap (a
+    * bucket showing up here IS a boilerplate cluster worth logging).
+    */
+  def lshBucketStats(signatures: DataFrame, rowsPerBand: Int = 4,
+                     maxBucket: Int = 256): DataFrame = {
+    val bands = signatures
+      .withColumn("band", (col("i") / rowsPerBand).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(md5(to_binary(concat_ws(",", sort_array(collect_list(
+        concat(col("i"), lit(":"), col("minhash"))))), lit("utf-8"))).as("sig"))
+    bands.groupBy("band", "sig")
+      .agg(count(lit(1)).as("n_members"), min("doc_id").as("representative"))
+      .filter(col("n_members") > maxBucket)
+      .select(col("band"), col("representative"), col("n_members"),
+        (col("n_members") - maxBucket).as("n_starred"))
+  }
+
+  /** Shared capped self-join over a banded table: full pairing among
+    * the first `maxBucket` members per bucket (ranked by doc_id),
+    * plus star edges (representative, member) for members beyond the
+    * cap. `carry` columns (e.g. each side's simhash) ride along as
+    * carry_a / carry_b.
+    */
+  private def bandedPairs(banded: DataFrame, keys: Seq[String], maxBucket: Int,
+                          carry: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy("doc_id")
+    val ranked = banded.withColumn("r", row_number().over(w))
+    def side(suffix: String) =
+      ranked.select(keys.map(col) ++ Seq(col("r").as(s"r_$suffix"),
+        col("doc_id").as(suffix)) ++ carry.map(c => col(c).as(s"${c}_$suffix")): _*)
+    val carryCols = carry.flatMap(c => Seq(col(s"${c}_a"), col(s"${c}_b")))
+    // full pairing inside the cap …
+    val full = side("a").filter(col("r_a") <= maxBucket)
+      .join(side("b").filter(col("r_b") <= maxBucket), keys)
       .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+    // … star edges for the overflow: rank 1 holds the bucket-min
+    // doc_id, so (rep, member) is already (a < b)-ordered
+    val star = side("a").filter(col("r_a") === 1)
+      .join(side("b").filter(col("r_b") > maxBucket), keys)
+    full.select(Seq(col("a"), col("b")) ++ carryCols: _*)
+      .unionAll(star.select(Seq(col("a"), col("b")) ++ carryCols: _*))
   }
 
   /** Exact Jaccard similarity over shingle sets for the given
@@ -137,40 +196,56 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Near-duplicate CLUSTERS from candidate pairs by bounded-round
-    * min-label propagation: every node starts labeled with its own id;
-    * each round every node takes the min of its label and its
-    * neighbors' labels. After `iters` rounds all components of
-    * diameter <= iters carry their minimum doc_id as the component
-    * id — LSH dup clusters are near-cliques (diameter 1-2), so 3
-    * rounds converge in practice, and the result is deterministic in
-    * any case (both engines run the same round count).
+  /** Near-duplicate CLUSTERS from candidate pairs by min-label
+    * propagation TO FIXPOINT: every node starts labeled with its own
+    * id; each round every node takes the min of its label and its
+    * neighbors' labels; the loop stops when a round changes zero
+    * labels (labels are monotonically non-increasing, so "changed" is
+    * one cheap filter+count per round). Every component — any
+    * diameter — ends carrying its minimum doc_id as the component id.
     *
     * Scale shape: one (edges x labels) equi-join + min-aggregate per
     * round — the standard alternating-join distributed CC kernel; no
-    * driver-side union-find, no unbounded iteration. For deep chain
-    * topologies raise `iters` (rounds needed = graph diameter) and
-    * checkpoint every few rounds to cut the plan lineage.
+    * driver-side union-find. Each round's labels are
+    * `localCheckpoint`ed (eager): that materialization is the action
+    * the convergence count reads anyway, and it truncates the
+    * per-round join lineage that would otherwise deepen the plan
+    * every iteration. Rounds needed = graph eccentricity of the
+    * min-label node, bounded by `maxIters` as a runaway guard (a
+    * 100 TB near-dup graph has chain diameters in the tens at most;
+    * hitting the bound leaves deterministic, conservatively
+    * under-merged labels — same contract as the old fixed-round
+    * form).
     */
-  def connectedComponents(pairs: DataFrame, iters: Int = 3): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     // every round references the edge list, and Spark re-runs its
     // lineage (here: the whole LSH candidate pipeline) per reference —
     // cache the skinny pair table once; it is candidate-sized, far
-    // smaller than the corpus, and evicted LRU like any cached table
+    // smaller than the corpus, and unpersisted before returning
     val edges = pairs.select(col("a").as("x"), col("b").as("y"))
       .unionAll(pairs.select(col("b").as("x"), col("a").as("y")))
       .cache()
     var labels = edges.select(col("x").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
-    for (_ <- 1 to iters) {
+      .localCheckpoint()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxIters) {
+      round += 1
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("y"), col("label").as("ylab")), "y")
         .groupBy("x").agg(min("ylab").as("nmin"))
         .withColumnRenamed("x", "doc_id")
-      labels = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("label"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("nlabel"))
+        .localCheckpoint()
+      changed = next.filter(col("nlabel") < col("label")).count()
+      labels = next.select(col("doc_id"), col("nlabel").as("label"))
     }
+    // labels is checkpointed (no lineage back through the edge list),
+    // so the cached pair table can be released immediately
+    edges.unpersist(blocking = false)
     labels.select(col("doc_id"), col("label").as("component"),
       count(lit(1)).over(Window.partitionBy("label")).as("n_members"))
   }
@@ -213,8 +288,14 @@ object Dedup {
     *
     * Bit slicing uses the same floor-div/mod arithmetic as `simhash`
     * (exact for 52-bit values, portable to the DuckDB oracle).
+    *
+    * Shares the oversized-bucket guard with `lshCandidates`: buckets
+    * beyond `maxBucket` members (the classic all-zero simhash of
+    * trivial docs) pair representative-vs-rest instead of all-pairs,
+    * bounding per-bucket output at C(K,2) + (m - K).
     */
-  def simhashNearDups(docs: DataFrame, maxHamming: Int = 6, bands: Int = 4): DataFrame = {
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 6, bands: Int = 4,
+                      maxBucket: Int = 256): DataFrame = {
     val bandBits = 52 / bands
     val sig = simhash(docs)
     val banded = sig.select(col("doc_id"), col("simhash"),
@@ -223,11 +304,9 @@ object Dedup {
             pmod(floor(col("simhash") / pow(lit(2.0), lit(b * bandBits))).cast("long"),
               lit(1L << bandBits)).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
-    val cand = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        col("x.simhash").as("sa"), col("y.simhash").as("sb"))
+    val cand = bandedPairs(banded, Seq("band", "key"), maxBucket, Seq("simhash"))
+      .select(col("a"), col("b"),
+        col("simhash_a").as("sa"), col("simhash_b").as("sb"))
       .distinct()
     val verified = cand.withColumn("hd", hamming(col("sa"), col("sb")))
     val perDoc = verified.select(col("a").as("doc_id"), col("hd"))

@@ -41,6 +41,47 @@ object Packing {
           .otherwise(col("bin_first") - 1))
   }
 
+  /** Two-level form of `packChunks`: identical output, but the
+    * running offset is computed as (within-block prefix sum) +
+    * (block-level offset), so one shard no longer serializes through
+    * a single task — the same block-stitching trick as
+    * `Interp.interp1dQuadraticWindowed` / `ParallelIIR`.
+    *
+    * `block` must be MONOTONE NON-DECREASING in `orderCol` within
+    * each shard (e.g. floor(doc_id / 4096) when ordering by doc_id),
+    * so that ordering by (block, orderCol) equals ordering by
+    * orderCol alone. Stage 1 windows over (shard, block) — parallel
+    * across blocks; stage 2 prefix-sums the per-block totals — one
+    * row per block, thousands of times smaller; the offsets then
+    * BROADCAST-join back (map-side, no second shuffle of the data).
+    * All sums are exact longs, so the output is bit-identical to the
+    * single-window form.
+    */
+  def packChunksBlocked(docs: DataFrame, tokens: Column, budget: Long,
+                        shard: Column, orderCol: Column, block: Column): DataFrame = {
+    val base = docs
+      .withColumn("tokens", tokens.cast("long"))
+      .withColumn("__shard", shard)
+      .withColumn("__block", block.cast("long"))
+    val wLoc = Window.partitionBy(col("__shard"), col("__block")).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withLoc = base.withColumn("__loc", coalesce(sum(col("tokens")).over(wLoc), lit(0L)))
+    val wBlk = Window.partitionBy(col("__shard")).orderBy(col("__block"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("__shard"), col("__block"))
+      .agg(sum(col("tokens")).as("__btot"))
+      .withColumn("__boff", coalesce(sum(col("__btot")).over(wBlk), lit(0L)))
+      .select(col("__shard"), col("__block"), col("__boff"))
+    withLoc.join(broadcast(offsets), Seq("__shard", "__block"))
+      .withColumn("start_off", col("__boff") + col("__loc"))
+      .withColumn("bin_first", floor(col("start_off") / budget))
+      .withColumn("bin_last",
+        when(col("tokens") > 0,
+          floor((col("start_off") + col("tokens") - 1) / budget))
+          .otherwise(col("bin_first") - 1))
+      .drop("__shard", "__block", "__loc", "__boff")
+  }
+
   /** Overlapping passage windows per document (retrieval/pretraining
     * chunking): passage p covers tokens [p*stride, p*stride+chunk);
     * the last passage starts at ceil(max(n-chunk,0)/stride)*stride so

@@ -150,19 +150,23 @@ object Similarity {
     Array.tabulate(dims)(d => centroidComponent(j, d))
 
   /** Per-vector centroid scores as an array of (s, list) structs —
-    * all `nlist` centroids folded into the plan as literals, dot
-    * products and the 1/|c_j| normalization computed map-side. Scores
-    * order-compare as (cos-to-centroid, list id).
+    * all centroids folded into the plan as literals, dot products and
+    * the 1/|c_j| normalization computed map-side. Scores
+    * order-compare as (cos-to-centroid, list id). The norm is a
+    * driver-side left-to-right sum over the literal components, so an
+    * oracle re-deriving it from the same values is bit-identical.
     */
-  private def ivfScores(nlist: Int, dims: Int): Column =
-    array((0 until nlist).map { j =>
-      val c = centroid(j, dims)
+  private def ivfScoresFor(cents: Array[Array[Double]]): Column =
+    array(cents.zipWithIndex.map { case (c, j) =>
       val lit_c = typedLit(c)
       val normC = math.sqrt(c.map(x => x * x).sum)
       val dp = aggregate(zip_with(emb(col("embedding")), lit_c, (x, p) => x * p),
         lit(0.0), (acc, x) => acc + x)
       struct((dp / lit(normC)).as("s"), lit(j).as("list"))
     }: _*)
+
+  private def ivfScores(nlist: Int, dims: Int): Column =
+    ivfScoresFor(Array.tabulate(nlist)(centroid(_, dims)))
 
   /** IVF (inverted-file) ANN: every corpus vector is assigned to its
     * best-cosine centroid out of `nlist` deterministic md5-derived
@@ -189,7 +193,31 @@ object Similarity {
             col("vec_id").as("neighbor_id"), lit(1).as("rank"), lit(0.0).as("cos"))
         firstRow(0).getInt(0)
       }
-    val scores = ivfScores(nlist, d0)
+    ivfSearch(corpus, queries, Array.tabulate(nlist)(centroid(_, d0)), k, nprobe, d0)
+  }
+
+  /** IVF-flat search against EXTERNALLY TRAINED centroids — typically
+    * `Clustering.kmeansCentroids` output, closing the loop the
+    * md5-random default leaves open (random centroids give the
+    * nprobe/nlist dial no recall guarantees; trained ones quantize
+    * the actual data distribution). Centroids ride into the plan as
+    * literals exactly like the default path, so the composition
+    * stays fully deterministic and oracle-replayable.
+    */
+  def ivfTopKWith(corpus: DataFrame, queries: DataFrame,
+                  centroids: Array[Array[Double]], k: Int = 10,
+                  nprobe: Int = 4, dims: Int = -1): DataFrame = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    require(nprobe >= 1 && nprobe <= centroids.length, "nprobe must be in [1, nlist]")
+    val d0 = if (dims >= 0) dims else centroids.head.length
+    require(centroids.forall(_.length == d0), s"centroid dims must all be $d0")
+    ivfSearch(corpus, queries, centroids, k, nprobe, d0)
+  }
+
+  private def ivfSearch(corpus: DataFrame, queries: DataFrame,
+                        centroids: Array[Array[Double]], k: Int,
+                        nprobe: Int, d0: Int): DataFrame = {
+    val scores = ivfScoresFor(centroids)
     // ragged inputs null-pad the zip_with and silently zero scores —
     // fail loudly instead (same contract as lshBuckets)
     def guard(c: Column): Column =

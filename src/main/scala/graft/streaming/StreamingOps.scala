@@ -73,6 +73,37 @@ object StreamingOps {
     raw.select(col("user_id"), ts.as("ts"), col("value"))
   }
 
+  /** The documents fixture as a bounded file stream (doc_id, text,
+    * source) — the input shape of streaming corpus dedup.
+    */
+  def documentsStream(root: SparkSession, sfDir: String): DataFrame = {
+    val spark = streamSession(root)
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .select(col("doc_id"), col("text"), col("source"))
+  }
+
+  /** Streaming exact-dedup on the normalized-text fingerprint — the
+    * streaming twin of `Dedup.exact`: `dropDuplicates` keeps one row
+    * per (source, fingerprint) across micro-batches (state = one
+    * entry per distinct key in the state store), then counts unique
+    * documents per source. Which arrival survives is up to batch
+    * scheduling, so the OUTPUT aggregates only key-determined values
+    * (the count of distinct fingerprints) — deterministic and equal
+    * to batch SQL over the bounded source. On an unbounded stream
+    * with event time, `dropDuplicatesWithinWatermark` is the
+    * state-bounded swap (the doc fixture is timeless, so state here
+    * is fingerprint-cardinality-sized — exactly the batch dedup's
+    * shuffle width).
+    */
+  def streamFingerprintDedup(stream: DataFrame): DataFrame =
+    stream
+      .withColumn("fp", graft.datapipe.TextAnalysis.fingerprint(col("text")))
+      .dropDuplicates("source", "fp")
+      .groupBy("source").agg(count(lit(1)).as("n_unique"))
+
   /** Streaming sessionization via the native session_window operator:
     * per-user sessions close when no event arrives within `gap`. This
     * is the streaming analog of datapipe.Sessions.sessionize — state

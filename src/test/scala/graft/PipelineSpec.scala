@@ -239,7 +239,7 @@ class PipelineSpec extends AnyFunSuite {
       val a = rng.nextInt(60).toLong; val b = rng.nextInt(60).toLong
       (math.min(a, b), math.max(a, b))
     }.filter(p => p._1 != p._2).distinct.toDF("a", "b")
-    val out = graft.datapipe.Dedup.connectedComponents(pairs, iters = 8).collect()
+    val out = graft.datapipe.Dedup.connectedComponents(pairs, maxIters = 8).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val nodes = out.keySet
     out.foreach { case (doc, comp) =>
@@ -249,18 +249,57 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
-  test("connectedComponents: chain within round budget, separate clusters stay apart") {
+  test("connectedComponents: chain, clique and pair all converge to true components") {
     import spark.implicits._
     import graft.datapipe.Dedup
-    // chain 1-2-3-4 (diameter 3 = iters budget), clique {10,11,12},
-    // isolated pair {20,21}
+    // chain 1-2-3-4 (diameter 3), clique {10,11,12}, isolated pair
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
       (10L, 12L), (20L, 21L)).toDF("a", "b")
-    val out = Dedup.connectedComponents(pairs, iters = 3)
+    val out = Dedup.connectedComponents(pairs)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(Seq(1L, 2L, 3L, 4L).forall(out(_) == (1L, 4L)))
     assert(Seq(10L, 11L, 12L).forall(out(_) == (10L, 3L)))
     assert(Seq(20L, 21L).forall(out(_) == (20L, 2L)))
+  }
+
+  test("connectedComponents: fixpoint merges a deep chain that 3 fixed rounds under-merge") {
+    import spark.implicits._
+    import graft.datapipe.Dedup
+    // path graph 0-1-2-...-9: diameter 9 > the old fixed 3 rounds —
+    // the fixpoint loop must still converge to ONE component
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("a", "b")
+    val out = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.size == 10)
+    assert((0L to 9L).forall(out(_) == (0L, 10L)))
+    // and the maxIters runaway guard still bounds the loop: 2 rounds
+    // leave the far end of the chain deterministically under-merged
+    val bounded = Dedup.connectedComponents(pairs, maxIters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bounded(9L) == 7L) // label moved exactly 2 hops down the chain
+  }
+
+  test("lshCandidates/bandedPairs: oversized buckets emit star edges, not m^2 pairs") {
+    import spark.implicits._
+    import graft.datapipe.Dedup
+    // 12 identical docs -> identical minhash signatures -> one bucket
+    // of 12 members per band; cap 4 must bound pairs at
+    // C(4,2) + (12-4) = 14, with every member still connected
+    val docs = (0L until 12L).map(i => (i, "the same boilerplate text body every time"))
+      .toDF("doc_id", "text")
+    val sig = Dedup.minhashSignatures(docs, k = 16)
+    val pairs = Dedup.lshCandidates(sig, rowsPerBand = 4, maxBucket = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length == 6 + 8) // C(4,2) full + 8 star edges
+    // connectivity: union-find over the emitted pairs reaches all 12
+    val parent = scala.collection.mutable.Map((0L until 12L).map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    assert((0L until 12L).map(find).toSet.size == 1)
+    // and the diagnostic names the bucket: 4 bands x same oversized set
+    val stats = Dedup.lshBucketStats(sig, rowsPerBand = 4, maxBucket = 4).collect()
+    assert(stats.length == 4)
+    assert(stats.forall(r => r.getLong(1) == 0L && r.getLong(2) == 12L && r.getLong(3) == 8L))
   }
 
   test("CountOccurrencesSum matches the replace-count trick, incl. overlap semantics") {

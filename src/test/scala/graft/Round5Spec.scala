@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.datapipe.{Clustering, Packing, Similarity}
+
+/** Tests for the round-5 additions: two-level sequence packing,
+  * k-means-trained IVF centroids, and recall composition.
+  */
+class Round5Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def packFixture = {
+    import spark.implicits._
+    // 3 shards x 40 docs, token counts 0..12 (including zero-token
+    // docs — the bin_last = bin_first - 1 edge case)
+    (0L until 120L).map { i =>
+      (i, s"s${i % 3}", (i * 7 % 13).toInt)
+    }.toDF("doc_id", "shard", "n_tok")
+  }
+
+  test("packChunksBlocked: bit-identical to the single-window form, incl. zero-token docs") {
+    val plain = Packing.packChunks(packFixture, col("n_tok"), budget = 16,
+      col("shard"), col("doc_id"))
+      .select("doc_id", "tokens", "start_off", "bin_first", "bin_last")
+    val blocked = Packing.packChunksBlocked(packFixture, col("n_tok"), budget = 16,
+      col("shard"), col("doc_id"), floor(col("doc_id") / 8))
+      .select("doc_id", "tokens", "start_off", "bin_first", "bin_last")
+    val p = plain.collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    val b = blocked.collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(p == b)
+    assert(p.size == 120)
+  }
+
+  test("packChunksBlocked: stage-1 window partitions on (shard, block) — one shard spans tasks") {
+    val blocked = Packing.packChunksBlocked(packFixture, col("n_tok"), budget = 16,
+      col("shard"), col("doc_id"), floor(col("doc_id") / 8))
+    // the data-sized window must be keyed by (shard, block), not shard
+    // alone — that's what removes the one-task-per-shard ceiling
+    val plan = blocked.queryExecution.executedPlan.toString
+    assert(plan.contains("__block"))
+    assert(plan.contains("__shard"))
+    // and hash-distributing one shard's rows by (shard, block) really
+    // spreads them across partitions (what the window's exchange does)
+    val spread = packFixture.filter(col("shard") === "s0")
+      .withColumn("__block", floor(col("doc_id") / 8))
+      .repartition(4, col("shard"), col("__block"))
+      .select(spark_partition_id().as("pid"))
+      .distinct().count()
+    assert(spread > 1)
+  }
+
+  test("ivfTopKWith: trained centroids, nprobe = nlist recovers brute force exactly") {
+    import spark.implicits._
+    val rng = new scala.util.Random(29)
+    val dims = 16
+    val corpus = (0L until 150L).map(i => (i, Array.fill(dims)(rng.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") % 30 === 0)
+    val cents = Clustering.kmeansCentroids(corpus, k = 6, iters = 2, dims = dims)
+    assert(cents.length == 6 && cents.forall(_.length == dims))
+    // trained centroids differ from the md5 seeds (training moved them)
+    val seeds = Array.tabulate(6)(j => Array.tabulate(dims)(Clustering.initComponent(j, _)))
+    assert(cents.zip(seeds).exists { case (c, s) => !c.sameElements(s) })
+    val out = Similarity.ivfTopKWith(corpus, queries, cents, k = 5, nprobe = 6, dims = dims)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val bf = Similarity.bruteForceTopK(corpus, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out == bf)
+  }
+
+  test("ivfTopKWith: nprobe < nlist recall is measurable against brute force") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    val dims = 8
+    val corpus = (0L until 200L).map(i => (i, Array.fill(dims)(rng.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") % 40 === 0)
+    val cents = Clustering.kmeansCentroids(corpus, k = 8, iters = 2, dims = dims)
+    val approx = Similarity.ivfTopKWith(corpus, queries, cents, k = 5, nprobe = 2, dims = dims)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = Similarity.bruteForceTopK(corpus, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = approx.intersect(bf).size.toDouble / bf.size
+    assert(recall > 0.0 && recall <= 1.0)
+  }
+}
