@@ -2011,28 +2011,39 @@ object SparkEntry {
        |       count(*) AS n_members, count(*) - 8 AS n_starred
        |FROM bands GROUP BY band, bsig HAVING count(*) > 8""".stripMargin
 
-  /** Min-label propagation replay. Dedup.connectedComponents iterates
-    * to fixpoint BOUNDED BY maxIters, and the oracle unrolls exactly
-    * that bound: if Spark converged in r* < maxIters rounds, the
-    * oracle's extra rounds are no-ops (labels already stable); if
-    * Spark hit the bound, both engines ran the identical maxIters
-    * synchronous rounds — equal either way. (sf0.1 has candidate
-    * chains of diameter > 8 through shingle-similar docs, so a
-    * smaller unroll under-merges: this constant MUST stay equal to
-    * the maxIters the q_dedup_components query uses.) Each round is
-    * one join+aggregate over the candidate-sized edge list — cheap
-    * because the chain is AS MATERIALIZED.
+  /** Min-label + pointer-jump replay. Dedup.connectedComponents
+    * iterates `min(label, neighbor labels, label(label))` to fixpoint
+    * BOUNDED BY maxIters, and the oracle unrolls exactly that bound:
+    * if Spark converged in r* < maxIters rounds, the oracle's extra
+    * rounds are no-ops (labels already stable); if Spark hit the
+    * bound, both engines ran the identical maxIters synchronous
+    * rounds — equal either way. This constant MUST stay equal to the
+    * maxIters the q_dedup_components query uses. With the pointer
+    * jump, 12 rounds cover components far beyond any test-SF diameter
+    * (sf0.1 has chains of diameter > 8 that pure 3-round propagation
+    * under-merged). Each round is one join+aggregate and one label
+    * self-join over the candidate-sized edge list — cheap because the
+    * chain is AS MATERIALIZED.
     */
-  private val CC_ORACLE_ROUNDS = 20
+  private val CC_ORACLE_ROUNDS = 12
   private def dedupComponentsSql: String = {
     // AS MATERIALIZED is load-bearing: each round references the
-    // previous CTE twice, and DuckDB's default inlining would expand
-    // the whole LSH prefix 2^rounds times (measured: >100x slower)
+    // previous CTE three times, and DuckDB's default inlining would
+    // expand the whole LSH prefix exponentially (measured: >100x
+    // slower at 8 plain-propagation rounds)
     def round(prev: String, cur: String): String =
       s"""$cur AS MATERIALIZED (
-         |  SELECT l.doc_id, least(l.label, min(nl.label)) AS label
-         |  FROM $prev l JOIN e ON e.x = l.doc_id JOIN $prev nl ON nl.doc_id = e.y
-         |  GROUP BY l.doc_id, l.label
+         |  SELECT l.doc_id,
+         |         least(l.label,
+         |               coalesce(nm.nmin, l.label),
+         |               coalesce(s.slabel, l.label)) AS label
+         |  FROM $prev l
+         |  LEFT JOIN (SELECT e.x AS doc_id, min(nl.label) AS nmin
+         |             FROM e JOIN $prev nl ON nl.doc_id = e.y GROUP BY e.x) nm
+         |    USING (doc_id)
+         |  LEFT JOIN (SELECT p1.doc_id, p2.label AS slabel
+         |             FROM $prev p1 JOIN $prev p2 ON p2.doc_id = p1.label) s
+         |    USING (doc_id)
          |)""".stripMargin
     val rounds = (1 to CC_ORACLE_ROUNDS).map(t => round(s"l${t - 1}", s"l$t")).mkString(",\n")
     s"""WITH ${lshCandPrefix()},

@@ -197,27 +197,38 @@ object Dedup {
   }
 
   /** Near-duplicate CLUSTERS from candidate pairs by min-label
-    * propagation TO FIXPOINT: every node starts labeled with its own
-    * id; each round every node takes the min of its label and its
-    * neighbors' labels; the loop stops when a round changes zero
-    * labels (labels are monotonically non-increasing, so "changed" is
-    * one cheap filter+count per round). Every component — any
-    * diameter — ends carrying its minimum doc_id as the component id.
+    * propagation WITH POINTER JUMPING, iterated to fixpoint: every
+    * node starts labeled with its own id; each round every node takes
     *
-    * Scale shape: one (edges x labels) equi-join + min-aggregate per
-    * round — the standard alternating-join distributed CC kernel; no
-    * driver-side union-find. Each round's labels are
-    * `localCheckpoint`ed (eager): that materialization is the action
-    * the convergence count reads anyway, and it truncates the
-    * per-round join lineage that would otherwise deepen the plan
-    * every iteration. Rounds needed = graph eccentricity of the
-    * min-label node, bounded by `maxIters` as a runaway guard (a
-    * 100 TB near-dup graph has chain diameters in the tens at most;
+    *   label'(x) = min(label(x), min_{y~x} label(y), label(label(x)))
+    *
+    * — neighbor propagation (one hop per round) PLUS the shortcut
+    * through the node its label points at, which roughly doubles the
+    * distance already covered per round (log-round convergence on
+    * chains, the textbook distributed-CC acceleration, vs diameter
+    * rounds for propagation alone). The loop stops when a round
+    * changes zero labels (labels are monotonically non-increasing, so
+    * "changed" is one cheap filter+count per round). Every
+    * component — any diameter — ends carrying its minimum doc_id.
+    *
+    * Correctness of the shortcut: label values are always ids of
+    * nodes in the same component (true initially; neighbor labels
+    * and label-of-label both stay inside the component), labels only
+    * decrease, and at fixpoint labels are constant per component and
+    * bounded by the min member's self-label — hence equal to the
+    * component min.
+    *
+    * Scale shape: one (edges x labels) equi-join + min-aggregate and
+    * one labels self-join per round; no driver-side union-find. Each
+    * round's labels are `localCheckpoint`ed (eager): that
+    * materialization is the action the convergence count reads
+    * anyway, and it truncates the per-round join lineage. `maxIters`
+    * is a runaway guard — with pointer jumping ~12 rounds cover any
+    * realistic component (distance covered doubles per round);
     * hitting the bound leaves deterministic, conservatively
-    * under-merged labels — same contract as the old fixed-round
-    * form).
+    * under-merged labels.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 12): DataFrame = {
     // every round references the edge list, and Spark re-runs its
     // lineage (here: the whole LSH candidate pipeline) per reference —
     // cache the skinny pair table once; it is candidate-sized, far
@@ -236,9 +247,16 @@ object Dedup {
         .join(labels.select(col("doc_id").as("y"), col("label").as("ylab")), "y")
         .groupBy("x").agg(min("ylab").as("nmin"))
         .withColumnRenamed("x", "doc_id")
+      // pointer jump: label(label(x)) — label values are node ids
+      // present in the label table, so the lookup is an equi-join
+      val short = labels
+        .join(labels.select(col("doc_id").as("label"), col("label").as("slabel")), "label")
+        .select(col("doc_id"), col("slabel"))
       val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .join(short, Seq("doc_id"), "left")
         .select(col("doc_id"), col("label"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("nlabel"))
+          least(col("label"), coalesce(col("nmin"), col("label")),
+            coalesce(col("slabel"), col("label"))).as("nlabel"))
         .localCheckpoint()
       changed = next.filter(col("nlabel") < col("label")).count()
       labels = next.select(col("doc_id"), col("nlabel").as("label"))

@@ -274,9 +274,22 @@ class PipelineSpec extends AnyFunSuite {
     assert((0L to 9L).forall(out(_) == (0L, 10L)))
     // and the maxIters runaway guard still bounds the loop: 2 rounds
     // leave the far end of the chain deterministically under-merged
+    // (propagation + pointer jump reach label 7 at node 9 by round 2)
     val bounded = Dedup.connectedComponents(pairs, maxIters = 2)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(bounded(9L) == 7L) // label moved exactly 2 hops down the chain
+    assert(bounded(9L) == 7L)
+  }
+
+  test("connectedComponents: pointer jumping converges a 100-node path within 12 rounds") {
+    import spark.implicits._
+    import graft.datapipe.Dedup
+    // diameter 99 >> 12: plain one-hop propagation could NOT converge
+    // within the default maxIters — the label(label(x)) shortcut must
+    val pairs = (0L until 99L).map(i => (i, i + 1)).toDF("a", "b")
+    val out = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.size == 100)
+    assert((0L to 99L).forall(out(_) == (0L, 100L)))
   }
 
   test("lshCandidates/bandedPairs: oversized buckets emit star edges, not m^2 pairs") {
