@@ -48,7 +48,8 @@ object SparkEntry {
         s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
           override def onApplicationEnd(
               e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-            Seq(evCache, uniformCache, welchRmsCache, shingleCache, termCountCache)
+            Seq(evCache, uniformCache, welchRmsCache, shingleCache, termCountCache,
+                lshCandCache)
               .foreach(c => c.keys.filter(_._1 eq s).foreach(c.remove))
             evictionInstalled.remove(s)
           }
@@ -98,6 +99,19 @@ object SparkEntry {
     memo(shingleCache, s, dir)(
       Dedup.shingleHashes(Dedup.shingles(docs(s, dir), distinct = false)).cache())
 
+  /** LSH candidate pairs over the shared shingle table, cached per
+    * (session, dir): the near-dup count query and the
+    * connected-components query both consume the identical candidate
+    * list — same materialized-intermediate reasoning as docShingles.
+    */
+  private val lshCandCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def lshCands(s: SparkSession, dir: String): DataFrame =
+    memo(lshCandCache, s, dir)(
+      Dedup.lshCandidates(
+        Dedup.minhashSignaturesFromHashes(docShingles(s, dir), k = 16),
+        rowsPerBand = 4).cache())
+
   /** Degenerate dedup fixture: the first 10 documents plus 50 clones
     * of doc 0's text (doc_ids 1000-1049) — a boilerplate cluster that
     * overflows a maxBucket = 8 band bucket, exercising the
@@ -132,6 +146,7 @@ object SparkEntry {
     welchRmsBase(s, dir).count()
     docShingles(s, dir).count()
     docTermCounts(s, dir).count()
+    lshCands(s, dir).count()
   }
 
   /** The DuckDB view of the same channel model (µs-exact). */
@@ -557,6 +572,13 @@ object SparkEntry {
       Similarity.ivfTopKWith(e, e.filter(col("vec_id") % 25 === 0), cents,
         k = 10, nprobe = 4, dims = 64)
     }),
+    "q_ivf_list_sizes" -> ((s, dir) => {
+      // inverted-file occupancy under the trained quantizer — the
+      // skew dial for nlist (the IVF analog of q_lsh_bucket_overflow)
+      val e = emb(s, dir)
+      val cents = Clustering.kmeansCentroids(e, k = 16, iters = 2, dims = 64)
+      Similarity.ivfListSizes(e, cents, dims = 64)
+    }),
     "q_ann_recall" -> ((s, dir) => {
       // recall@10 per query for both ANN paths vs the exact
       // brute-force ground truth — the observability dial for
@@ -587,8 +609,7 @@ object SparkEntry {
       Clustering.kmeans(emb(s, dir), k = 8, iters = 3, dims = 64)),
     "q_minhash_lsh_neardups" -> ((s, dir) => {
       val d = docs(s, dir)
-      val sig = Dedup.minhashSignaturesFromHashes(docShingles(s, dir), k = 16)
-      val cands = Dedup.lshCandidates(sig, rowsPerBand = 4)
+      val cands = lshCands(s, dir)
       // always-nonempty diagnostic: per-doc candidate count
       d.select(col("doc_id")).join(
         cands.select(col("a").as("doc_id")).unionAll(cands.select(col("b").as("doc_id")))
@@ -596,14 +617,12 @@ object SparkEntry {
         Seq("doc_id"), "left")
         .na.fill(0, Seq("n_candidates"))
     }),
-    "q_dedup_components" -> ((s, dir) => {
-      // near-dup clusters: LSH candidate pairs -> min-label
-      // propagation to fixpoint (convergence-counted, checkpointed).
-      // maxIters MUST equal CC_ORACLE_ROUNDS (see dedupComponentsSql)
-      val sig = Dedup.minhashSignaturesFromHashes(docShingles(s, dir), k = 16)
-      Dedup.connectedComponents(Dedup.lshCandidates(sig, rowsPerBand = 4),
-        maxIters = CC_ORACLE_ROUNDS)
-    }),
+    "q_dedup_components" -> ((s, dir) =>
+      // near-dup clusters: shared LSH candidate pairs -> min-label
+      // propagation + pointer jump to fixpoint (convergence-counted,
+      // checkpointed). maxIters MUST equal CC_ORACLE_ROUNDS (see
+      // dedupComponentsSql)
+      Dedup.connectedComponents(lshCands(s, dir), maxIters = CC_ORACLE_ROUNDS)),
     "q_lsh_bucket_cap" -> ((s, dir) => {
       // degenerate boilerplate fixture: 50 clones of doc 0 overflow a
       // maxBucket = 8 cap — candidate counts must stay bounded
@@ -1332,6 +1351,7 @@ object SparkEntry {
     "q_simhash_neardups" -> simhashNearDupsSql,
     "q_ivf_topk" -> ivfTopkSql,
     "q_ivf_trained" -> ivfTrainedSql,
+    "q_ivf_list_sizes" -> ivfListSizesSql,
     "q_ann_recall" -> annRecallSql,
     "q_kmeans" -> kmeansSql,
     "q_ngram_jaccard" -> ngramJaccardSql,
@@ -2213,6 +2233,27 @@ object SparkEntry {
        |)
        |SELECT query_id, neighbor_id, rank, cos FROM rk WHERE rank <= 10""".stripMargin
   }
+
+  /** List-occupancy oracle: the same trained fit and argmax
+    * assignment as `ivfTrainedSql`, reduced to per-list counts.
+    */
+  private def ivfListSizesSql: String =
+    s"""WITH ${kmeansChainSql(k = 16, dims = 64, iters = 2)},
+       |cent AS (
+       |  SELECT cluster AS j, cl, sqrt(list_dot_product(cl, cl)) AS n FROM c2
+       |),
+       |sc AS (
+       |  SELECT e.vec_id, cent.j,
+       |         list_dot_product(e.embedding::DOUBLE[], cent.cl) / cent.n AS s
+       |  FROM embeddings e, cent
+       |),
+       |ranked AS (
+       |  SELECT vec_id, j AS list,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, j DESC) AS pr
+       |  FROM sc
+       |)
+       |SELECT list, count(*) AS n_vectors
+       |FROM ranked WHERE pr = 1 GROUP BY list""".stripMargin
 
   private def ngramJaccardSql: String =
     s"""WITH $shinglesSql,

@@ -252,14 +252,20 @@ object Dedup {
       val short = labels
         .join(labels.select(col("doc_id").as("label"), col("label").as("slabel")), "label")
         .select(col("doc_id"), col("slabel"))
+      // lazy checkpoint: the convergence count below is the single
+      // action that both materializes this round's labels and reads
+      // the changed count — one scheduled job per round, not two
       val next = labels.join(nbrMin, Seq("doc_id"), "left")
         .join(short, Seq("doc_id"), "left")
         .select(col("doc_id"), col("label"),
           least(col("label"), coalesce(col("nmin"), col("label")),
             coalesce(col("slabel"), col("label"))).as("nlabel"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       changed = next.filter(col("nlabel") < col("label")).count()
       labels = next.select(col("doc_id"), col("nlabel").as("label"))
+      // observability: convergence progress is the dial that says
+      // whether maxIters is sized right for the graph at hand
+      System.err.println(s"[cc] round $round changed=$changed")
     }
     // labels is checkpointed (no lineage back through the edge list),
     // so the cached pair table can be released immediately

@@ -214,6 +214,25 @@ object Similarity {
     ivfSearch(corpus, queries, centroids, k, nprobe, d0)
   }
 
+  /** Inverted-file occupancy under the given centroids: how many
+    * corpus vectors land in each list. The skew dial for nlist/
+    * training quality — a degenerate quantizer shows up here as a few
+    * overfull lists (the IVF analog of `Dedup.lshBucketStats`). Pure
+    * map-side argmax + one count aggregate.
+    */
+  def ivfListSizes(corpus: DataFrame, centroids: Array[Array[Double]],
+                   dims: Int = -1): DataFrame = {
+    val d0 = if (dims >= 0) dims else centroids.head.length
+    require(centroids.forall(_.length == d0), s"centroid dims must all be $d0")
+    val scores = ivfScoresFor(centroids)
+    val best = when(size(emb(col("embedding"))) === d0,
+        element_at(reverse(array_sort(scores)), 1).getField("list"))
+      .otherwise(raise_error(concat(
+        lit(s"ivfListSizes: embedding dims != $d0 for vec_id="), col("vec_id"))).cast("int"))
+    corpus.select(best.as("list"))
+      .groupBy("list").agg(count(lit(1)).as("n_vectors"))
+  }
+
   private def ivfSearch(corpus: DataFrame, queries: DataFrame,
                         centroids: Array[Array[Double]], k: Int,
                         nprobe: Int, d0: Int): DataFrame = {

@@ -315,6 +315,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(stats.forall(r => r.getLong(1) == 0L && r.getLong(2) == 12L && r.getLong(3) == 8L))
   }
 
+  test("lshCandidates cap boundaries: bucket == cap keeps all pairs; cap 1 is a pure star") {
+    import spark.implicits._
+    import graft.datapipe.Dedup
+    val docs = (0L until 12L).map(i => (i, "the same boilerplate text body every time"))
+      .toDF("doc_id", "text")
+    val sig = Dedup.minhashSignatures(docs, k = 16)
+    // cap exactly the bucket size: full C(12,2) pairing, no stars
+    val full = Dedup.lshCandidates(sig, rowsPerBand = 4, maxBucket = 12).count()
+    assert(full == 66)
+    // cap 1: every member pairs once with the representative
+    val star = Dedup.lshCandidates(sig, rowsPerBand = 4, maxBucket = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(star.length == 11)
+    assert(star.forall(_._1 == 0L))
+    assert(star.map(_._2).sorted.toSeq == (1L to 11L))
+  }
+
   test("CountOccurrencesSum matches the replace-count trick, incl. overlap semantics") {
     import spark.implicits._
     import graft.functions.CountOccurrencesSum.countOccurrencesSum
