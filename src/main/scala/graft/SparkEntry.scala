@@ -49,7 +49,7 @@ object SparkEntry {
           override def onApplicationEnd(
               e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
             Seq(evCache, uniformCache, welchRmsCache, shingleCache, termCountCache,
-                lshCandCache)
+                lshCandCache, componentsCache)
               .foreach(c => c.keys.filter(_._1 eq s).foreach(c.remove))
             evictionInstalled.remove(s)
           }
@@ -123,6 +123,19 @@ object SparkEntry {
       .unionAll(d.filter(col("doc_id") === 0)
         .select(explode(sequence(lit(1000L), lit(1049L))).as("doc_id"), col("text")))
   }
+
+  /** Near-dup components over the shared candidate list, cached per
+    * (session, dir): the component listing and the keep/drop decision
+    * query both read the same fixpoint labels — the iteration (the
+    * expensive part) runs once. NOT warmed in `warm()`: the first
+    * consumer pays the iteration inside its own timing; only the
+    * reuse is free.
+    */
+  private val componentsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def dedupComponents(s: SparkSession, dir: String): DataFrame =
+    memo(componentsCache, s, dir)(
+      Dedup.connectedComponents(lshCands(s, dir), maxIters = CC_ORACLE_ROUNDS).cache())
 
   /** Per-(doc, term) frequency table, cached per (session, dir): the
     * TF-IDF and BM25 queries both branch from it several times (tf
@@ -622,7 +635,25 @@ object SparkEntry {
       // propagation + pointer jump to fixpoint (convergence-counted,
       // checkpointed). maxIters MUST equal CC_ORACLE_ROUNDS (see
       // dedupComponentsSql)
-      Dedup.connectedComponents(lshCands(s, dir), maxIters = CC_ORACLE_ROUNDS)),
+      dedupComponents(s, dir)),
+    "q_dedup_keep" -> ((s, dir) =>
+      // the dedup DECISION: keep a doc iff it is its near-dup
+      // cluster's representative (the min doc_id); docs in no
+      // candidate pair represent themselves
+      docs(s, dir).select(col("doc_id"))
+        .join(dedupComponents(s, dir).select(col("doc_id"), col("component")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster"))
+        .withColumn("keep", col("doc_id") === col("cluster"))),
+    "q_neardup_pairs" -> ((s, dir) =>
+      // the full minhash pipeline end-to-end: shared shingle hashes
+      // -> shared capped candidates -> broadcast-bounded exact
+      // Jaccard -> threshold cut (Dedup.minhashNearDups over the
+      // memoized intermediates)
+      Dedup.jaccardByHashes(docShingles(s, dir), lshCands(s, dir))
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)),
     "q_lsh_bucket_cap" -> ((s, dir) => {
       // degenerate boilerplate fixture: 50 clones of doc 0 overflow a
       // maxBucket = 8 cap — candidate counts must stay bounded
@@ -1321,6 +1352,8 @@ object SparkEntry {
     "q_minhash_sig" -> minhashSql,
     "q_minhash_lsh_neardups" -> lshNearDupsSql,
     "q_dedup_components" -> dedupComponentsSql,
+    "q_dedup_keep" -> dedupKeepSql,
+    "q_neardup_pairs" -> neardupPairsSql,
     "q_lsh_bucket_cap" -> lshBucketCapSql,
     "q_lsh_bucket_overflow" -> lshBucketOverflowSql,
     "q_multimodal_features" -> multimodalSql,
@@ -1992,6 +2025,32 @@ object SparkEntry {
        |SELECT d.doc_id, coalesce(c.n_candidates, 0) AS n_candidates
        |FROM documents d LEFT JOIN cnt c USING (doc_id)""".stripMargin
 
+  /** End-to-end near-dup oracle: capped candidates verified by exact
+    * Jaccard over the distinct 52-bit shingle-hash sets (the same h1
+    * sets Spark intersects — exact-integer division, so the 0.5
+    * threshold selects identical rows).
+    */
+  private def neardupPairsSql: String =
+    s"""WITH ${lshCandPrefix()},
+       |h AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id,
+       |         ('0x' || substr(md5(shingle), 1, 13))::BIGINT AS h1
+       |  FROM shingles
+       |),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM h GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.a, c.b, count(*) AS i
+       |  FROM cand c
+       |  JOIN h ha ON ha.doc_id = c.a
+       |  JOIN h hb ON hb.doc_id = c.b AND hb.h1 = ha.h1
+       |  GROUP BY c.a, c.b
+       |)
+       |SELECT i.a, i.b, round(i.i * 1.0 / (sa.sz + sb.sz - i.i), 6) AS jaccard
+       |FROM inter i
+       |JOIN sizes sa ON sa.doc_id = i.a
+       |JOIN sizes sb ON sb.doc_id = i.b
+       |WHERE round(i.i * 1.0 / (sa.sz + sb.sz - i.i), 6) >= 0.5""".stripMargin
+
   /** Degenerate boilerplate fixture shared by the bucket-cap oracles:
     * the first 10 documents plus 50 clones of doc 0's text (doc_ids
     * 1000-1049) — one identical-signature bucket of 51 members in
@@ -2073,6 +2132,18 @@ object SparkEntry {
        |SELECT doc_id, label AS component,
        |       count(*) OVER (PARTITION BY label) AS n_members
        |FROM l$CC_ORACLE_ROUNDS""".stripMargin
+  }
+
+  /** Keep/drop replay: the same fixpoint labels left-joined back to
+    * the corpus — a doc survives iff it is its cluster's minimum.
+    */
+  private def dedupKeepSql: String = {
+    val components = dedupComponentsSql
+    s"""WITH comp AS MATERIALIZED ($components)
+       |SELECT d.doc_id,
+       |       coalesce(c.component, d.doc_id) AS cluster,
+       |       d.doc_id = coalesce(c.component, d.doc_id) AS keep
+       |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin
   }
 
   /** The multimodal decode-stub is byte-deterministic, so DuckDB can
