@@ -125,11 +125,10 @@ object SparkEntry {
   }
 
   /** Near-dup components over the shared candidate list, cached per
-    * (session, dir): the component listing and the keep/drop decision
-    * query both read the same fixpoint labels — the iteration (the
-    * expensive part) runs once. NOT warmed in `warm()`: the first
-    * consumer pays the iteration inside its own timing; only the
-    * reuse is free.
+    * (session, dir) — the compute-once/read-many split a production
+    * pipeline uses: q_dedup_keep (and any other consumer) reads this
+    * memoized table, while q_dedup_components deliberately bypasses
+    * it so the bench always times the real fixpoint iteration.
     */
   private val componentsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
@@ -634,8 +633,11 @@ object SparkEntry {
       // near-dup clusters: shared LSH candidate pairs -> min-label
       // propagation + pointer jump to fixpoint (convergence-counted,
       // checkpointed). maxIters MUST equal CC_ORACLE_ROUNDS (see
-      // dedupComponentsSql)
-      dedupComponents(s, dir)),
+      // dedupComponentsSql). Computed FRESH each call — NOT via the
+      // components memo — so the benched number is the real fixpoint
+      // iteration, not a cache read; q_dedup_keep measures the
+      // compute-once/read-many consumption side instead
+      Dedup.connectedComponents(lshCands(s, dir), maxIters = CC_ORACLE_ROUNDS)),
     "q_dedup_keep" -> ((s, dir) =>
       // the dedup DECISION: keep a doc iff it is its near-dup
       // cluster's representative (the min doc_id); docs in no

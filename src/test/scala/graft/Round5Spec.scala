@@ -77,6 +77,30 @@ class Round5Spec extends AnyFunSuite {
     assert(out == bf)
   }
 
+  test("bucketed tables join with zero exchanges (co-located join pattern)") {
+    import spark.implicits._
+    // the 100 TB pattern for repeatedly-joined tables: bucket both
+    // sides on the join key at write time and the sort-merge join
+    // needs NO shuffle at read time — verify Spark actually plans it
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = (1L to 1000L).map(i => (i, i * 2)).toDF("k", "va")
+      val b = (1L to 1000L).map(i => (i, i * 3)).toDF("k", "vb")
+      a.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("bk_a")
+      b.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("bk_b")
+      val j = spark.table("bk_a").join(spark.table("bk_b"), "k")
+      assert(j.count() == 1000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bk_a")
+      spark.sql("DROP TABLE IF EXISTS bk_b")
+    }
+  }
+
   test("ivfTopKWith: nprobe < nlist recall is measurable against brute force") {
     import spark.implicits._
     val rng = new scala.util.Random(31)
