@@ -792,6 +792,17 @@ object SparkEntry {
     "q_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(docs(s, dir), tc = Some(docTermCounts(s, dir)))),
 
+    // -- corpus vocabulary (top-K terms — tokenizer/BPE seeding) --
+    "q_vocab" -> ((s, dir) =>
+      // distributed top-K: orderBy+limit plans as TakeOrderedAndProject
+      // (per-partition heaps, no global sort); ordering fully
+      // deterministic on (count desc, df desc, term asc)
+      docTermCounts(s, dir)
+        .groupBy("term")
+        .agg(sum("tf").as("n_tokens"), count(lit(1)).as("n_docs"))
+        .orderBy(col("n_tokens").desc, col("n_docs").desc, col("term").asc)
+        .limit(100)),
+
     // -- lexical ranking: TF-IDF salient terms, BM25 retrieval --
     "q_tfidf_topk" -> ((s, dir) =>
       Ranking.tfidfTopK(docs(s, dir), k = 3, tc = Some(docTermCounts(s, dir)))
@@ -1460,6 +1471,13 @@ object SparkEntry {
     // -- lexical ranking: rank keys are integers/strings (tf desc, df
     // asc, term asc) so the selected rows are engine-exact; only the
     // displayed ln()-scores are rounded --
+    "q_vocab" ->
+      s"""WITH $TERM_COUNTS
+         |SELECT term, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |       count(*) AS n_docs
+         |FROM tc GROUP BY term
+         |ORDER BY n_tokens DESC, n_docs DESC, term ASC
+         |LIMIT 100""".stripMargin,
     "q_tfidf_topk" ->
       s"""WITH $TERM_COUNTS,
          |dfreq AS (SELECT term, count(*) AS df FROM tc GROUP BY term),
