@@ -101,6 +101,32 @@ class Round5Spec extends AnyFunSuite {
     }
   }
 
+  test("ivfListSizes: occupancy partitions the corpus exactly") {
+    import spark.implicits._
+    val rng = new scala.util.Random(41)
+    val dims = 8
+    val corpus = (0L until 300L).map(i => (i, Array.fill(dims)(rng.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val cents = Clustering.kmeansCentroids(corpus, k = 6, iters = 1, dims = dims)
+    val sizes = Similarity.ivfListSizes(corpus, cents, dims = dims).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes.values.sum == 300L) // every vector in exactly one list
+    assert(sizes.keys.forall(j => j >= 0 && j < 6))
+  }
+
+  test("streaming fingerprint dedup equals batch distinct counts over the bounded source") {
+    import graft.streaming.StreamingOps._
+    val dir = "/root/testdata/sf0.001"
+    val streamed = SparkEntry.queries("q_stream_fingerprint")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("source")
+      .agg(countDistinct(graft.datapipe.TextAnalysis.fingerprint(col("text"))).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("ivfTopKWith: nprobe < nlist recall is measurable against brute force") {
     import spark.implicits._
     val rng = new scala.util.Random(31)
