@@ -747,6 +747,20 @@ object SparkEntry {
       runToMemorySink(streamFingerprintDedup(documentsStream(s, dir)),
         "stream_fingerprint", "complete")
     }),
+    "q_stream_lsh_buckets" -> ((s, dir) => {
+      // ingestion-time near-dup bucketing: the per-row (map-side)
+      // minhash band keys assigned AS DOCUMENTS ARRIVE on the stream,
+      // with stateful occupancy counts — colliding buckets (the dup
+      // candidates) must equal the batch band table exactly
+      import graft.streaming.StreamingOps._
+      val st = documentsStream(s, dir)
+        .select(explode(Dedup.lshBandsPerRow(col("text"))).as("bk"))
+        .groupBy(col("bk.band").as("band"), col("bk.sig").as("sig"))
+        .agg(count(lit(1)).as("n_members"))
+        .filter(col("n_members") > 1)
+      runToMemorySink(st, "stream_lsh_buckets", "complete")
+        .select(col("band").cast("long").as("band"), col("sig"), col("n_members"))
+    }),
     "q_movrms_time" -> ((s, dir) =>
       Signal(evUniform(s, dir)).movRms(7200.0).df
         .select(col("channel"), col("t"), round(col("v"), 6).as("v"))),
@@ -1603,6 +1617,10 @@ object SparkEntry {
       """SELECT source,
         |       count(DISTINCT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))) AS n_unique
         |FROM documents GROUP BY source""".stripMargin,
+    "q_stream_lsh_buckets" ->
+      s"""WITH ${lshCandPrefix()}
+         |SELECT band, bsig AS sig, count(*) AS n_members
+         |FROM bands GROUP BY band, bsig HAVING count(*) > 1""".stripMargin,
     // time-window mov_rms on the uniform 1/3600 Hz grid: n = round(
     // 7200 * sr) = 2 samples, t shifted back by window/2, warm-up row
     // and final row trimmed (extension.py:684,695-697)

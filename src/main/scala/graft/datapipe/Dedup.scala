@@ -1,6 +1,6 @@
 package graft.datapipe
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -144,6 +144,41 @@ object Dedup {
       .join(side("b").filter(col("r_b") > maxBucket), keys)
     full.select(Seq(col("a"), col("b")) ++ carryCols: _*)
       .unionAll(star.select(Seq(col("a"), col("b")) ++ carryCols: _*))
+  }
+
+  /** Per-row (map-side) LSH band keys: the same (band, sig) keys the
+    * explode/aggregate pipeline (`minhashSignatures` →
+    * `lshCandidates`) derives, computed as pure array expressions
+    * over a single text column — ZERO shuffle, so the signature
+    * assignment runs at ingestion time, including on a STREAM (each
+    * document arrives whole, so its minhash is a per-row function,
+    * not an aggregate). Returns array<struct<band:int, sig:string>>
+    * of length k/rowsPerBand. Equality with the aggregate path is
+    * asserted in tests; the band signature string format
+    * ("i:minhash" sorted, comma-joined, md5'd) is byte-identical.
+    */
+  def lshBandsPerRow(text: Column, k: Int = 16, rowsPerBand: Int = 4,
+                     shingleN: Int = 5): Column = {
+    val norm = TextAnalysis.normalized(text)
+    val sh = transform(
+      sequence(lit(1), greatest(length(norm) - (shingleN - 1), lit(1))),
+      p => norm.substr(p, lit(shingleN)))
+    // hash each shingle once: (h1, h2) = the md5's two 52-bit halves
+    val hs = transform(sh, s => {
+      val m = md5(to_binary(s, lit("utf-8")))
+      struct(conv(substring(m, 1, 13), 16, 10).cast("long").as("h1"),
+        conv(substring(m, 14, 13), 16, 10).cast("long").as("h2"))
+    })
+    val mins = (0 until k).map(i =>
+      array_min(transform(hs, h =>
+        pmod(h.getField("h1") + lit(i.toLong) * h.getField("h2"), lit(1L << 52)))))
+    val bands = (0 until k / rowsPerBand).map { b =>
+      val parts = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i =>
+        concat(lit(s"$i:"), mins(i).cast("string")))
+      struct(lit(b).as("band"),
+        md5(to_binary(concat_ws(",", sort_array(array(parts: _*))), lit("utf-8"))).as("sig"))
+    }
+    array(bands: _*)
   }
 
   /** Exact Jaccard similarity over shingle sets for the given

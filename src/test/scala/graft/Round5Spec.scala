@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.datapipe.{Clustering, Packing, Similarity}
+import graft.datapipe.{Clustering, Dedup, Packing, Similarity}
 
 /** Tests for the round-5 additions: two-level sequence packing,
   * k-means-trained IVF centroids, and recall composition.
@@ -99,6 +99,33 @@ class Round5Spec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS bk_a")
       spark.sql("DROP TABLE IF EXISTS bk_b")
     }
+  }
+
+  test("lshBandsPerRow: per-row band keys equal the aggregate pipeline's, byte for byte") {
+    import spark.implicits._
+    // varied texts incl. short (< shingle length), empty-ish, and dups
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "Completely different content with MORE tokens and punctuation!!"),
+      (3L, "ab"), (4L, "x"), (5L, "  "),
+      (6L, "spark catalyst tungsten codegen exchange partition")
+    ).toDF("doc_id", "text")
+    val aggBands = Dedup.minhashSignatures(docs, k = 16)
+      .withColumn("band", (col("i") / 4).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(md5(to_binary(concat_ws(",", sort_array(collect_list(
+        concat(col("i"), lit(":"), col("minhash"))))), lit("utf-8"))).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    val perRow = docs
+      .select(col("doc_id"), explode(Dedup.lshBandsPerRow(col("text"))).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.sig"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    assert(perRow == aggBands)
+    assert(perRow.size == 7 * 4)
+    // identical docs agree on every band; distinct docs do not
+    assert((0 until 4).forall(b => perRow((0L, b)) == perRow((1L, b))))
+    assert((0 until 4).exists(b => perRow((0L, b)) != perRow((2L, b))))
   }
 
   test("ivfListSizes: occupancy partitions the corpus exactly") {
