@@ -433,12 +433,49 @@ object SparkEntry {
         round(TextAnalysis.qualityScore(col("text")) + 1e-7, 4).as("quality"))),
     "q_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
+    "q_source_mix" -> ((s, dir) => {
+      // training-mix report: per-(source, lang) document/token counts
+      // and mean quality — the table a data-mixture weighting step
+      // consumes. Quality is summed as 1e-4-quantized LONGS and
+      // divided once, so the group average is exact-integer
+      // arithmetic: float-summation order never enters the hash
+      // (avg of raw doubles would differ across engines in the last
+      // bits and round() could land either side of a boundary)
+      val qi = round((TextAnalysis.qualityScore(col("text")) + 1e-7) * 10000).cast("long")
+      docs(s, dir)
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.wsTokenCount(col("text"))).as("ws_tokens"),
+          sum(qi).as("qsum"))
+        .select(col("source"), col("lang"), col("n_docs"), col("ws_tokens"),
+          round(col("qsum") / (col("n_docs") * 10000.0), 6).as("avg_quality"))
+    }),
+    "q_length_hist" -> ((s, dir) =>
+      // token-length histogram (64-token bins) — the length
+      // distribution a packing/truncation policy is tuned against.
+      // Integer bin arithmetic end to end; one partial-aggregated
+      // exchange on the bin key
+      docs(s, dir)
+        .select(TextAnalysis.wsTokenCount(col("text")).as("tokens"))
+        .select((floor(col("tokens") / 64) * 64).cast("long").as("bin_lo"), col("tokens"))
+        .groupBy("bin_lo")
+        .agg(count(lit(1)).as("n_docs"), sum("tokens").as("n_tokens"))),
 
     // -- dedup --
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
     "q_minhash_sig" -> ((s, dir) =>
       Dedup.minhashSignaturesFromHashes(docShingles(s, dir), k = 16)),
     "q_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
+    "q_decontaminate" -> ((s, dir) => {
+      // test-set decontamination: every 97th document stands in for a
+      // held-out benchmark; corpus docs overlapping its shingle set by
+      // >= 10% are flagged. Benchmark set broadcasts; the corpus-side
+      // shingle table (shared cache) is filtered map-side
+      val sh = docShingles(s, dir)
+      Dedup.benchmarkOverlap(
+        sh.filter(col("doc_id") % 97 =!= 0),
+        sh.filter(col("doc_id") % 97 === 0))
+    }),
     "q_ngram_jaccard" -> ((s, dir) => {
       // query-vs-corpus jaccard: every 20th doc against its source
       // bucket — pair count scales linearly with the corpus, not
@@ -590,6 +627,17 @@ object SparkEntry {
       val e = emb(s, dir)
       val cents = Clustering.kmeansCentroids(e, k = 16, iters = 2, dims = 64)
       Similarity.ivfListSizes(e, cents, dims = 64)
+    }),
+    "q_ivf_probe_sweep" -> ((s, dir) => {
+      // the recall-vs-nprobe curve over the TRAINED quantizer: one
+      // corpus join at nprobe=8, smaller settings derived by probe-
+      // rank filter — the measured dial that closes the "recall
+      // observability" gap for real (q_ann_recall gives one point;
+      // this gives the curve a tuner walks)
+      val e = emb(s, dir)
+      val cents = Clustering.kmeansCentroids(e, k = 16, iters = 2, dims = 64)
+      Similarity.ivfProbeSweep(e, e.filter(col("vec_id") % 25 === 0), cents,
+        k = 10, nprobes = Seq(1, 2, 4, 8), dims = 64)
     }),
     "q_ann_recall" -> ((s, dir) => {
       // recall@10 per query for both ANN paths vs the exact
@@ -760,6 +808,32 @@ object SparkEntry {
         .filter(col("n_members") > 1)
       runToMemorySink(st, "stream_lsh_buckets", "complete")
         .select(col("band").cast("long").as("band"), col("sig"), col("n_members"))
+    }),
+    "q_stream_lsh_match" -> ((s, dir) => {
+      // incremental dedup admission: probe documents ARRIVING on the
+      // stream compute their band keys map-side and equi-join the
+      // STATIC corpus band table (the table a production pipeline
+      // persists bucketed by (band, sig)) — a stream-static join
+      // holds no join state; the only streaming state is the final
+      // pair aggregate. Output: candidate partners per arriving doc
+      // with shared-band multiplicity. Both sides must live on the
+      // stream's session clone, hence the local re-derivation of the
+      // corpus bands rather than the root-session docShingles cache
+      import graft.streaming.StreamingOps._
+      val probes = documentsStream(s, dir).filter(col("doc_id") % 7 === 0)
+      val sc = probes.sparkSession
+      val corpus = Dedup.lshBands(
+        Dedup.minhashSignaturesFromHashes(
+          Dedup.shingleHashes(Dedup.shingles(
+            sc.read.parquet(s"$dir/documents.parquet"), distinct = false)), k = 16))
+        .select(col("doc_id").as("partner"), col("band"), col("sig"))
+      val st = probes
+        .select(col("doc_id"), explode(Dedup.lshBandsPerRow(col("text"))).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+        .join(corpus, Seq("band", "sig"))
+        .filter(col("partner") =!= col("doc_id"))
+        .groupBy("doc_id", "partner").agg(count(lit(1)).as("n_shared_bands"))
+      runToMemorySink(st, "stream_lsh_match", "complete")
     }),
     "q_movrms_time" -> ((s, dir) =>
       Signal(evUniform(s, dir)).movRms(7200.0).df
@@ -1367,6 +1441,15 @@ object SparkEntry {
       """SELECT doc_id,
         |       md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
+    "q_source_mix" -> sourceMixSql,
+    "q_length_hist" ->
+      """WITH t AS (
+        |  SELECT len(regexp_split_to_array(trim(text), '\s+')) AS tokens FROM documents
+        |)
+        |SELECT (tokens // 64) * 64 AS bin_lo, count(*) AS n_docs,
+        |       CAST(sum(tokens) AS BIGINT) AS n_tokens
+        |FROM t GROUP BY (tokens // 64) * 64""".stripMargin,
+    "q_decontaminate" -> decontaminateSql,
     "q_dedup_exact" ->
       """WITH f AS (
         |  SELECT doc_id,
@@ -1413,6 +1496,7 @@ object SparkEntry {
     "q_ivf_trained" -> ivfTrainedSql,
     "q_ivf_list_sizes" -> ivfListSizesSql,
     "q_ann_recall" -> annRecallSql,
+    "q_ivf_probe_sweep" -> ivfProbeSweepSql,
     "q_kmeans" -> kmeansSql,
     "q_ngram_jaccard" -> ngramJaccardSql,
 
@@ -1621,6 +1705,16 @@ object SparkEntry {
       s"""WITH ${lshCandPrefix()}
          |SELECT band, bsig AS sig, count(*) AS n_members
          |FROM bands GROUP BY band, bsig HAVING count(*) > 1""".stripMargin,
+    // stream-static admission join: arriving probe docs (doc_id % 7)
+    // vs the full corpus band table — bounded stream ≡ this batch join
+    "q_stream_lsh_match" ->
+      s"""WITH $shinglesSql,
+         |$lshBandsChain
+         |SELECT p.doc_id, c.doc_id AS partner, count(*) AS n_shared_bands
+         |FROM bands p
+         |JOIN bands c ON p.band = c.band AND p.bsig = c.bsig AND c.doc_id != p.doc_id
+         |WHERE p.doc_id % 7 = 0
+         |GROUP BY p.doc_id, c.doc_id""".stripMargin,
     // time-window mov_rms on the uniform 1/3600 Hz grid: n = round(
     // 7200 * sr) = 2 samples, t shifted back by window/2, warm-up row
     // and final row trimmed (extension.py:684,695-697)
@@ -1967,21 +2061,64 @@ object SparkEntry {
        |FROM scored GROUP BY lang, lang_pred""".stripMargin
   }
 
-  private def qualitySql: String =
-    """WITH m AS (
-      |  SELECT doc_id,
+  /** Per-document UNROUNDED quality as a CTE chain ending in
+    * `qual(doc_id, source, lang, text, qual)` — the shared substrate
+    * for q_quality (per-doc rounding) and q_source_mix (exact
+    * quantized group average).
+    */
+  private def qualDocsSql: String =
+    """qm AS (
+      |  SELECT doc_id, source, lang, text,
       |         CAST(length(text) AS DOUBLE) AS n,
       |         CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS digits,
       |         CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) AS punct,
       |         CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) AS uppr
       |  FROM documents
-      |)
-      |SELECT doc_id,
-      |       round(greatest(0.0, least(n / 200.0, 1.0) *
-      |         (1.0 - least(digits / n * 4.0, 1.0) * 0.4
-      |              - least(punct / n * 3.0, 1.0) * 0.3
-      |              - least(uppr / n * 2.0, 1.0) * 0.3)) + 1e-7, 4) AS quality
-      |FROM m""".stripMargin
+      |),
+      |qual AS (
+      |  SELECT doc_id, source, lang, text,
+      |         greatest(0.0, least(n / 200.0, 1.0) *
+      |           (1.0 - least(digits / n * 4.0, 1.0) * 0.4
+      |                - least(punct / n * 3.0, 1.0) * 0.3
+      |                - least(uppr / n * 2.0, 1.0) * 0.3)) AS qual
+      |  FROM qm
+      |)""".stripMargin
+
+  private def qualitySql: String =
+    s"""WITH $qualDocsSql
+       |SELECT doc_id, round(qual + 1e-7, 4) AS quality FROM qual""".stripMargin
+
+  /** Training-mix oracle: quality quantized to exact 1e-4 longs
+    * BEFORE the group sum (mirroring the Spark side), so the group
+    * average is one float division of exact integers — summation
+    * order never enters the result.
+    */
+  private def sourceMixSql: String =
+    s"""WITH $qualDocsSql
+       |SELECT source, lang, count(*) AS n_docs,
+       |       CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS ws_tokens,
+       |       round(CAST(sum(CAST(round((qual + 1e-7) * 10000) AS BIGINT)) AS BIGINT)
+       |             / (count(*) * 10000.0), 6) AS avg_quality
+       |FROM qual GROUP BY source, lang""".stripMargin
+
+  /** Decontamination oracle: distinct shingle-STRING overlap replays
+    * Spark's distinct-h1 overlap (the same md5-collision argument as
+    * the Jaccard oracle); the >= 10% flag is exact integer
+    * arithmetic on both engines.
+    */
+  private def decontaminateSql: String =
+    s"""WITH $shinglesSql,
+       |bench AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id % 97 = 0),
+       |corp AS (SELECT doc_id, shingle FROM shingles WHERE doc_id % 97 != 0),
+       |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM corp GROUP BY doc_id),
+       |hits AS (
+       |  SELECT c.doc_id, count(*) AS hits
+       |  FROM corp c JOIN bench b ON c.shingle = b.shingle GROUP BY c.doc_id
+       |)
+       |SELECT s.doc_id, s.n_shingles, coalesce(h.hits, 0) AS hits,
+       |       round(coalesce(h.hits, 0) / s.n_shingles, 6) AS overlap,
+       |       CASE WHEN coalesce(h.hits, 0) * 10 >= s.n_shingles THEN 1 ELSE 0 END AS contaminated
+       |FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id""".stripMargin
 
   private val normSql = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
   private def shinglesSqlFrom(table: String): String =
@@ -2021,7 +2158,11 @@ object SparkEntry {
   /** The sig → bands → ranked → capped-cand CTE chain, assuming a
     * `shingles(doc_id, shingle)` CTE is already in scope.
     */
-  private def lshCandChain(maxBucket: Int): String =
+  /** The sig → bands prefix alone (the corpus band table), assuming a
+    * `shingles(doc_id, shingle)` CTE is already in scope — shared by
+    * the candidate chain below and the stream-static match oracle.
+    */
+  private def lshBandsChain: String =
     s"""sig AS MATERIALIZED (
        |  SELECT doc_id, i,
        |         min((('0x' || substr(md5(shingle), 1, 13))::BIGINT
@@ -2034,7 +2175,10 @@ object SparkEntry {
        |  SELECT doc_id, i // 4 AS band,
        |         md5(string_agg(i || ':' || minhash, ',' ORDER BY i || ':' || minhash)) AS bsig
        |  FROM sig GROUP BY doc_id, i // 4
-       |),
+       |)""".stripMargin
+
+  private def lshCandChain(maxBucket: Int): String =
+    s"""$lshBandsChain,
        |bandsr AS MATERIALIZED (
        |  SELECT doc_id, band, bsig,
        |         row_number() OVER (PARTITION BY band, bsig ORDER BY doc_id) AS r
@@ -2542,6 +2686,61 @@ object SparkEntry {
     * truth-vs-approx per query. Counts are exact integers; recall is
     * a small-integer ratio rounded to 6.
     */
+  /** Probe-sweep oracle: the trained-IVF assignment chain with the
+    * probe RANK kept, fanned across the nprobe values exactly as the
+    * Spark side derives every smaller setting from one ranked
+    * candidate table; recall aggregated as exact BIGINT counts and
+    * divided once.
+    */
+  private def ivfProbeSweepSql: String =
+    s"""WITH ${kmeansChainSql(k = 16, dims = 64, iters = 2)},
+       |cent AS (
+       |  SELECT cluster AS j, cl, sqrt(list_dot_product(cl, cl)) AS n FROM c2
+       |),
+       |sc AS (
+       |  SELECT e.vec_id, cent.j,
+       |         list_dot_product(e.embedding::DOUBLE[], cent.cl) / cent.n AS s
+       |  FROM embeddings e, cent
+       |),
+       |ranked AS (
+       |  SELECT vec_id, j AS list,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, j DESC) AS pr
+       |  FROM sc
+       |),
+       |assign AS (SELECT vec_id, list FROM ranked WHERE pr = 1),
+       |np(nprobe) AS (VALUES (1), (2), (4), (8)),
+       |probes AS (SELECT vec_id, list, pr FROM ranked WHERE pr <= 8 AND vec_id % 25 = 0),
+       |q AS (
+       |  SELECT e.vec_id AS query_id, e.embedding::DOUBLE[] AS qe, p.list, p.pr
+       |  FROM embeddings e JOIN probes p ON e.vec_id = p.vec_id
+       |),
+       |scored AS (
+       |  SELECT np.nprobe, q.query_id, c.vec_id AS neighbor_id,
+       |         list_dot_product(q.qe, c.embedding::DOUBLE[]) /
+       |           (sqrt(list_dot_product(q.qe, q.qe)) *
+       |            sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS cos
+       |  FROM embeddings c
+       |  JOIN assign a ON c.vec_id = a.vec_id
+       |  JOIN q ON q.list = a.list AND q.query_id != c.vec_id
+       |  JOIN np ON q.pr <= np.nprobe
+       |),
+       |rk AS (
+       |  SELECT nprobe, query_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY nprobe, query_id
+       |                            ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS rank
+       |  FROM scored
+       |),
+       |topk AS (SELECT nprobe, query_id, neighbor_id FROM rk WHERE rank <= 10),
+       |truth AS (SELECT query_id, neighbor_id FROM ($cosineTopkSql)),
+       |tf AS (SELECT np.nprobe, t.query_id, t.neighbor_id FROM truth t, np)
+       |SELECT tf.nprobe, count(DISTINCT tf.query_id) AS n_queries, count(*) AS n_true,
+       |       CAST(sum(CASE WHEN x.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |       round(CAST(sum(CASE WHEN x.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |             / count(*), 6) AS recall
+       |FROM tf LEFT JOIN topk x
+       |  ON tf.nprobe = x.nprobe AND tf.query_id = x.query_id AND tf.neighbor_id = x.neighbor_id
+       |GROUP BY tf.nprobe""".stripMargin
+
   private def annRecallSql: String = {
     def leg(name: String): String =
       s"""SELECT '$name' AS method, t.query_id,

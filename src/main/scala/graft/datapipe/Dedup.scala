@@ -92,14 +92,25 @@ object Dedup {
     * bucket itself).
     */
   def lshCandidates(signatures: DataFrame, rowsPerBand: Int = 4,
-                    maxBucket: Int = 256): DataFrame = {
-    val bands = signatures
+                    maxBucket: Int = 256): DataFrame =
+    bandedPairs(lshBands(signatures, rowsPerBand), Seq("band", "sig"), maxBucket,
+      Seq.empty).distinct()
+
+  /** The (doc_id, band, sig) band table the LSH join family keys on:
+    * band signature = md5 of the band's sorted "i:minhash" strings.
+    * Shared by `lshCandidates` (self-join → candidate pairs),
+    * `lshBucketStats` (occupancy diagnostics), and the stream-static
+    * admission join (`q_stream_lsh_match`) — at scale this table is
+    * the thing a production pipeline PERSISTS (bucketed by (band,
+    * sig)) so newly arriving documents can match against it without
+    * recomputing corpus signatures.
+    */
+  def lshBands(signatures: DataFrame, rowsPerBand: Int = 4): DataFrame =
+    signatures
       .withColumn("band", (col("i") / rowsPerBand).cast("int"))
       .groupBy("doc_id", "band")
       .agg(md5(to_binary(concat_ws(",", sort_array(collect_list(
         concat(col("i"), lit(":"), col("minhash"))))), lit("utf-8"))).as("sig"))
-    bandedPairs(bands, Seq("band", "sig"), maxBucket, Seq.empty).distinct()
-  }
 
   /** Per-bucket overflow diagnostic for the band join: one row per
     * (band, sig) bucket larger than `maxBucket`, with member and
@@ -108,11 +119,7 @@ object Dedup {
     */
   def lshBucketStats(signatures: DataFrame, rowsPerBand: Int = 4,
                      maxBucket: Int = 256): DataFrame = {
-    val bands = signatures
-      .withColumn("band", (col("i") / rowsPerBand).cast("int"))
-      .groupBy("doc_id", "band")
-      .agg(md5(to_binary(concat_ws(",", sort_array(collect_list(
-        concat(col("i"), lit(":"), col("minhash"))))), lit("utf-8"))).as("sig"))
+    val bands = lshBands(signatures, rowsPerBand)
     bands.groupBy("band", "sig")
       .agg(count(lit(1)).as("n_members"), min("doc_id").as("representative"))
       .filter(col("n_members") > maxBucket)
@@ -218,6 +225,35 @@ object Dedup {
         col("sza"), col("szb"))
       .select(col("a"), col("b"),
         (col("inter").cast("double") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
+  }
+
+  /** Test-set decontamination: per-document count of distinct
+    * shingles shared with a BENCHMARK corpus (reference semantics:
+    * the n-gram-overlap decontamination step every published
+    * training-data pipeline runs before pretraining — e.g. the
+    * 13-gram filters of the GPT-3/PaLM data cards). Both inputs are
+    * `shingleHashes` tables (doc_id, h1, h2); a document whose
+    * shingle set overlaps the benchmark set by ≥ 10% is flagged.
+    *
+    * Scale shape: the benchmark n-gram set is tiny next to a 100 TB
+    * corpus (benchmarks are megabytes), so it BROADCASTS — the
+    * corpus-side shingle table is filtered map-side with no shuffle
+    * of the corpus at all; the only exchanges are the per-doc count
+    * aggregates. Distinct h1 stands in for the distinct shingle set
+    * exactly as in `jaccardByHashes` (52-bit md5 collisions ~1e-11).
+    */
+  def benchmarkOverlap(corpusHashes: DataFrame, benchHashes: DataFrame): DataFrame = {
+    val bench = benchHashes.select(col("h1")).distinct()
+    val corp = corpusHashes.select(col("doc_id"), col("h1")).distinct()
+    val sizes = corp.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val hits = corp.join(broadcast(bench), "h1")
+      .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+    sizes.join(hits, Seq("doc_id"), "left").na.fill(0L, Seq("hits"))
+      .select(col("doc_id"), col("n_shingles"), col("hits"),
+        round(col("hits") / col("n_shingles"), 6).as("overlap"),
+        // hits*10 >= n_shingles ⇔ overlap >= 0.1, decided in exact
+        // integer arithmetic (no float threshold at the boundary)
+        when(col("hits") * 10 >= col("n_shingles"), 1).otherwise(0).as("contaminated"))
   }
 
   /** Full MinHash-LSH near-dup pipeline: shingle → sign → band →

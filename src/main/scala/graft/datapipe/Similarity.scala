@@ -236,6 +236,24 @@ object Similarity {
   private def ivfSearch(corpus: DataFrame, queries: DataFrame,
                         centroids: Array[Array[Double]], k: Int,
                         nprobe: Int, d0: Int): DataFrame = {
+    val scored = ivfCandidates(corpus, queries, centroids, nprobe, d0)
+    val w = Window.partitionBy("query_id").orderBy(round(col("cos"), 6).desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Scored IVF candidates with their PROBE RANK: (query_id,
+    * neighbor_id, cos, pr) where pr = the 1-based rank of the probed
+    * list the neighbor was found in. Each corpus vector lives in
+    * exactly one list (argmax assignment), so a (query, neighbor)
+    * pair appears at most once and pr is well-defined — which is what
+    * lets `ivfProbeSweep` derive every smaller-nprobe result set from
+    * ONE join at the largest setting.
+    */
+  private def ivfCandidates(corpus: DataFrame, queries: DataFrame,
+                            centroids: Array[Array[Double]],
+                            maxNprobe: Int, d0: Int): DataFrame = {
     val scores = ivfScoresFor(centroids)
     // ragged inputs null-pad the zip_with and silently zero scores —
     // fail loudly instead (same contract as lshBuckets)
@@ -247,22 +265,56 @@ object Similarity {
     val c = corpus.select(col("vec_id").as("neighbor_id"),
       emb(col("embedding")).as("ce"), best.as("list"))
     val q = queries.select(col("vec_id").as("query_id"), emb(col("embedding")).as("qe"),
-        explode(slice(reverse(array_sort(scores)), 1, nprobe)).as("probe"))
+        posexplode(slice(reverse(array_sort(scores)), 1, maxNprobe)))
       // same ragged-dims contract on the query side (scores are NULL
       // for a wrong-length embedding, which would silently pick probe
       // lists by list id alone)
-      .select(col("query_id"), col("qe"),
-        when(size(col("qe")) === d0, col("probe.list"))
+      .select(col("query_id"), col("qe"), (col("pos") + 1).cast("int").as("pr"),
+        when(size(col("qe")) === d0, col("col.list"))
           .otherwise(raise_error(concat(
             lit(s"ivfTopK: embedding dims != $d0 for vec_id="),
             col("query_id"))).cast("int")).as("list"))
-    val scored = c.join(broadcast(q), "list")
+    c.join(broadcast(q), "list")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("qe"), col("ce")).as("cos"))
-    val w = Window.partitionBy("query_id").orderBy(round(col("cos"), 6).desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 6).as("cos"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qe"), col("ce")).as("cos"),
+        col("pr"))
+  }
+
+  /** Recall@k per nprobe setting vs the exact brute-force truth — the
+    * tuning dial that turns the nlist/nprobe knobs into measured
+    * numbers. ONE corpus join at the LARGEST nprobe: every smaller
+    * setting's candidate set is `pr <= nprobe`, a filter over the
+    * same rows, so the whole sweep costs one IVF search plus the
+    * brute-force ground truth (which a tuning run needs anyway) — not
+    * |nprobes| separate scans. Recall is aggregated as exact long
+    * counts and divided once, so no float-summation order enters the
+    * result.
+    */
+  def ivfProbeSweep(corpus: DataFrame, queries: DataFrame,
+                    centroids: Array[Array[Double]], k: Int = 10,
+                    nprobes: Seq[Int] = Seq(1, 2, 4, 8), dims: Int = -1): DataFrame = {
+    require(nprobes.nonEmpty && nprobes.forall(p => p >= 1 && p <= centroids.length),
+      "every nprobe must be in [1, nlist]")
+    val d0 = if (dims >= 0) dims else centroids.head.length
+    require(centroids.forall(_.length == d0), s"centroid dims must all be $d0")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val np = nprobes.toDF("nprobe")
+    val cand = ivfCandidates(corpus, queries, centroids, nprobes.max, d0)
+    val fanned = cand.join(broadcast(np), col("pr") <= col("nprobe"))
+    val w = Window.partitionBy("nprobe", "query_id")
+      .orderBy(round(col("cos"), 6).desc, col("neighbor_id").asc)
+    val topk = fanned.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("nprobe"), col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    val truth = bruteForceTopK(corpus, queries, k).select(col("query_id"), col("neighbor_id"))
+    truth.crossJoin(broadcast(np))
+      .join(topk, Seq("nprobe", "query_id", "neighbor_id"), "left")
+      .groupBy("nprobe")
+      .agg(countDistinct("query_id").as("n_queries"),
+        count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+      .select(col("nprobe"), col("n_queries"), col("n_true"), col("n_hits"),
+        round(col("n_hits") / col("n_true"), 6).as("recall"))
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold (brute
