@@ -476,6 +476,12 @@ object SparkEntry {
         sh.filter(col("doc_id") % 97 =!= 0),
         sh.filter(col("doc_id") % 97 === 0))
     }),
+    "q_containment" -> ((s, dir) =>
+      // asymmetric dup detection over the shared LSH candidates:
+      // containment |A∩B|/|A| flags subset duplication (short doc
+      // quoted whole inside a long one) that Jaccard structurally
+      // misses — same broadcast-bounded verify plan, extra columns
+      Dedup.overlapScores(docShingles(s, dir), lshCands(s, dir))),
     "q_ngram_jaccard" -> ((s, dir) => {
       // query-vs-corpus jaccard: every 20th doc against its source
       // bucket — pair count scales linearly with the corpus, not
@@ -1499,6 +1505,7 @@ object SparkEntry {
     "q_ivf_probe_sweep" -> ivfProbeSweepSql,
     "q_kmeans" -> kmeansSql,
     "q_ngram_jaccard" -> ngramJaccardSql,
+    "q_containment" -> containmentSql,
 
     // -- streaming sessionization: session_window merges events
     // strictly closer than the gap, so the batch replay uses >= for
@@ -2212,6 +2219,35 @@ object SparkEntry {
     * sets Spark intersects — exact-integer division, so the 0.5
     * threshold selects identical rows).
     */
+  /** Containment oracle: the capped candidate list with distinct-set
+    * sizes and intersections; zero-intersection candidates survive
+    * via the LEFT JOIN (the Spark merge-scan emits inter = 0, not no
+    * row). All counts exact integers; each score is one division.
+    */
+  private def containmentSql: String =
+    s"""WITH ${lshCandPrefix()},
+       |h AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id,
+       |         ('0x' || substr(md5(shingle), 1, 13))::BIGINT AS h1
+       |  FROM shingles
+       |),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM h GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.a, c.b, count(*) AS i
+       |  FROM cand c
+       |  JOIN h ha ON ha.doc_id = c.a
+       |  JOIN h hb ON hb.doc_id = c.b AND hb.h1 = ha.h1
+       |  GROUP BY c.a, c.b
+       |)
+       |SELECT c.a, c.b, coalesce(i.i, 0) AS inter, sa.sz AS sza, sb.sz AS szb,
+       |       round(coalesce(i.i, 0) / sa.sz, 6) AS containment_a,
+       |       round(coalesce(i.i, 0) / sb.sz, 6) AS containment_b,
+       |       round(coalesce(i.i, 0) / (sa.sz + sb.sz - coalesce(i.i, 0)), 6) AS jaccard
+       |FROM cand c
+       |JOIN sizes sa ON sa.doc_id = c.a
+       |JOIN sizes sb ON sb.doc_id = c.b
+       |LEFT JOIN inter i ON i.a = c.a AND i.b = c.b""".stripMargin
+
   private def neardupPairsSql: String =
     s"""WITH ${lshCandPrefix()},
        |h AS MATERIALIZED (

@@ -207,7 +207,17 @@ object Dedup {
     * list), so BROADCAST it: the skinny pair rows join map-side and
     * the arrays are never shuffled at all.
     */
-  def jaccardByHashes(hashes: DataFrame, pairs: DataFrame): DataFrame = {
+  def jaccardByHashes(hashes: DataFrame, pairs: DataFrame): DataFrame =
+    pairOverlap(hashes, pairs)
+      .select(col("a"), col("b"),
+        (col("inter").cast("double") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
+
+  /** The (a, b, inter, sza, szb) overlap counts behind both Jaccard
+    * and containment: distinct-set sizes per side plus the merge-scan
+    * intersection, with the set table broadcast bounded by the
+    * candidate list (see `jaccardByHashes`).
+    */
+  private def pairOverlap(hashes: DataFrame, pairs: DataFrame): DataFrame = {
     import graft.functions.SortedIntersectCount.sortedIntersectCount
     // restrict the set table to documents that actually appear in a
     // candidate pair BEFORE broadcasting: the broadcast is then
@@ -221,11 +231,25 @@ object Dedup {
       .join(broadcast(sets.select(col("doc_id").as("a"), col("sh").as("sha"), col("sz").as("sza"))), "a")
       .join(broadcast(sets.select(col("doc_id").as("b"), col("sh").as("shb"), col("sz").as("szb"))), "b")
       .select(col("a"), col("b"),
-        sortedIntersectCount(col("sha"), col("shb")).as("inter"),
+        sortedIntersectCount(col("sha"), col("shb")).cast("long").as("inter"),
         col("sza"), col("szb"))
-      .select(col("a"), col("b"),
-        (col("inter").cast("double") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
   }
+
+  /** Asymmetric overlap scores for candidate pairs: containment
+    * |A∩B|/|A| (and /|B|) alongside Jaccard. Containment is what
+    * catches SUBSET duplication — a short document quoted whole
+    * inside a long one scores near 1.0 containment while its Jaccard
+    * stays far below any dedup threshold (the union is dominated by
+    * the long side). Same broadcast-bounded plan as
+    * `jaccardByHashes`; one extra column projection, no extra
+    * shuffle.
+    */
+  def overlapScores(hashes: DataFrame, pairs: DataFrame): DataFrame =
+    pairOverlap(hashes, pairs)
+      .select(col("a"), col("b"), col("inter"), col("sza"), col("szb"),
+        round(col("inter") / col("sza"), 6).as("containment_a"),
+        round(col("inter") / col("szb"), 6).as("containment_b"),
+        round(col("inter") / (col("sza") + col("szb") - col("inter")), 6).as("jaccard"))
 
   /** Test-set decontamination: per-document count of distinct
     * shingles shared with a BENCHMARK corpus (reference semantics:

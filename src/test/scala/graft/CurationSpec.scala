@@ -108,6 +108,24 @@ class CurationSpec extends AnyFunSuite {
     assert(cands.contains((0L, 1L)))
   }
 
+  test("overlapScores: subset duplication scores near-1.0 containment but low jaccard") {
+    import spark.implicits._
+    val short = "the quick brown fox jumps over the lazy dog"
+    val long = ("unrelated prefix sentence with many extra words " * 6) + short
+    val d = Seq((1L, short), (2L, long)).toDF("doc_id", "text")
+    val hashes = hashesOf(d)
+    val pairs = Seq((1L, 2L)).toDF("a", "b")
+    val r = Dedup.overlapScores(hashes, pairs).collect()(0)
+    val (inter, sza, cA, jac) = (r.getLong(2), r.getLong(3), r.getDouble(5), r.getDouble(7))
+    // every shingle of the short doc appears in the long one
+    assert(inter == sza && cA == 1.0)
+    // ... but the union is dominated by the long side
+    assert(jac < 0.5)
+    // jaccard column must agree with jaccardByHashes exactly
+    val j2 = Dedup.jaccardByHashes(hashes, pairs).collect()(0).getDouble(2)
+    assert(math.abs(jac - BigDecimal(j2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
   test("source-mix quantized average equals the plain average at 1e-4 precision") {
     import spark.implicits._
     val d = Seq((1L, "a", 0.12345), (2L, "a", 0.54321), (3L, "a", 0.99999))
