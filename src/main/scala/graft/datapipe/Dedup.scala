@@ -260,19 +260,21 @@ object Dedup {
     * shingle set overlaps the benchmark set by ≥ 10% is flagged.
     *
     * Scale shape: the benchmark n-gram set is tiny next to a 100 TB
-    * corpus (benchmarks are megabytes), so it BROADCASTS — the
-    * corpus-side shingle table is filtered map-side with no shuffle
-    * of the corpus at all; the only exchanges are the per-doc count
-    * aggregates. Distinct h1 stands in for the distinct shingle set
-    * exactly as in `jaccardByHashes` (52-bit md5 collisions ~1e-11).
+    * corpus (benchmarks are megabytes), so it BROADCASTS as a marker
+    * onto the corpus shingle table, and set size + hit count come out
+    * of ONE aggregate over ONE per-doc distinct — the corpus is
+    * shuffled exactly once (the partial-combined distinct exchange),
+    * never joined shuffle-side, and never computed twice. Distinct h1
+    * stands in for the distinct shingle set exactly as in
+    * `jaccardByHashes` (52-bit md5 collisions ~1e-11).
     */
   def benchmarkOverlap(corpusHashes: DataFrame, benchHashes: DataFrame): DataFrame = {
-    val bench = benchHashes.select(col("h1")).distinct()
-    val corp = corpusHashes.select(col("doc_id"), col("h1")).distinct()
-    val sizes = corp.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val hits = corp.join(broadcast(bench), "h1")
-      .groupBy("doc_id").agg(count(lit(1)).as("hits"))
-    sizes.join(hits, Seq("doc_id"), "left").na.fill(0L, Seq("hits"))
+    val bench = benchHashes.select(col("h1")).distinct().withColumn("bmark", lit(1))
+    corpusHashes.select(col("doc_id"), col("h1")).distinct()
+      .join(broadcast(bench), Seq("h1"), "left")
+      .groupBy("doc_id")
+      // count(bmark) counts non-null rows = benchmark-matched shingles
+      .agg(count(lit(1)).as("n_shingles"), count(col("bmark")).as("hits"))
       .select(col("doc_id"), col("n_shingles"), col("hits"),
         round(col("hits") / col("n_shingles"), 6).as("overlap"),
         // hits*10 >= n_shingles ⇔ overlap >= 0.1, decided in exact
