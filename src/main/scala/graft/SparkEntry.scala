@@ -645,6 +645,14 @@ object SparkEntry {
       Similarity.ivfProbeSweep(e, e.filter(col("vec_id") % 25 === 0), cents,
         k = 10, nprobes = Seq(1, 2, 4, 8), dims = 64)
     }),
+    "q_ann_plane_sweep" -> ((s, dir) => {
+      // recall-vs-plane-count curve for sign-LSH: one 8-plane bucket
+      // assignment, every coarser setting is a bit-prefix of it —
+      // the nPlanes analog of q_ivf_probe_sweep
+      val e = emb(s, dir)
+      Similarity.annPlaneSweep(e, e.filter(col("vec_id") % 25 === 0),
+        k = 10, nPlanes = 8, bitsList = Seq(4, 6, 8), dims = 64)
+    }),
     "q_ann_recall" -> ((s, dir) => {
       // recall@10 per query for both ANN paths vs the exact
       // brute-force ground truth — the observability dial for
@@ -807,9 +815,8 @@ object SparkEntry {
       // with stateful occupancy counts — colliding buckets (the dup
       // candidates) must equal the batch band table exactly
       import graft.streaming.StreamingOps._
-      val st = documentsStream(s, dir)
-        .select(explode(Dedup.lshBandsPerRow(col("text"))).as("bk"))
-        .groupBy(col("bk.band").as("band"), col("bk.sig").as("sig"))
+      val st = Dedup.explodedBandKeys(documentsStream(s, dir))
+        .groupBy(col("band"), col("sig"))
         .agg(count(lit(1)).as("n_members"))
         .filter(col("n_members") > 1)
       runToMemorySink(st, "stream_lsh_buckets", "complete")
@@ -833,9 +840,7 @@ object SparkEntry {
           Dedup.shingleHashes(Dedup.shingles(
             sc.read.parquet(s"$dir/documents.parquet"), distinct = false)), k = 16))
         .select(col("doc_id").as("partner"), col("band"), col("sig"))
-      val st = probes
-        .select(col("doc_id"), explode(Dedup.lshBandsPerRow(col("text"))).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+      val st = Dedup.explodedBandKeys(probes)
         .join(corpus, Seq("band", "sig"))
         .filter(col("partner") =!= col("doc_id"))
         .groupBy("doc_id", "partner").agg(count(lit(1)).as("n_shared_bands"))
@@ -1503,6 +1508,7 @@ object SparkEntry {
     "q_ivf_list_sizes" -> ivfListSizesSql,
     "q_ann_recall" -> annRecallSql,
     "q_ivf_probe_sweep" -> ivfProbeSweepSql,
+    "q_ann_plane_sweep" -> annPlaneSweepSql,
     "q_kmeans" -> kmeansSql,
     "q_ngram_jaccard" -> ngramJaccardSql,
     "q_containment" -> containmentSql,
@@ -2776,6 +2782,61 @@ object SparkEntry {
        |FROM tf LEFT JOIN topk x
        |  ON tf.nprobe = x.nprobe AND tf.query_id = x.query_id AND tf.neighbor_id = x.neighbor_id
        |GROUP BY tf.nprobe""".stripMargin
+
+  /** Plane-sweep oracle: the full-resolution sign-LSH buckets with
+    * bit-prefix coarsening fanned across the swept plane counts —
+    * the same one-assignment derivation as the Spark side.
+    */
+  private def annPlaneSweepSql: String =
+    s"""WITH dp AS (
+       |  SELECT vec_id, j,
+       |         list_dot_product(
+       |           embedding::DOUBLE[],
+       |           list_transform(generate_series(0, len(embedding) - 1), d ->
+       |             ('0x' || substr(md5('plane:' || j || ':' || d), 1, 13))::BIGINT
+       |               / 4503599627370496.0 - 0.5)) AS dp
+       |  FROM embeddings, (SELECT unnest(generate_series(0, 7)) AS j)
+       |),
+       |buckets AS (
+       |  SELECT vec_id,
+       |         CAST(sum(CASE WHEN dp > 0 THEN pow(2.0, j) ELSE 0.0 END) AS BIGINT) AS bucket
+       |  FROM dp GROUP BY vec_id
+       |),
+       |nb(nbits) AS (VALUES (4), (6), (8)),
+       |pref AS (
+       |  SELECT b.vec_id, nb.nbits, b.bucket >> (8 - nb.nbits) AS pref
+       |  FROM buckets b, nb
+       |),
+       |q AS (
+       |  SELECT e.vec_id AS query_id, e.embedding::DOUBLE[] AS qe, p.nbits, p.pref
+       |  FROM embeddings e JOIN pref p ON e.vec_id = p.vec_id
+       |  WHERE e.vec_id % 25 = 0
+       |),
+       |scored AS (
+       |  SELECT q.nbits, q.query_id, c.vec_id AS neighbor_id,
+       |         list_dot_product(q.qe, c.embedding::DOUBLE[]) /
+       |           (sqrt(list_dot_product(q.qe, q.qe)) *
+       |            sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS cos
+       |  FROM embeddings c
+       |  JOIN pref cp ON c.vec_id = cp.vec_id
+       |  JOIN q ON q.nbits = cp.nbits AND q.pref = cp.pref AND q.query_id != c.vec_id
+       |),
+       |rk AS (
+       |  SELECT nbits, query_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY nbits, query_id
+       |                            ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS rank
+       |  FROM scored
+       |),
+       |topk AS (SELECT nbits, query_id, neighbor_id FROM rk WHERE rank <= 10),
+       |truth AS (SELECT query_id, neighbor_id FROM ($cosineTopkSql)),
+       |tf AS (SELECT nb.nbits, t.query_id, t.neighbor_id FROM truth t, nb)
+       |SELECT tf.nbits, count(DISTINCT tf.query_id) AS n_queries, count(*) AS n_true,
+       |       CAST(sum(CASE WHEN x.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |       round(CAST(sum(CASE WHEN x.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |             / count(*), 6) AS recall
+       |FROM tf LEFT JOIN topk x
+       |  ON tf.nbits = x.nbits AND tf.query_id = x.query_id AND tf.neighbor_id = x.neighbor_id
+       |GROUP BY tf.nbits""".stripMargin
 
   private def annRecallSql: String = {
     def leg(name: String): String =

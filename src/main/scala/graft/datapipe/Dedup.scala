@@ -153,39 +153,99 @@ object Dedup {
       .unionAll(star.select(Seq(col("a"), col("b")) ++ carryCols: _*))
   }
 
-  /** Per-row (map-side) LSH band keys: the same (band, sig) keys the
-    * explode/aggregate pipeline (`minhashSignatures` →
-    * `lshCandidates`) derives, computed as pure array expressions
-    * over a single text column — ZERO shuffle, so the signature
-    * assignment runs at ingestion time, including on a STREAM (each
-    * document arrives whole, so its minhash is a per-row function,
-    * not an aggregate). Returns array<struct<band:int, sig:string>>
-    * of length k/rowsPerBand. Equality with the aggregate path is
-    * asserted in tests; the band signature string format
-    * ("i:minhash" sorted, comma-joined, md5'd) is byte-identical.
+  /** Per-row LSH band keys as a PLAIN SCALA kernel: the same
+    * (band, sig) keys the explode/aggregate pipeline
+    * (`minhashSignatures` → `lshCandidates`) derives, for one
+    * document's text. Byte-identical by construction (asserted in
+    * tests): same normalize (lower → [^a-z0-9]+ → space → trim-space,
+    * matching `TextAnalysis.normalized`), same 5-char shingles with
+    * the short/empty-text edge cases of Spark's `substr`, same
+    * Kirsch-Mitzenmacher g_i = (h1 + i*h2) mod 2^52 over the md5's
+    * two 13-hex-char halves, same sorted "i:minhash" band digest
+    * (String ordering == UTF8 binary ordering on this ASCII
+    * alphabet).
+    *
+    * Why typed and not a Column expression: a Catalyst formulation of
+    * this kernel — even split across staged projections — gets its
+    * full tree SUBSTITUTED into inferred predicates
+    * (InferFiltersFromGenerate + pushdown-through-project), so the
+    * whole shingle/md5/minhash pass re-evaluates per reference:
+    * 423 s for the sf0.1 corpus stream vs seconds for this kernel.
+    * Heavy per-row hashing is exactly the "genuine per-partition
+    * imperative logic" case for typed execution.
     */
-  def lshBandsPerRow(text: Column, k: Int = 16, rowsPerBand: Int = 4,
-                     shingleN: Int = 5): Column = {
-    val norm = TextAnalysis.normalized(text)
-    val sh = transform(
-      sequence(lit(1), greatest(length(norm) - (shingleN - 1), lit(1))),
-      p => norm.substr(p, lit(shingleN)))
-    // hash each shingle once: (h1, h2) = the md5's two 52-bit halves
-    val hs = transform(sh, s => {
-      val m = md5(to_binary(s, lit("utf-8")))
-      struct(conv(substring(m, 1, 13), 16, 10).cast("long").as("h1"),
-        conv(substring(m, 14, 13), 16, 10).cast("long").as("h2"))
-    })
-    val mins = (0 until k).map(i =>
-      array_min(transform(hs, h =>
-        pmod(h.getField("h1") + lit(i.toLong) * h.getField("h2"), lit(1L << 52)))))
-    val bands = (0 until k / rowsPerBand).map { b =>
-      val parts = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i =>
-        concat(lit(s"$i:"), mins(i).cast("string")))
-      struct(lit(b).as("band"),
-        md5(to_binary(concat_ws(",", sort_array(array(parts: _*))), lit("utf-8"))).as("sig"))
+  def bandKeysOf(text: String, k: Int = 16, rowsPerBand: Int = 4,
+                 shingleN: Int = 5): Seq[(Int, String)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hexDigits = "0123456789abcdef".toCharArray
+    def md5hex(s: String): String = {
+      val d = md.digest(s.getBytes("UTF-8"))
+      val out = new Array[Char](32)
+      var i = 0
+      while (i < 16) {
+        out(2 * i) = hexDigits((d(i) >> 4) & 0xf)
+        out(2 * i + 1) = hexDigits(d(i) & 0xf)
+        i += 1
+      }
+      new String(out)
     }
-    array(bands: _*)
+    // normalize exactly like TextAnalysis.normalized: Spark's lower()
+    // lowercases via the same JVM String path; trim() strips ' ' only
+    // (every other whitespace is already collapsed by the regex)
+    var norm = text.toLowerCase.replaceAll("[^a-z0-9]+", " ")
+    var b0 = 0
+    var e0 = norm.length
+    while (b0 < e0 && norm.charAt(b0) == ' ') b0 += 1
+    while (e0 > b0 && norm.charAt(e0 - 1) == ' ') e0 -= 1
+    norm = norm.substring(b0, e0)
+    val n = norm.length
+    val mod = 1L << 52
+    val mins = Array.fill(k)(Long.MaxValue)
+    // positions 1..max(n-4, 1); substr clips at the end (n<5 → the
+    // whole short string; n==0 → the empty shingle), same as Spark
+    val hi = math.max(n - (shingleN - 1), 1)
+    var p = 0
+    while (p < hi) {
+      val sh = norm.substring(p, math.min(p + shingleN, n))
+      val hex = md5hex(sh)
+      val h1 = java.lang.Long.parseLong(hex.substring(0, 13), 16)
+      val h2 = java.lang.Long.parseLong(hex.substring(13, 26), 16)
+      // g_0 = h1 mod 2^52; g_{i+1} = g_i + h2 (mod 2^52) — operands
+      // stay positive and below 2^53, no overflow, pmod == %
+      var g = h1 % mod
+      var i = 0
+      while (i < k) {
+        if (g < mins(i)) mins(i) = g
+        g = (g + h2) % mod
+        i += 1
+      }
+      p += 1
+    }
+    (0 until k / rowsPerBand).map { b =>
+      val parts = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => s"$i:${mins(i)}").sorted
+      (b, md5hex(parts.mkString(",")))
+    }
+  }
+
+  /** One (doc_id, band, sig) row per band per document — the per-row
+    * twin of `lshBands`, runnable on a STREAM (each document arrives
+    * whole, so its keys are a pure function of the row; zero
+    * shuffle). This is the ingestion-time half of the admission
+    * pattern: arriving docs compute keys map-side and probe the
+    * persisted corpus band table. Null text yields no rows, matching
+    * the aggregate path (no shingles → no signature).
+    */
+  def explodedBandKeys(df: DataFrame, k: Int = 16, rowsPerBand: Int = 4,
+                       shingleN: Int = 5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        if (t == null) Seq.empty
+        else bandKeysOf(t, k, rowsPerBand, shingleN).map { case (b, s) => (id, b, s) }
+      }
+      .toDF("doc_id", "band", "sig")
   }
 
   /** Exact Jaccard similarity over shingle sets for the given

@@ -307,14 +307,72 @@ object Similarity {
     val topk = fanned.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("nprobe"), col("query_id"), col("neighbor_id"), lit(1).as("hit"))
     val truth = bruteForceTopK(corpus, queries, k).select(col("query_id"), col("neighbor_id"))
-    truth.crossJoin(broadcast(np))
-      .join(topk, Seq("nprobe", "query_id", "neighbor_id"), "left")
-      .groupBy("nprobe")
+    recallByKey(topk, truth, np, "nprobe")
+  }
+
+  /** Shared recall tail for the sweep operators: fan the truth set
+    * across the swept settings, left-join the approximate top-k hits,
+    * and aggregate exact long counts with ONE division at the end.
+    */
+  private def recallByKey(topk: DataFrame, truth: DataFrame,
+                          keys: DataFrame, keyName: String): DataFrame =
+    truth.crossJoin(broadcast(keys))
+      .join(topk, Seq(keyName, "query_id", "neighbor_id"), "left")
+      .groupBy(keyName)
       .agg(countDistinct("query_id").as("n_queries"),
         count(lit(1)).as("n_true"),
         sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
-      .select(col("nprobe"), col("n_queries"), col("n_true"), col("n_hits"),
+      .select(col(keyName), col("n_queries"), col("n_true"), col("n_hits"),
         round(col("n_hits") / col("n_true"), 6).as("recall"))
+
+  /** Recall@k per PLANE COUNT for sign-LSH ANN — the nPlanes tuning
+    * dial, and the mirror of `ivfProbeSweep`. The bucket table is
+    * computed ONCE at the full `nPlanes` resolution; a b-plane
+    * bucketing is its leading-bit prefix `bucket >> (nPlanes - b)`
+    * (any subset of hyperplanes is a valid sign-LSH, and the top b
+    * bits ARE the bucketing by planes b..nPlanes-1), so every sweep
+    * point reuses one assignment. Prefix refinement makes candidate
+    * sets nested — fewer bits = coarser buckets = more candidates =
+    * recall monotonically non-increasing in b, the curve a tuner
+    * walks against the bucket-size cost. The per-setting keys ride a
+    * map-side explode (|bitsList| rows per vector, no extra shuffle);
+    * queries broadcast as in `annTopK`.
+    */
+  def annPlaneSweep(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                    nPlanes: Int = 8, bitsList: Seq[Int] = Seq(4, 6, 8),
+                    dims: Int = -1): DataFrame = {
+    require(bitsList.nonEmpty && bitsList.forall(b => b >= 1 && b <= nPlanes),
+      "every bits value must be in [1, nPlanes]")
+    val d0 =
+      if (dims >= 0) dims
+      else {
+        val firstRow = corpus.select(size(emb(col("embedding")))).head(1)
+        require(firstRow.nonEmpty, "annPlaneSweep: empty corpus — pass dims explicitly")
+        firstRow(0).getInt(0)
+      }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def pref(side: DataFrame) = side
+      .select(col("vec_id"), explode(array(bitsList.map(b =>
+        struct(lit(b).as("nbits"),
+          shiftright(col("bucket"), nPlanes - b).as("pref"))): _*)).as("e"))
+      .select(col("vec_id"), col("e.nbits").as("nbits"), col("e.pref").as("pref"))
+    val c = corpus.join(pref(lshBuckets(corpus, nPlanes, d0)), "vec_id")
+      .select(col("vec_id").as("neighbor_id"), emb(col("embedding")).as("ce"),
+        col("nbits"), col("pref"))
+    val q = queries.join(pref(lshBuckets(queries, nPlanes, d0)), "vec_id")
+      .select(col("vec_id").as("query_id"), emb(col("embedding")).as("qe"),
+        col("nbits"), col("pref"))
+    val scored = c.join(broadcast(q), Seq("nbits", "pref"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("nbits"), col("query_id"), col("neighbor_id"),
+        cosine(col("qe"), col("ce")).as("cos"))
+    val w = Window.partitionBy("nbits", "query_id")
+      .orderBy(round(col("cos"), 6).desc, col("neighbor_id").asc)
+    val topk = scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("nbits"), col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    val truth = bruteForceTopK(corpus, queries, k).select(col("query_id"), col("neighbor_id"))
+    recallByKey(topk, truth, bitsList.toDF("nbits"), "nbits")
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold (brute

@@ -108,6 +108,27 @@ class CurationSpec extends AnyFunSuite {
     assert(cands.contains((0L, 1L)))
   }
 
+  test("annPlaneSweep: recall non-increasing in bits; full-bit leg equals annTopK") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val vecs = (0L until 80L).map(i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") % 16 === 0)
+    val sweep = Similarity.annPlaneSweep(vecs, q, k = 5, nPlanes = 4,
+        bitsList = Seq(2, 4), dims = 8)
+      .collect().map(r => r.getInt(0) -> (r.getLong(3), r.getDouble(4))).toMap
+    assert(sweep.keySet == Set(2, 4))
+    // prefix refinement nests the candidate sets: coarser >= finer
+    assert(sweep(2)._2 >= sweep(4)._2 - 1e-9)
+    // at nbits = nPlanes the prefix IS the full bucket, so the hits
+    // must equal the standalone annTopK search counted against truth
+    val truth = Similarity.bruteForceTopK(vecs, q, k = 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annTopK(vecs, q, k = 5, nPlanes = 4, dims = 8)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sweep(4)._1 == truth.intersect(ann).size.toLong)
+  }
+
   test("overlapScores: subset duplication scores near-1.0 containment but low jaccard") {
     import spark.implicits._
     val short = "the quick brown fox jumps over the lazy dog"

@@ -101,7 +101,7 @@ class Round5Spec extends AnyFunSuite {
     }
   }
 
-  test("lshBandsPerRow: per-row band keys equal the aggregate pipeline's, byte for byte") {
+  test("bandKeysOf: per-row band keys equal the aggregate pipeline's, byte for byte") {
     import spark.implicits._
     // varied texts incl. short (< shingle length), empty-ish, and dups
     val docs = Seq(
@@ -117,9 +117,7 @@ class Round5Spec extends AnyFunSuite {
       .agg(md5(to_binary(concat_ws(",", sort_array(collect_list(
         concat(col("i"), lit(":"), col("minhash"))))), lit("utf-8"))).as("sig"))
       .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
-    val perRow = docs
-      .select(col("doc_id"), explode(Dedup.lshBandsPerRow(col("text"))).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.sig"))
+    val perRow = Dedup.explodedBandKeys(docs)
       .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
     assert(perRow == aggBands)
     assert(perRow.size == 7 * 4)
