@@ -78,7 +78,6 @@ object Similarity {
     * (deterministic, oracle-matching).
     */
   def lshBuckets(vectors: DataFrame, nPlanes: Int = 8, dims: Int = -1): DataFrame = {
-    import org.apache.spark.sql.functions.typedLit
     // dims < 0: probe the first row (convenient for batch; pass dims
     // explicitly to keep the call lazy / usable on streams)
     val d0 =
@@ -88,6 +87,18 @@ object Similarity {
         if (firstRow.isEmpty) return vectors.select(col("vec_id"), lit(0L).as("bucket"))
         firstRow(0).getInt(0)
       }
+    vectors.select(col("vec_id"), bucketExpr(nPlanes, d0).as("bucket"))
+  }
+
+  /** The sign-LSH bucket as a COLUMN over the row's own embedding —
+    * the projection form `annTopK`/`annPlaneSweep` use so the corpus
+    * is never self-joined back to its bucket table (a vec_id join of
+    * two derivations of the same scan shuffles the corpus at scale;
+    * the bucket is a pure per-row function, so it rides the scan's
+    * projection with zero shuffle).
+    */
+  private def bucketExpr(nPlanes: Int, d0: Int): Column = {
+    import org.apache.spark.sql.functions.typedLit
     val bucket = (0 until nPlanes).map { j =>
       val plane = typedLit((0 until d0).map(d => planeComponent(j, d)).toArray)
       val dp = aggregate(zip_with(emb(col("embedding")), plane, (x, p) => x * p),
@@ -96,10 +107,9 @@ object Similarity {
     }.reduce(_ + _).cast("long")
     // ragged inputs would null-pad the zip and silently zero every
     // plane bit — fail loudly instead
-    val guarded = when(size(emb(col("embedding"))) === d0, bucket)
+    when(size(emb(col("embedding"))) === d0, bucket)
       .otherwise(raise_error(concat(lit(s"lshBuckets: embedding dims != $d0 for vec_id="),
         col("vec_id"))).cast("long"))
-    vectors.select(col("vec_id"), guarded.as("bucket"))
   }
 
   /** Approximate top-k: candidates restricted to the query's LSH
@@ -128,10 +138,10 @@ object Similarity {
             col("vec_id").as("neighbor_id"), lit(1).as("rank"), lit(0.0).as("cos"))
         firstRow(0).getInt(0)
       }
-    val c = corpus.join(lshBuckets(corpus, nPlanes, d0), "vec_id")
-      .select(col("vec_id").as("neighbor_id"), emb(col("embedding")).as("ce"), col("bucket"))
-    val q = queries.join(lshBuckets(queries, nPlanes, d0), "vec_id")
-      .select(col("vec_id").as("query_id"), emb(col("embedding")).as("qe"), col("bucket"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), emb(col("embedding")).as("ce"),
+      bucketExpr(nPlanes, d0).as("bucket"))
+    val q = queries.select(col("vec_id").as("query_id"), emb(col("embedding")).as("qe"),
+      bucketExpr(nPlanes, d0).as("bucket"))
     val scored = c.join(broadcast(q), "bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("qe"), col("ce")).as("cos"))
@@ -352,17 +362,19 @@ object Similarity {
       }
     val spark = corpus.sparkSession
     import spark.implicits._
-    def pref(side: DataFrame) = side
-      .select(col("vec_id"), explode(array(bitsList.map(b =>
+    // bucket rides the scan's projection (no self-join back to a
+    // bucket table); the per-setting prefixes explode map-side from
+    // the MATERIALIZED bucket column, so the plane dot products run
+    // once per row, not once per sweep setting
+    def withPrefs(side: DataFrame, idAs: String, embAs: String) = side
+      .select(col("vec_id").as(idAs), emb(col("embedding")).as(embAs),
+        bucketExpr(nPlanes, d0).as("bucket"))
+      .select(col(idAs), col(embAs), explode(array(bitsList.map(b =>
         struct(lit(b).as("nbits"),
           shiftright(col("bucket"), nPlanes - b).as("pref"))): _*)).as("e"))
-      .select(col("vec_id"), col("e.nbits").as("nbits"), col("e.pref").as("pref"))
-    val c = corpus.join(pref(lshBuckets(corpus, nPlanes, d0)), "vec_id")
-      .select(col("vec_id").as("neighbor_id"), emb(col("embedding")).as("ce"),
-        col("nbits"), col("pref"))
-    val q = queries.join(pref(lshBuckets(queries, nPlanes, d0)), "vec_id")
-      .select(col("vec_id").as("query_id"), emb(col("embedding")).as("qe"),
-        col("nbits"), col("pref"))
+      .select(col(idAs), col(embAs), col("e.nbits").as("nbits"), col("e.pref").as("pref"))
+    val c = withPrefs(corpus, "neighbor_id", "ce")
+    val q = withPrefs(queries, "query_id", "qe")
     val scored = c.join(broadcast(q), Seq("nbits", "pref"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("nbits"), col("query_id"), col("neighbor_id"),
