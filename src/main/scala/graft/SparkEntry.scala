@@ -860,6 +860,33 @@ object SparkEntry {
         .groupBy("doc_id", "partner").agg(count(lit(1)).as("n_shared_bands"))
       runToMemorySink(st, "stream_lsh_match", "complete")
     }),
+    "q_stream_decontaminate" -> ((s, dir) => {
+      // admission-time decontamination: every arriving non-benchmark
+      // document is checked against the BROADCAST benchmark
+      // shingle-hash set map-side (typed kernel; zero shuffle, no
+      // streaming state beyond the sink) — bounded stream ≡ the
+      // batch q_decontaminate table, same oracle
+      import graft.streaming.StreamingOps._
+      val probes = documentsStream(s, dir).filter(col("doc_id") % 97 =!= 0)
+      val sc = probes.sparkSession
+      import sc.implicits._
+      val benchSet = sc.sparkContext.broadcast(
+        Dedup.shingleHashes(Dedup.shingles(
+            sc.read.parquet(s"$dir/documents.parquet").filter(col("doc_id") % 97 === 0),
+            distinct = false))
+          .select(col("h1")).distinct().as[Long].collect().toSet)
+      val flagged = probes.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+        .map { case (id, t) =>
+          val set = Dedup.shingleH1sOf(if (t == null) "" else t)
+          val hits = set.count(benchSet.value.contains)
+          (id, set.size.toLong, hits.toLong,
+            BigDecimal(hits.toDouble / set.size)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+            if (hits * 10 >= set.size) 1 else 0)
+        }
+        .toDF("doc_id", "n_shingles", "hits", "overlap", "contaminated")
+      runToMemorySink(flagged, "stream_decontaminate", "append")
+    }),
     "q_movrms_time" -> ((s, dir) =>
       Signal(evUniform(s, dir)).movRms(7200.0).df
         .select(col("channel"), col("t"), round(col("v"), 6).as("v"))),
@@ -1475,6 +1502,8 @@ object SparkEntry {
         |       CAST(sum(tokens) AS BIGINT) AS n_tokens
         |FROM t GROUP BY (tokens // 64) * 64""".stripMargin,
     "q_decontaminate" -> decontaminateSql,
+    // admission-time twin: bounded stream ≡ the same batch table
+    "q_stream_decontaminate" -> decontaminateSql,
     "q_dedup_exact" ->
       """WITH f AS (
         |  SELECT doc_id,

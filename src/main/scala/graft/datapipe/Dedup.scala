@@ -174,42 +174,59 @@ object Dedup {
     * Heavy per-row hashing is exactly the "genuine per-partition
     * imperative logic" case for typed execution.
     */
-  def bandKeysOf(text: String, k: Int = 16, rowsPerBand: Int = 4,
-                 shingleN: Int = 5): Seq[(Int, String)] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hexDigits = "0123456789abcdef".toCharArray
-    def md5hex(s: String): String = {
-      val d = md.digest(s.getBytes("UTF-8"))
-      val out = new Array[Char](32)
-      var i = 0
-      while (i < 16) {
-        out(2 * i) = hexDigits((d(i) >> 4) & 0xf)
-        out(2 * i + 1) = hexDigits(d(i) & 0xf)
-        i += 1
-      }
-      new String(out)
+  private val hexDigits = "0123456789abcdef".toCharArray
+  private def md5hex(md: java.security.MessageDigest, s: String): String = {
+    val d = md.digest(s.getBytes("UTF-8"))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(d(i) & 0xf)
+      i += 1
     }
-    // normalize exactly like TextAnalysis.normalized: Spark's lower()
-    // lowercases via the same JVM String path; trim() strips ' ' only
-    // (every other whitespace is already collapsed by the regex)
-    var norm = text.toLowerCase.replaceAll("[^a-z0-9]+", " ")
+    new String(out)
+  }
+
+  /** Normalize exactly like `TextAnalysis.normalized`: Spark's
+    * lower() lowercases via the same JVM String path; trim() strips
+    * ' ' only (every other whitespace is already collapsed by the
+    * regex).
+    */
+  private def normalizeOf(text: String): String = {
+    val norm = text.toLowerCase.replaceAll("[^a-z0-9]+", " ")
     var b0 = 0
     var e0 = norm.length
     while (b0 < e0 && norm.charAt(b0) == ' ') b0 += 1
     while (e0 > b0 && norm.charAt(e0 - 1) == ' ') e0 -= 1
-    norm = norm.substring(b0, e0)
+    norm.substring(b0, e0)
+  }
+
+  /** Visit each shingle's (h1, h2) md5 halves — the shared scan
+    * under `bandKeysOf` and `shingleH1sOf`. Positions 1..max(n-4, 1);
+    * substr clips at the end (n<5 → the whole short string; n==0 →
+    * the empty shingle), same as Spark's substr.
+    */
+  private def foreachShingleHash(text: String, shingleN: Int)
+                                (f: (Long, Long) => Unit): Unit = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val norm = normalizeOf(text)
     val n = norm.length
-    val mod = 1L << 52
-    val mins = Array.fill(k)(Long.MaxValue)
-    // positions 1..max(n-4, 1); substr clips at the end (n<5 → the
-    // whole short string; n==0 → the empty shingle), same as Spark
     val hi = math.max(n - (shingleN - 1), 1)
     var p = 0
     while (p < hi) {
       val sh = norm.substring(p, math.min(p + shingleN, n))
-      val hex = md5hex(sh)
-      val h1 = java.lang.Long.parseLong(hex.substring(0, 13), 16)
-      val h2 = java.lang.Long.parseLong(hex.substring(13, 26), 16)
+      val hex = md5hex(md, sh)
+      f(java.lang.Long.parseLong(hex.substring(0, 13), 16),
+        java.lang.Long.parseLong(hex.substring(13, 26), 16))
+      p += 1
+    }
+  }
+
+  def bandKeysOf(text: String, k: Int = 16, rowsPerBand: Int = 4,
+                 shingleN: Int = 5): Seq[(Int, String)] = {
+    val mod = 1L << 52
+    val mins = Array.fill(k)(Long.MaxValue)
+    foreachShingleHash(text, shingleN) { (h1, h2) =>
       // g_0 = h1 mod 2^52; g_{i+1} = g_i + h2 (mod 2^52) — operands
       // stay positive and below 2^53, no overflow, pmod == %
       var g = h1 % mod
@@ -219,13 +236,24 @@ object Dedup {
         g = (g + h2) % mod
         i += 1
       }
-      p += 1
     }
+    val md = java.security.MessageDigest.getInstance("MD5")
     (0 until k / rowsPerBand).map { b =>
       val parts = (b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(i => s"$i:${mins(i)}").sorted
-      (b, md5hex(parts.mkString(",")))
+      (b, md5hex(md, parts.mkString(",")))
     }
+  }
+
+  /** The document's DISTINCT 52-bit shingle-hash set (the h1 side) —
+    * the per-row twin of `shingleHashes(...).select(h1).distinct`,
+    * for admission-time membership checks against a broadcast
+    * benchmark set.
+    */
+  def shingleH1sOf(text: String, shingleN: Int = 5): scala.collection.immutable.Set[Long] = {
+    val b = scala.collection.immutable.Set.newBuilder[Long]
+    foreachShingleHash(text, shingleN)((h1, _) => b += h1)
+    b.result()
   }
 
   /** One (doc_id, band, sig) row per band per document — the per-row

@@ -147,6 +147,17 @@ class CurationSpec extends AnyFunSuite {
     assert(math.abs(jac - BigDecimal(j2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
   }
 
+  test("shingleH1sOf: per-row distinct hash set equals the DataFrame shingle pipeline's") {
+    val d = docsDF
+    val expected = Dedup.shingleHashes(Dedup.shingles(d, distinct = false))
+      .select("doc_id", "h1").distinct()
+      .collect().groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+    val texts = d.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.foreach { case (id, t) =>
+      assert(Dedup.shingleH1sOf(t) == expected(id), s"doc $id")
+    }
+  }
+
   test("source-mix quantized average equals the plain average at 1e-4 precision") {
     import spark.implicits._
     val d = Seq((1L, "a", 0.12345), (2L, "a", 0.54321), (3L, "a", 0.99999))
