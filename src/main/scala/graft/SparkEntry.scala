@@ -522,6 +522,10 @@ object SparkEntry {
       val e = emb(s, dir)
       Similarity.cosineNearDups(e.filter(col("vec_id") % 10 === 0), e, 0.35)
     }),
+    "q_cosine_neardups_lsh" -> ((s, dir) =>
+      // corpus×corpus near-dups via sign-LSH buckets — the scale path
+      // (same-bucket equi-join + star cap, never corpus² rows)
+      Similarity.cosineNearDupsLsh(emb(s, dir), 0.35, dims = 64)),
 
     // -- kernel operators, FFT family: oracle-backed via an O(n*nf)
     // DuckDB DFT over the same uniform grid. The FFT (radix-2 /
@@ -1816,6 +1820,44 @@ object SparkEntry {
         |           (sqrt(list_dot_product(q.ea, q.ea)) *
         |            sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) AS cos
         |  FROM q, embeddings c WHERE q.a < c.vec_id
+        |)
+        |SELECT a, b, cos FROM scored WHERE cos >= 0.35""".stripMargin,
+
+    // bucketed corpus×corpus near-dups: same md5 hyperplane buckets
+    // as the ANN oracles, with the oversized-bucket star-cap replay
+    "q_cosine_neardups_lsh" ->
+      """WITH dp AS (
+        |  SELECT vec_id, j,
+        |         list_dot_product(
+        |           embedding::DOUBLE[],
+        |           list_transform(generate_series(0, len(embedding) - 1), d ->
+        |             ('0x' || substr(md5('plane:' || j || ':' || d), 1, 13))::BIGINT
+        |               / 4503599627370496.0 - 0.5)) AS dp
+        |  FROM embeddings, (SELECT unnest(generate_series(0, 7)) AS j)
+        |),
+        |buckets AS (
+        |  SELECT vec_id,
+        |         CAST(sum(CASE WHEN dp > 0 THEN pow(2.0, j) ELSE 0.0 END) AS BIGINT) AS bucket
+        |  FROM dp GROUP BY vec_id
+        |),
+        |br AS (
+        |  SELECT b.vec_id, b.bucket, e.embedding::DOUBLE[] AS emb,
+        |         row_number() OVER (PARTITION BY b.bucket ORDER BY b.vec_id) AS r
+        |  FROM buckets b JOIN embeddings e ON e.vec_id = b.vec_id
+        |),
+        |pairs AS (
+        |  SELECT x.vec_id AS a, x.emb AS ea, y.vec_id AS b, y.emb AS eb
+        |  FROM br x JOIN br y ON x.bucket = y.bucket
+        |   AND x.r <= 256 AND y.r <= 256 AND x.vec_id < y.vec_id
+        |  UNION ALL
+        |  SELECT x.vec_id, x.emb, y.vec_id, y.emb
+        |  FROM br x JOIN br y ON x.bucket = y.bucket AND x.r = 1 AND y.r > 256
+        |),
+        |scored AS (
+        |  SELECT a, b,
+        |         round(list_dot_product(ea, eb) /
+        |           (sqrt(list_dot_product(ea, ea)) * sqrt(list_dot_product(eb, eb))), 6) AS cos
+        |  FROM pairs
         |)
         |SELECT a, b, cos FROM scored WHERE cos >= 0.35""".stripMargin
   )

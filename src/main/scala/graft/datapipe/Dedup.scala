@@ -133,8 +133,8 @@ object Dedup {
     * cap. `carry` columns (e.g. each side's simhash) ride along as
     * carry_a / carry_b.
     */
-  private def bandedPairs(banded: DataFrame, keys: Seq[String], maxBucket: Int,
-                          carry: Seq[String]): DataFrame = {
+  private[datapipe] def bandedPairs(banded: DataFrame, keys: Seq[String], maxBucket: Int,
+                                    carry: Seq[String]): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy("doc_id")
     val ranked = banded.withColumn("r", row_number().over(w))
     def side(suffix: String) =

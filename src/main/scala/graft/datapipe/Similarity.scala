@@ -400,6 +400,35 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Corpus×corpus embedding near-dups via sign-LSH buckets — the
+    * SCALE path the all-pairs overload above can't be (corpus² rows
+    * by construction). Candidates are restricted to same-bucket
+    * pairs: the bucket rides the scan projection (zero extra
+    * shuffle), the pair join is a plain (bucket) equi-join, and
+    * oversized buckets — an embedding-dense cluster is the vector
+    * analog of a boilerplate LSH bucket — switch to
+    * representative-vs-rest star pairing via the shared
+    * `Dedup.bandedPairs` cap, so no single join key can emit m²
+    * rows. Recall vs the exact form trades with nPlanes exactly as
+    * `annPlaneSweep` measures.
+    */
+  def cosineNearDupsLsh(vectors: DataFrame, threshold: Double, nPlanes: Int = 8,
+                        maxBucket: Int = 256, dims: Int = -1): DataFrame = {
+    val d0 =
+      if (dims >= 0) dims
+      else {
+        val firstRow = vectors.select(size(emb(col("embedding")))).head(1)
+        require(firstRow.nonEmpty, "cosineNearDupsLsh: empty corpus — pass dims explicitly")
+        firstRow(0).getInt(0)
+      }
+    val banded = vectors.select(col("vec_id").as("doc_id"),
+      bucketExpr(nPlanes, d0).as("bucket"), col("embedding"))
+    Dedup.bandedPairs(banded, Seq("bucket"), maxBucket, Seq("embedding"))
+      .select(col("a"), col("b"),
+        round(cosine(emb(col("embedding_a")), emb(col("embedding_b"))), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Two-sided form: a (small, broadcast) probe set against the
     * corpus — the corpus streams, the probes ride along. Pairs are
     * deduped with a < b; cos is rounded to 6 decimals so the

@@ -147,6 +147,35 @@ class CurationSpec extends AnyFunSuite {
     assert(math.abs(jac - BigDecimal(j2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
   }
 
+  test("cosineNearDupsLsh: bucketed pairs are a nonempty subset of the exact all-pairs result") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    // 10 cluster directions x 5 noisy members: dense high-cosine pairs
+    val bases = Array.fill(10)(Array.fill(8)(rnd.nextGaussian()))
+    val vecs = (0 until 50).map { i =>
+      val b = bases(i / 5)
+      (i.toLong, b.map(x => (x + rnd.nextGaussian() * 0.05).toFloat))
+    }.toDF("vec_id", "embedding")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.cosineNearDups(vecs, 0.9))
+    val lsh = pairs(Similarity.cosineNearDupsLsh(vecs, 0.9, nPlanes = 4, dims = 8))
+    assert(lsh.nonEmpty && lsh.subsetOf(exact))
+  }
+
+  test("cosineNearDupsLsh: oversized bucket stars instead of exploding") {
+    import spark.implicits._
+    // 12 identical vectors = one bucket; cap 3 => C(3,2) + 9 star
+    // edges = 12 pairs, every member connected, never C(12,2) = 66
+    val v = Array.fill(6)(1.0f)
+    val vecs = (0L until 12L).map(i => (i, v)).toDF("vec_id", "embedding")
+    val got = Similarity.cosineNearDupsLsh(vecs, 0.5, nPlanes = 4, maxBucket = 3, dims = 6)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 3 * 2 / 2 + 9)
+    val touched = got.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(touched == (0L until 12L).toSet)
+  }
+
   test("shingleH1sOf: per-row distinct hash set equals the DataFrame shingle pipeline's") {
     val d = docsDF
     val expected = Dedup.shingleHashes(Dedup.shingles(d, distinct = false))
