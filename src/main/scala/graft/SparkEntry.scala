@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.signal.{Channels, Signal, Spectrum}
-import graft.datapipe.{Clustering, Dedup, Multimodal, Packing, Ranking, Sampling, Sessions, Similarity, TextAnalysis}
+import graft.datapipe.{Bpe, Clustering, Dedup, Multimodal, Packing, Ranking, Sampling, Sessions, Similarity, TextAnalysis}
 import graft.ops.{Interp, Kernels, Psd}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -37,7 +37,10 @@ object SparkEntry {
   /** Application-end eviction for the shared-table caches below (the
     * same listener StreamingOps installs for its session clones): a
     * long-lived process that cycles many sessions must not retain
-    * DataFrames pinning stopped sessions' state.
+    * DataFrames pinning stopped sessions' state. For intra-app
+    * session churn there is no session-closed listener in Spark, so
+    * eviction BETWEEN sessions is an explicit hook: call `release(s)`
+    * when a session's work is done.
     */
   private val evictionInstalled =
     scala.collection.concurrent.TrieMap.empty[SparkSession, Unit]
@@ -47,17 +50,29 @@ object SparkEntry {
       evictionInstalled.getOrElseUpdate(s, {
         s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
           override def onApplicationEnd(
-              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-            Seq(evCache, uniformCache, welchRmsCache, shingleCache, termCountCache,
-                lshCandCache, componentsCache)
-              .foreach(c => c.keys.filter(_._1 eq s).foreach(c.remove))
-            centsCache.keys.filter(_._1 eq s).foreach(centsCache.remove)
-            evictionInstalled.remove(s)
-          }
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = release(s)
         })
       })
       mk
     })
+
+  /** Drop every intermediate memoized for session `s` and unpersist
+    * the pinned DataFrames — the per-session release hook for
+    * long-lived applications that cycle many sessions (the
+    * application-end listener only covers process shutdown). Safe to
+    * call repeatedly; the memos repopulate on next use.
+    */
+  def release(s: SparkSession): Unit = {
+    Seq(evCache, uniformCache, welchRmsCache, shingleCache, termCountCache,
+        lshCandCache, componentsCache).foreach { c =>
+      c.keys.filter(_._1 eq s).foreach { k =>
+        c.remove(k).foreach(df =>
+          try df.unpersist(blocking = false) catch { case _: Throwable => () })
+      }
+    }
+    centsCache.keys.filter(_._1 eq s).foreach(centsCache.remove)
+    evictionInstalled.remove(s)
+  }
 
   private def ev(s: SparkSession, dir: String) =
     memo(evCache, s, dir)(Channels.events(s, dir).cache())
@@ -149,6 +164,49 @@ object SparkEntry {
   private def trainedCents(s: SparkSession, dir: String): Array[Array[Double]] =
     centsCache.getOrElseUpdate((s, dir),
       Clustering.kmeansCentroids(emb(s, dir), k = 16, iters = 2, dims = 64))
+
+  /** The corpus LSH band table persisted through the session catalog
+    * (spark-warehouse) as a table BUCKETED BY (band, sig) — the
+    * production admission pattern: the corpus band table is written
+    * ONCE and newly arriving documents probe it. A bucketed scan
+    * means the (corpus-sized) static side of the (band, sig)
+    * equi-join needs NO Exchange — only the small probe side shuffles
+    * to the bucket count (plan-asserted in Round6Spec). Written once
+    * per (context, dir) per process; catalog tables live in the
+    * context-shared external catalog, so the streaming session clone
+    * reads what the root session wrote.
+    */
+  private val bandTables = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.SparkContext, String), String]
+  private def tableSuffix(dir: String): String =
+    dir.replaceAll("[^a-zA-Z0-9]+", "_").replaceAll("^_+|_+$", "")
+  private def persistedBandTable(s: SparkSession, dir: String): String =
+    bandTables.getOrElseUpdate((s.sparkContext, dir), {
+      val name = s"graft_bands_${tableSuffix(dir)}"
+      Dedup.lshBands(Dedup.minhashSignaturesFromHashes(docShingles(s, dir), k = 16))
+        // pre-shuffle to the bucket layout so the write emits one
+        // file per bucket instead of (tasks x buckets) fragments
+        .repartition(8, col("band"), col("sig"))
+        .write.mode("overwrite").bucketBy(8, "band", "sig").sortBy("band", "sig")
+        .saveAsTable(name)
+      name
+    })
+
+  /** The near-dup components table persisted alongside the band
+    * table — the second static half of the streaming admission loop
+    * (q_stream_admit): partner docs found through the band probe are
+    * mapped to their cluster representative without recomputing the
+    * fixpoint on the stream's session.
+    */
+  private val componentTables = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.SparkContext, String), String]
+  private def persistedComponentsTable(s: SparkSession, dir: String): String =
+    componentTables.getOrElseUpdate((s.sparkContext, dir), {
+      val name = s"graft_components_${tableSuffix(dir)}"
+      dedupComponents(s, dir).select(col("doc_id"), col("component"))
+        .write.mode("overwrite").saveAsTable(name)
+      name
+    })
 
   /** Per-(doc, term) frequency table, cached per (session, dir): the
     * TF-IDF and BM25 queries both branch from it several times (tf
@@ -843,26 +901,54 @@ object SparkEntry {
     "q_stream_lsh_match" -> ((s, dir) => {
       // incremental dedup admission: probe documents ARRIVING on the
       // stream compute their band keys map-side and equi-join the
-      // STATIC corpus band table (the table a production pipeline
-      // persists bucketed by (band, sig)) — a stream-static join
+      // PERSISTED corpus band table (bucketed by (band, sig) in the
+      // warehouse — see persistedBandTable) — a stream-static join
       // holds no join state; the only streaming state is the final
       // pair aggregate. Output: candidate partners per arriving doc
-      // with shared-band multiplicity. Both sides must live on the
-      // stream's session clone, hence the local re-derivation of the
-      // corpus bands rather than the root-session docShingles cache
+      // with shared-band multiplicity. The catalog table is visible
+      // from the stream's session clone, so the corpus bands are
+      // derived once per process instead of once per query
       import graft.streaming.StreamingOps._
+      val bandTable = persistedBandTable(s, dir)
       val probes = documentsStream(s, dir).filter(col("doc_id") % 7 === 0)
-      val sc = probes.sparkSession
-      val corpus = Dedup.lshBands(
-        Dedup.minhashSignaturesFromHashes(
-          Dedup.shingleHashes(Dedup.shingles(
-            sc.read.parquet(s"$dir/documents.parquet"), distinct = false)), k = 16))
+      val corpus = probes.sparkSession.table(bandTable)
         .select(col("doc_id").as("partner"), col("band"), col("sig"))
       val st = Dedup.explodedBandKeys(probes)
         .join(corpus, Seq("band", "sig"))
         .filter(col("partner") =!= col("doc_id"))
         .groupBy("doc_id", "partner").agg(count(lit(1)).as("n_shared_bands"))
       runToMemorySink(st, "stream_lsh_match", "complete")
+    }),
+    "q_stream_admit" -> ((s, dir) => {
+      // the CLOSED admission loop: an arriving document computes its
+      // band keys map-side, probes the persisted corpus band table,
+      // maps every candidate partner (itself included — a doc always
+      // matches its own persisted bands) to its near-dup cluster
+      // representative via the persisted components table, and is
+      // ADMITTED iff it IS the representative of everything it
+      // touched: min over partner clusters == own doc_id. Two
+      // stream-static joins + one aggregate — no fixpoint, no
+      // stream-stream state. Band-mates are always same-component
+      // (the star cap keeps capped buckets connected), so the
+      // decision is provably identical to the batch keep/drop
+      // (q_dedup_keep) restricted to the probe subset — which is
+      // exactly what the oracle checks.
+      import graft.streaming.StreamingOps._
+      val bandTable = persistedBandTable(s, dir)
+      val compTable = persistedComponentsTable(s, dir)
+      val probes = documentsStream(s, dir).filter(col("doc_id") % 7 === 0)
+      val sc = probes.sparkSession
+      val bands = sc.table(bandTable)
+        .select(col("doc_id").as("partner"), col("band"), col("sig"))
+      val comps = sc.table(compTable)
+        .select(col("doc_id").as("partner"), col("component"))
+      val st = Dedup.explodedBandKeys(probes)
+        .join(bands, Seq("band", "sig"))
+        .join(comps, Seq("partner"), "left")
+        .select(col("doc_id"), coalesce(col("component"), col("partner")).as("pcluster"))
+        .groupBy("doc_id").agg(min("pcluster").as("cluster"))
+        .withColumn("admitted", col("doc_id") === col("cluster"))
+      runToMemorySink(st, "stream_admit", "complete")
     }),
     "q_stream_decontaminate" -> ((s, dir) => {
       // admission-time decontamination: every arriving non-benchmark
@@ -871,7 +957,11 @@ object SparkEntry {
       // streaming state beyond the sink) — bounded stream ≡ the
       // batch q_decontaminate table, same oracle
       import graft.streaming.StreamingOps._
-      val probes = documentsStream(s, dir).filter(col("doc_id") % 97 =!= 0)
+      // null-text docs are dropped on BOTH paths (batch: shingles()
+      // filters them; stream: this filter) — one semantics, asserted
+      // with a null-text fixture in Round6Spec
+      val probes = documentsStream(s, dir)
+        .filter(col("doc_id") % 97 =!= 0 && col("text").isNotNull)
       val sc = probes.sparkSession
       import sc.implicits._
       val benchSet = sc.sparkContext.broadcast(
@@ -881,7 +971,7 @@ object SparkEntry {
           .select(col("h1")).distinct().as[Long].collect().toSet)
       val flagged = probes.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
         .map { case (id, t) =>
-          val set = Dedup.shingleH1sOf(if (t == null) "" else t)
+          val set = Dedup.shingleH1sOf(t)
           val hits = set.count(benchSet.value.contains)
           (id, set.size.toLong, hits.toLong,
             BigDecimal(hits.toDouble / set.size)
@@ -970,6 +1060,23 @@ object SparkEntry {
     "q_group_sample" -> ((s, dir) =>
       Sampling.perGroupSample(docs(s, dir), col("source"), col("doc_id"), "grp1", k = 5)
         .select(col("source"), col("sample_rank"), col("doc_id"))),
+    "q_mix_resample" -> ((s, dir) =>
+      // the mix ACTION consuming the q_source_mix report: target
+      // language weights -> exact integer admission thresholds (the
+      // scarcest-per-weight language is kept whole), decided by a
+      // map-side salted-hash compare per row — deterministic,
+      // retry-invariant, zero shuffle after the one tiny count
+      Sampling.mixResample(docs(s, dir), col("lang"), col("doc_id"), "mix1",
+          Map("en" -> 40L, "fr" -> 20L, "de" -> 20L, "es" -> 15L, "zh" -> 5L))
+        .select(col("doc_id"), col("lang"), col("admitted"))),
+
+    // -- BPE merge training (tokenizer seeding over the corpus vocab) --
+    "q_bpe_merges" -> ((s, dir) =>
+      // each round: adjacent-pair counts over the vocabulary-sized
+      // (word, freq, seg) table, one driver-side top-1, one literal
+      // map-side merge — the corpus is touched exactly once (the
+      // shared docTermCounts aggregate)
+      Bpe.merges(docTermCounts(s, dir), rounds = BPE_ROUNDS)),
 
     // -- sequence packing (concat-and-chunk training batch assembly) --
     "q_pack" -> ((s, dir) =>
@@ -1636,6 +1743,8 @@ object SparkEntry {
          |FROM tc GROUP BY term
          |ORDER BY n_tokens DESC, n_docs DESC, term ASC
          |LIMIT 100""".stripMargin,
+    "q_bpe_merges" -> bpeMergesSql,
+    "q_mix_resample" -> mixResampleSql,
     "q_tfidf_topk" ->
       s"""WITH $TERM_COUNTS,
          |dfreq AS (SELECT term, count(*) AS df FROM tc GROUP BY term),
@@ -1775,6 +1884,10 @@ object SparkEntry {
          |JOIN bands c ON p.band = c.band AND p.bsig = c.bsig AND c.doc_id != p.doc_id
          |WHERE p.doc_id % 7 = 0
          |GROUP BY p.doc_id, c.doc_id""".stripMargin,
+    // streaming admission ≡ batch keep/drop restricted to the probe
+    // subset: band-mates are always same-component (star cap), so
+    // min-over-partner-clusters is the probe's own cluster
+    "q_stream_admit" -> streamAdmitSql,
     // time-window mov_rms on the uniform 1/3600 Hz grid: n = round(
     // 7200 * sr) = 2 samples, t shifted back by window/2, warm-up row
     // and final row trimmed (extension.py:684,695-697)
@@ -2399,24 +2512,26 @@ object SparkEntry {
        |       count(*) AS n_members, count(*) - 8 AS n_starred
        |FROM bands GROUP BY band, bsig HAVING count(*) > 8""".stripMargin
 
-  /** Min-label + pointer-jump replay. Dedup.connectedComponents
-    * iterates `min(label, neighbor labels, label(label))` to fixpoint
-    * BOUNDED BY maxIters, and the oracle unrolls exactly that bound:
-    * if Spark converged in r* < maxIters rounds, the oracle's extra
-    * rounds are no-ops (labels already stable); if Spark hit the
-    * bound, both engines ran the identical maxIters synchronous
-    * rounds — equal either way. This constant MUST stay equal to the
-    * maxIters the q_dedup_components query uses. With the pointer
-    * jump, 12 rounds cover components far beyond any test-SF diameter
-    * (sf0.1 has chains of diameter > 8 that pure 3-round propagation
-    * under-merged). Each round is one join+aggregate and one label
-    * self-join over the candidate-sized edge list — cheap because the
-    * chain is AS MATERIALIZED.
+  /** Min-label + two-sided chained pointer-jump replay.
+    * Dedup.connectedComponents iterates `min(label, nmin = min
+    * neighbor labels, label(nmin), label^4)` to fixpoint BOUNDED BY
+    * maxIters, and the oracle unrolls exactly that bound: if Spark
+    * converged in r* < maxIters rounds, the oracle's extra rounds are
+    * no-ops (labels already stable); if Spark hit the bound, both
+    * engines ran the identical maxIters synchronous rounds — equal
+    * either way. This constant MUST stay equal to the maxIters the
+    * q_dedup_components query uses. Covered distance grows >= 4x+1
+    * per round (property-tested: a 100-node path converges in <= 6
+    * rounds), so 8 rounds cover component diameters past 4^7 — far
+    * beyond any test-SF candidate graph (sf0.1's chains converged in
+    * ~10 rounds when growth was only 2x). Each round is one
+    * join+aggregate over the edge list plus label-table self-joins —
+    * cheap because the chain is AS MATERIALIZED.
     */
-  private val CC_ORACLE_ROUNDS = 12
+  private val CC_ORACLE_ROUNDS = 8
   private def dedupComponentsSql: String = {
     // AS MATERIALIZED is load-bearing: each round references the
-    // previous CTE three times, and DuckDB's default inlining would
+    // previous CTE seven times, and DuckDB's default inlining would
     // expand the whole LSH prefix exponentially (measured: >100x
     // slower at 8 plain-propagation rounds)
     def round(prev: String, cur: String): String =
@@ -2424,13 +2539,18 @@ object SparkEntry {
          |  SELECT l.doc_id,
          |         least(l.label,
          |               coalesce(nm.nmin, l.label),
+         |               coalesce(nm.snmin, l.label),
          |               coalesce(s.slabel, l.label)) AS label
          |  FROM $prev l
-         |  LEFT JOIN (SELECT e.x AS doc_id, min(nl.label) AS nmin
-         |             FROM e JOIN $prev nl ON nl.doc_id = e.y GROUP BY e.x) nm
+         |  LEFT JOIN (SELECT nm0.doc_id, nm0.nmin, sl.label AS snmin
+         |             FROM (SELECT e.x AS doc_id, min(nl.label) AS nmin
+         |                   FROM e JOIN $prev nl ON nl.doc_id = e.y GROUP BY e.x) nm0
+         |             LEFT JOIN $prev sl ON sl.doc_id = nm0.nmin) nm
          |    USING (doc_id)
-         |  LEFT JOIN (SELECT p1.doc_id, p2.label AS slabel
-         |             FROM $prev p1 JOIN $prev p2 ON p2.doc_id = p1.label) s
+         |  LEFT JOIN (SELECT p1.doc_id, p4.label AS slabel
+         |             FROM $prev p1 JOIN $prev p2 ON p2.doc_id = p1.label
+         |                           JOIN $prev p3 ON p3.doc_id = p2.label
+         |                           JOIN $prev p4 ON p4.doc_id = p3.label) s
          |    USING (doc_id)
          |)""".stripMargin
     val rounds = (1 to CC_ORACLE_ROUNDS).map(t => round(s"l${t - 1}", s"l$t")).mkString(",\n")
@@ -2453,6 +2573,87 @@ object SparkEntry {
        |       coalesce(c.component, d.doc_id) AS cluster,
        |       d.doc_id = coalesce(c.component, d.doc_id) AS keep
        |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin
+  }
+
+  /** Streaming-admission replay: the keep/drop fixpoint labels
+    * restricted to the probe subset (doc_id % 7). Band-mates are
+    * always same-component (the star cap keeps capped buckets
+    * connected), so the stream's min-over-partner-clusters equals the
+    * probe's own coalesce(component, doc_id) — the identical
+    * expression the batch keep/drop oracle uses.
+    */
+  private def streamAdmitSql: String =
+    s"""WITH comp AS MATERIALIZED ($dedupComponentsSql)
+       |SELECT d.doc_id,
+       |       coalesce(c.component, d.doc_id) AS cluster,
+       |       d.doc_id = coalesce(c.component, d.doc_id) AS admitted
+       |FROM documents d LEFT JOIN comp c USING (doc_id)
+       |WHERE d.doc_id % 7 = 0""".stripMargin
+
+  /** Mixture re-weighting replay (Sampling.mixResample): the argmin
+    * group is selected by exact cross-multiplication (HUGEINT — never
+    * a float ratio), thresholds are the same floor division Spark
+    * computes in BigInt, and the admit decision is a pure integer
+    * compare of the salted 52-bit hash — bit-identical by
+    * construction.
+    */
+  private def mixResampleSql: String =
+    """WITH counts AS (SELECT lang AS g, count(*) AS n FROM documents GROUP BY lang),
+      |w(g, wt) AS (VALUES ('en', 40), ('fr', 20), ('de', 20), ('es', 15), ('zh', 5)),
+      |j AS (SELECT counts.g, counts.n, w.wt FROM counts JOIN w USING (g) WHERE counts.n > 0),
+      |m AS (SELECT g, n, wt FROM j j1
+      |      WHERE NOT EXISTS (SELECT 1 FROM j j2
+      |                        WHERE j2.n::HUGEINT * j1.wt < j1.n::HUGEINT * j2.wt
+      |                           OR (j2.n::HUGEINT * j1.wt = j1.n::HUGEINT * j2.wt
+      |                               AND j2.g < j1.g))),
+      |th AS (SELECT j.g,
+      |              (4503599627370496::HUGEINT * m.n * j.wt) // (m.wt::HUGEINT * j.n) AS th
+      |       FROM j, m)
+      |SELECT d.doc_id, d.lang,
+      |       ('0x' || substr(md5('mix1:' || CAST(d.doc_id AS VARCHAR)), 1, 13))::BIGINT
+      |         < t.th AS admitted
+      |FROM documents d JOIN th t ON t.g = d.lang""".stripMargin
+
+  /** BPE merge-training replay: the same (word, freq, seg) evolution
+    * as `Bpe.merges`, unrolled to `BPE_ROUNDS` materialized CTE
+    * levels. Pair extraction replays Spark's split-on-"><" over the
+    * trimmed segmentation; the per-round winner is the same exact
+    * (cnt DESC, x ASC, y ASC) top-1; merge application is the same
+    * literal left-to-right replace. AS MATERIALIZED is load-bearing
+    * exactly as in the CC oracle: each level references its
+    * predecessor twice and the winner once.
+    */
+  private val BPE_ROUNDS = 8
+  private def bpeMergesSql: String = {
+    def round(r: Int): String = {
+      val prev = s"v${r - 1}"
+      s"""p$r AS MATERIALIZED (
+         |  SELECT split_part(pr, '|', 1) AS x, split_part(pr, '|', 2) AS y,
+         |         CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq,
+         |               unnest(list_transform(range(1, len(syms)),
+         |                      i -> syms[i] || '|' || syms[i + 1])) AS pr
+         |        FROM (SELECT freq, string_split(trim(seg, '<>'), '><') AS syms FROM $prev))
+         |  GROUP BY 1, 2
+         |),
+         |b$r AS MATERIALIZED (SELECT x, y, cnt FROM p$r ORDER BY cnt DESC, x ASC, y ASC LIMIT 1),
+         |v$r AS MATERIALIZED (
+         |  SELECT word, freq,
+         |         replace(seg, '<' || b.x || '><' || b.y || '>', '<' || b.x || b.y || '>') AS seg
+         |  FROM $prev, b$r b
+         |)""".stripMargin
+    }
+    val rounds = (1 to BPE_ROUNDS).map(round).mkString(",\n")
+    val sel = (1 to BPE_ROUNDS)
+      .map(r => s"SELECT $r AS round, x, y, cnt FROM b$r").mkString("\nUNION ALL\n")
+    s"""WITH $TERM_COUNTS,
+       |v0 AS MATERIALIZED (
+       |  SELECT term AS word, CAST(sum(tf) AS BIGINT) AS freq,
+       |         regexp_replace(term, '(.)', '<\\1>', 'g') || '<$$>' AS seg
+       |  FROM tc WHERE regexp_matches(term, '^[a-z0-9]+$$') GROUP BY term
+       |),
+       |$rounds
+       |$sel""".stripMargin
   }
 
   /** The multimodal decode-stub is byte-deterministic, so DuckDB can

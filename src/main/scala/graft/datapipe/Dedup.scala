@@ -27,10 +27,14 @@ object Dedup {
   }
 
   /** Character shingles (n-grams of the normalized text), one row per
-    * distinct (doc_id, shingle).
+    * distinct (doc_id, shingle). NULL-text documents are dropped —
+    * they have no shingle set, no signature and no bands, matching
+    * the per-row kernels (`bandKeysOf` via `explodedBandKeys` skips
+    * null text), so batch and streaming paths agree on them.
     */
   def shingles(docs: DataFrame, n: Int = 5, distinct: Boolean = true): DataFrame = {
-    val raw = docs.select(col("doc_id"), TextAnalysis.normalized(col("text")).as("norm"))
+    val raw = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), TextAnalysis.normalized(col("text")).as("norm"))
       .select(col("doc_id"),
         explode(sequence(lit(1), greatest(length(col("norm")) - (n - 1), lit(1)))).as("pos"),
         col("norm"))
@@ -193,7 +197,11 @@ object Dedup {
     * regex).
     */
   private def normalizeOf(text: String): String = {
-    val norm = text.toLowerCase.replaceAll("[^a-z0-9]+", " ")
+    // Locale.ROOT: Spark's lower() lowercases locale-independently; a
+    // default-locale toLowerCase would diverge under tr/az JVMs
+    // (ASCII 'I' -> dotless ı) and break the byte-for-byte parity
+    // with the aggregate pipeline
+    val norm = text.toLowerCase(java.util.Locale.ROOT).replaceAll("[^a-z0-9]+", " ")
     var b0 = 0
     var e0 = norm.length
     while (b0 < e0 && norm.charAt(b0) == ' ') b0 += 1
@@ -295,29 +303,58 @@ object Dedup {
     * list), so BROADCAST it: the skinny pair rows join map-side and
     * the arrays are never shuffled at all.
     */
-  def jaccardByHashes(hashes: DataFrame, pairs: DataFrame): DataFrame =
-    pairOverlap(hashes, pairs)
+  def jaccardByHashes(hashes: DataFrame, pairs: DataFrame,
+                      broadcastMaxDocs: Long = DefaultBroadcastMaxDocs): DataFrame =
+    pairOverlap(hashes, pairs, broadcastMaxDocs)
       .select(col("a"), col("b"),
         (col("inter").cast("double") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
 
+  /** Above this many candidate-touched documents the verify stage
+    * abandons the broadcast hint (see `pairOverlap`): the per-doc
+    * sorted shingle arrays average kilobytes each, so ~100k docs is
+    * already a few-hundred-MB broadcast — near the edge of a default
+    * driver/executor budget, and far past it at 100 TB dup density.
+    */
+  val DefaultBroadcastMaxDocs: Long = 100000L
+
   /** The (a, b, inter, sza, szb) overlap counts behind both Jaccard
     * and containment: distinct-set sizes per side plus the merge-scan
-    * intersection, with the set table broadcast bounded by the
-    * candidate list (see `jaccardByHashes`).
+    * intersection.
+    *
+    * JOIN-STRATEGY GATE: the set table is bounded by the candidate
+    * list, not the corpus — but "candidate-bounded" is not
+    * "constant-bounded". At fixture dup density the candidate-touched
+    * docs are few and broadcasting their arrays lets the skinny pair
+    * rows join map-side (arrays never shuffle). At 100 TB with
+    * 10-30% dup density they are billions of rows of arrays and a
+    * forced broadcast hint would OOM the driver regardless of config.
+    * So the strategy is decided by a COUNT of the candidate-touched
+    * docs (one cheap aggregate over the pair list, run eagerly at
+    * plan-build — a production verify stage has the pair list
+    * materialized anyway): at or below `broadcastMaxDocs` the hint is
+    * applied; above it the hint is dropped and the planner runs two
+    * shuffle joins on `a`/`b` (sort-merge at scale), which only moves
+    * each needed array once per side. Both paths compute identical
+    * values — the gate changes the plan, never the answer.
     */
-  private def pairOverlap(hashes: DataFrame, pairs: DataFrame): DataFrame = {
+  private def pairOverlap(hashes: DataFrame, pairs: DataFrame,
+                          broadcastMaxDocs: Long): DataFrame = {
     import graft.functions.SortedIntersectCount.sortedIntersectCount
     // restrict the set table to documents that actually appear in a
-    // candidate pair BEFORE broadcasting: the broadcast is then
-    // bounded by the candidate list, not the corpus
+    // candidate pair BEFORE joining: whichever strategy wins, the
+    // arrays built are bounded by the candidate list, not the corpus
     val needed = pairs.select(col("a").as("doc_id"))
       .union(pairs.select(col("b").as("doc_id"))).distinct()
     val sets = hashes.join(needed, "doc_id")
       .groupBy("doc_id").agg(sort_array(collect_set(col("h1"))).as("sh"))
       .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("sz"))
+    val nNeeded = needed.count()
+    def side(nm: String) =
+      sets.select(col("doc_id").as(nm), col("sh").as(s"sh$nm"), col("sz").as(s"sz$nm"))
+    def hint(df: DataFrame) = if (nNeeded <= broadcastMaxDocs) broadcast(df) else df
     pairs
-      .join(broadcast(sets.select(col("doc_id").as("a"), col("sh").as("sha"), col("sz").as("sza"))), "a")
-      .join(broadcast(sets.select(col("doc_id").as("b"), col("sh").as("shb"), col("sz").as("szb"))), "b")
+      .join(hint(side("a")), "a")
+      .join(hint(side("b")), "b")
       .select(col("a"), col("b"),
         sortedIntersectCount(col("sha"), col("shb")).cast("long").as("inter"),
         col("sza"), col("szb"))
@@ -332,8 +369,9 @@ object Dedup {
     * `jaccardByHashes`; one extra column projection, no extra
     * shuffle.
     */
-  def overlapScores(hashes: DataFrame, pairs: DataFrame): DataFrame =
-    pairOverlap(hashes, pairs)
+  def overlapScores(hashes: DataFrame, pairs: DataFrame,
+                    broadcastMaxDocs: Long = DefaultBroadcastMaxDocs): DataFrame =
+    pairOverlap(hashes, pairs, broadcastMaxDocs)
       .select(col("a"), col("b"), col("inter"), col("sza"), col("szb"),
         round(col("inter") / col("sza"), 6).as("containment_a"),
         round(col("inter") / col("szb"), 6).as("containment_b"),
@@ -381,39 +419,66 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Round count of the most recent `connectedComponents` run — the
+    * observability dial for sizing `maxIters` (and what the
+    * convergence property tests assert against).
+    */
+  val lastCcRounds = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Near-duplicate CLUSTERS from candidate pairs by min-label
-    * propagation WITH POINTER JUMPING, iterated to fixpoint: every
-    * node starts labeled with its own id; each round every node takes
+    * propagation WITH TWO-SIDED, CHAINED POINTER JUMPING, iterated to
+    * fixpoint: every node starts labeled with its own id; each round
+    * every node takes
     *
-    *   label'(x) = min(label(x), min_{y~x} label(y), label(label(x)))
+    *   label'(x) = min(label(x),
+    *                   nmin(x)  = min_{y~x} label(y),   -- neighbor hop
+    *                   label(nmin(x)),                  -- jump through the neighbor's label
+    *                   label(label(label(label(x)))))   -- 3-chained self jump
     *
-    * — neighbor propagation (one hop per round) PLUS the shortcut
-    * through the node its label points at, which roughly doubles the
-    * distance already covered per round (log-round convergence on
-    * chains, the textbook distributed-CC acceleration, vs diameter
-    * rounds for propagation alone). The loop stops when a round
-    * changes zero labels (labels are monotonically non-increasing, so
-    * "changed" is one cheap filter+count per round). Every
-    * component — any diameter — ends carrying its minimum doc_id.
+    * Neighbor propagation covers one hop per round; the chained
+    * self-jump multiplies the distance already covered (~4x per round
+    * on chains vs ~2x for the single jump), and the neighbor-side
+    * jump shortcuts through the hop target's own label — together
+    * covered distance grows ≥ 4x+1 per round (a 100-node path
+    * converges in ≤ 6 rounds, property-tested), vs diameter rounds
+    * for propagation alone. The loop stops when a round changes zero
+    * labels (labels are monotonically non-increasing, so "changed" is
+    * one cheap filter+count per round). Every component — any
+    * diameter — ends carrying its minimum doc_id.
     *
-    * Correctness of the shortcut: label values are always ids of
-    * nodes in the same component (true initially; neighbor labels
-    * and label-of-label both stay inside the component), labels only
-    * decrease, and at fixpoint labels are constant per component and
-    * bounded by the min member's self-label — hence equal to the
+    * Correctness of the shortcuts: label values are always ids of
+    * nodes in the same component (true initially; neighbor labels and
+    * any label-of-label chain stay inside the component), label(z) <=
+    * z for every z (so each chained lookup only improves), labels
+    * only decrease, and at fixpoint labels are constant per component
+    * and bounded by the min member's self-label — hence equal to the
     * component min.
     *
-    * Scale shape: one (edges x labels) equi-join + min-aggregate and
-    * one labels self-join per round; no driver-side union-find. Each
-    * round's labels are `localCheckpoint`ed (eager): that
-    * materialization is the action the convergence count reads
+    * Scale shape: one (edges x labels) equi-join + min-aggregate, one
+    * nmin label lookup, and a 3-join label chain per round — every
+    * join except the edge join is on the node-sized label table; no
+    * driver-side union-find. Each round's labels are checkpointed:
+    * that materialization is the action the convergence count reads
     * anyway, and it truncates the per-round join lineage. `maxIters`
-    * is a runaway guard — with pointer jumping ~12 rounds cover any
-    * realistic component (distance covered doubles per round);
-    * hitting the bound leaves deterministic, conservatively
-    * under-merged labels.
+    * is a runaway guard — hitting the bound leaves deterministic,
+    * conservatively under-merged labels.
+    *
+    * CHECKPOINT DURABILITY: the default `localCheckpoint` stores
+    * blocks only on executors, with no lineage to recompute them — a
+    * lost executor mid-iteration fails the job. Fine on local mode
+    * and for fixture-scale runs; for a long cluster iteration pass
+    * `checkpointDir` to write round labels through the reliable
+    * checkpoint path (HDFS/object store) instead, which survives
+    * executor loss at the cost of one FS round-trip per round.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 12): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 12,
+                          verbose: Boolean = false,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    checkpointDir.foreach(d => if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d))
+    def ckpt(df: DataFrame, eager: Boolean): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager)
+      else df.localCheckpoint(eager)
     // every round references the edge list, and Spark re-runs its
     // lineage (here: the whole LSH candidate pipeline) per reference —
     // cache the skinny pair table once; it is candidate-sized, far
@@ -421,37 +486,47 @@ object Dedup {
     val edges = pairs.select(col("a").as("x"), col("b").as("y"))
       .unionAll(pairs.select(col("b").as("x"), col("a").as("y")))
       .cache()
-    var labels = edges.select(col("x").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
-      .localCheckpoint()
+    var labels = ckpt(edges.select(col("x").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")), eager = true)
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxIters) {
       round += 1
-      val nbrMin = edges
-        .join(labels.select(col("doc_id").as("y"), col("label").as("ylab")), "y")
+      def lab(as1: String, as2: String) =
+        labels.select(col("doc_id").as(as1), col("label").as(as2))
+      // neighbor hop + jump through the hop target's label: nmin is a
+      // node id present in the label table, so label(nmin) is an
+      // equi-join lookup riding the same round
+      val nbr = edges
+        .join(lab("y", "ylab"), "y")
         .groupBy("x").agg(min("ylab").as("nmin"))
         .withColumnRenamed("x", "doc_id")
-      // pointer jump: label(label(x)) — label values are node ids
-      // present in the label table, so the lookup is an equi-join
-      val short = labels
-        .join(labels.select(col("doc_id").as("label"), col("label").as("slabel")), "label")
+        .join(lab("nmin", "snmin"), Seq("nmin"), "left")
+        .select(col("doc_id"), col("nmin"), col("snmin"))
+      // chained pointer jump: label^4(x) — label(z) <= z, so only the
+      // deepest lookup needs to enter the least()
+      val short = labels.select(col("doc_id"), col("label").as("s1"))
+        .join(lab("s1", "s2"), "s1")
+        .join(lab("s2", "s3"), "s2")
+        .join(lab("s3", "slabel"), "s3")
         .select(col("doc_id"), col("slabel"))
       // lazy checkpoint: the convergence count below is the single
       // action that both materializes this round's labels and reads
       // the changed count — one scheduled job per round, not two
-      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+      val next = ckpt(labels.join(nbr, Seq("doc_id"), "left")
         .join(short, Seq("doc_id"), "left")
         .select(col("doc_id"), col("label"),
           least(col("label"), coalesce(col("nmin"), col("label")),
-            coalesce(col("slabel"), col("label"))).as("nlabel"))
-        .localCheckpoint(eager = false)
+            coalesce(col("snmin"), col("label")),
+            coalesce(col("slabel"), col("label"))).as("nlabel")), eager = false)
       changed = next.filter(col("nlabel") < col("label")).count()
       labels = next.select(col("doc_id"), col("nlabel").as("label"))
       // observability: convergence progress is the dial that says
-      // whether maxIters is sized right for the graph at hand
-      System.err.println(s"[cc] round $round changed=$changed")
+      // whether maxIters is sized right for the graph at hand —
+      // gated off by default (a library must not write to stderr)
+      if (verbose) System.err.println(s"[cc] round $round changed=$changed")
     }
+    lastCcRounds.set(round)
     // labels is checkpointed (no lineage back through the edge list),
     // so the cached pair table can be released immediately
     edges.unpersist(blocking = false)

@@ -60,6 +60,53 @@ object Sampling {
     df.filter(b < thresh)
   }
 
+  /** Deterministic mixture RE-WEIGHTING — the consumer of a
+    * source-mix report: given target integer weights per group (parts
+    * of the desired mixture, e.g. web -> 40, books -> 10), emit a
+    * per-row admission decision such that the admitted corpus hits
+    * the target mix in expectation while keeping every row of the
+    * scarcest group (downsample-only — no row is ever duplicated).
+    *
+    * The admission rate for group g is r_g = (n_m * w_g) / (w_m *
+    * n_g), where m is the group with the smallest n_g / w_g (the
+    * binding constraint: it is kept whole, r_m = 1). Rates are
+    * materialized as exact integer thresholds th_g = floor(2^52 *
+    * n_m * w_g / (w_m * n_g)) computed driver-side in BigInt, and a
+    * row is admitted iff its salted 52-bit hash < th_g — a pure
+    * map-side Long comparison per row, deterministic in (salt, key),
+    * retry-invariant, and bit-identical in any engine that replays
+    * the same floor-division (no float ever enters the decision).
+    *
+    * The group counts are one tiny aggregate collected to the driver
+    * (|groups| rows — the k-means-centroid pattern); everything after
+    * is a map-side projection. Groups absent from `weights` are
+    * dropped (same contract as stratifiedSample).
+    */
+  def mixResample(df: DataFrame, group: Column, key: Column, salt: String,
+                  weights: Map[String, Long]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    val counts = df.select(group.cast("string").as("g")).groupBy("g").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = weights.keys.filter(g => counts.getOrElse(g, 0L) > 0L).toSeq.sorted
+    require(present.nonEmpty, "no weighted group present in the data")
+    // argmin of n_g / w_g by exact cross-multiplication (never a
+    // float ratio), ties broken by group name
+    val m = present.reduceLeft { (a, b) =>
+      val cmp = BigInt(counts(a)) * weights(b) - BigInt(counts(b)) * weights(a)
+      if (cmp < 0 || (cmp == 0 && a < b)) a else b
+    }
+    val two52 = BigInt(1) << 52
+    val thresholds = present.map { g =>
+      g -> (two52 * counts(m) * weights(g) / (BigInt(weights(m)) * counts(g))).toLong
+    }
+    val thresholdExpr = thresholds.foldLeft(lit(-1L): Column) {
+      case (els, (g, th)) => when(group === g, lit(th)).otherwise(els)
+    }
+    df.filter(group.isInCollection(present))
+      .withColumn("admitted", saltedHash(key, salt) < thresholdExpr)
+  }
+
   /** Exactly k rows per group, chosen by hash order — a deterministic
     * stand-in for per-group reservoir sampling. Integer/string sort
     * keys only (hash asc, then key asc for tie-break), so the chosen

@@ -34,6 +34,25 @@ object Similarity {
     floatDot(a, b) / (sqrt(floatDot(a, a)) * sqrt(floatDot(b, b)))
   }
 
+  /** A vector's L2 norm over the raw float array — projected ONCE per
+    * side before any pair join, so the per-pair work inside every
+    * candidate loop is a single FloatDot + one divide instead of
+    * three FloatDots (CSE cannot lift the self-dots across rows: each
+    * pair row re-evaluated floatDot(a,a) and floatDot(b,b) on the
+    * joined copies). Bit-identical to the inline form: sqrt(dot(a,a))
+    * * sqrt(dot(b,b)) is the same operation sequence either way.
+    */
+  private def normFloat(e: Column): Column = {
+    import graft.functions.FloatDot.floatDot
+    sqrt(floatDot(e, e))
+  }
+
+  /** Cosine from precomputed per-side norms (see `normFloat`). */
+  private def cosineN(a: Column, b: Column, na: Column, nb: Column): Column = {
+    import graft.functions.FloatDot.floatDot
+    floatDot(a, b) / (na * nb)
+  }
+
   private def emb(c: Column): Column = c
 
   /** Exact top-k neighbors for each query vector by brute force.
@@ -41,11 +60,14 @@ object Similarity {
     * set is stable under last-bit float divergence.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), emb(col("embedding")).as("qe"))
-    val c = corpus.select(col("vec_id").as("neighbor_id"), emb(col("embedding")).as("ce"))
+    val q = queries.select(col("vec_id").as("query_id"), emb(col("embedding")).as("qe"),
+      normFloat(emb(col("embedding"))).as("qn"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), emb(col("embedding")).as("ce"),
+      normFloat(emb(col("embedding"))).as("cn"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("qe"), col("ce")).as("cos"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineN(col("qe"), col("ce"), col("qn"), col("cn")).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(round(col("cos"), 6).desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -139,12 +161,13 @@ object Similarity {
         firstRow(0).getInt(0)
       }
     val c = corpus.select(col("vec_id").as("neighbor_id"), emb(col("embedding")).as("ce"),
-      bucketExpr(nPlanes, d0).as("bucket"))
+      normFloat(emb(col("embedding"))).as("cn"), bucketExpr(nPlanes, d0).as("bucket"))
     val q = queries.select(col("vec_id").as("query_id"), emb(col("embedding")).as("qe"),
-      bucketExpr(nPlanes, d0).as("bucket"))
+      normFloat(emb(col("embedding"))).as("qn"), bucketExpr(nPlanes, d0).as("bucket"))
     val scored = c.join(broadcast(q), "bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("qe"), col("ce")).as("cos"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineN(col("qe"), col("ce"), col("qn"), col("cn")).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(round(col("cos"), 6).desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -273,20 +296,23 @@ object Similarity {
           lit(s"ivfTopK: embedding dims != $d0 for vec_id="), col("vec_id"))).cast("int"))
     val best = guard(element_at(reverse(array_sort(scores)), 1).getField("list"))
     val c = corpus.select(col("vec_id").as("neighbor_id"),
-      emb(col("embedding")).as("ce"), best.as("list"))
+      emb(col("embedding")).as("ce"), normFloat(emb(col("embedding"))).as("cn"),
+      best.as("list"))
     val q = queries.select(col("vec_id").as("query_id"), emb(col("embedding")).as("qe"),
+        normFloat(emb(col("embedding"))).as("qn"),
         posexplode(slice(reverse(array_sort(scores)), 1, maxNprobe)))
       // same ragged-dims contract on the query side (scores are NULL
       // for a wrong-length embedding, which would silently pick probe
       // lists by list id alone)
-      .select(col("query_id"), col("qe"), (col("pos") + 1).cast("int").as("pr"),
+      .select(col("query_id"), col("qe"), col("qn"), (col("pos") + 1).cast("int").as("pr"),
         when(size(col("qe")) === d0, col("col.list"))
           .otherwise(raise_error(concat(
             lit(s"ivfTopK: embedding dims != $d0 for vec_id="),
             col("query_id"))).cast("int")).as("list"))
     c.join(broadcast(q), "list")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("qe"), col("ce")).as("cos"),
+      .select(col("query_id"), col("neighbor_id"),
+        cosineN(col("qe"), col("ce"), col("qn"), col("cn")).as("cos"),
         col("pr"))
   }
 
@@ -366,19 +392,21 @@ object Similarity {
     // bucket table); the per-setting prefixes explode map-side from
     // the MATERIALIZED bucket column, so the plane dot products run
     // once per row, not once per sweep setting
-    def withPrefs(side: DataFrame, idAs: String, embAs: String) = side
+    def withPrefs(side: DataFrame, idAs: String, embAs: String, nrmAs: String) = side
       .select(col("vec_id").as(idAs), emb(col("embedding")).as(embAs),
+        normFloat(emb(col("embedding"))).as(nrmAs),
         bucketExpr(nPlanes, d0).as("bucket"))
-      .select(col(idAs), col(embAs), explode(array(bitsList.map(b =>
+      .select(col(idAs), col(embAs), col(nrmAs), explode(array(bitsList.map(b =>
         struct(lit(b).as("nbits"),
           shiftright(col("bucket"), nPlanes - b).as("pref"))): _*)).as("e"))
-      .select(col(idAs), col(embAs), col("e.nbits").as("nbits"), col("e.pref").as("pref"))
-    val c = withPrefs(corpus, "neighbor_id", "ce")
-    val q = withPrefs(queries, "query_id", "qe")
+      .select(col(idAs), col(embAs), col(nrmAs),
+        col("e.nbits").as("nbits"), col("e.pref").as("pref"))
+    val c = withPrefs(corpus, "neighbor_id", "ce", "cn")
+    val q = withPrefs(queries, "query_id", "qe", "qn")
     val scored = c.join(broadcast(q), Seq("nbits", "pref"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("nbits"), col("query_id"), col("neighbor_id"),
-        cosine(col("qe"), col("ce")).as("cos"))
+        cosineN(col("qe"), col("ce"), col("qn"), col("cn")).as("cos"))
     val w = Window.partitionBy("nbits", "query_id")
       .orderBy(round(col("cos"), 6).desc, col("neighbor_id").asc)
     val topk = scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -393,10 +421,13 @@ object Similarity {
     * corpus-sized self-join.
     */
   def cosineNearDups(vectors: DataFrame, threshold: Double): DataFrame = {
-    val a = vectors.select(col("vec_id").as("a"), emb(col("embedding")).as("ea"))
-    val b = vectors.select(col("vec_id").as("b"), emb(col("embedding")).as("eb"))
+    val a = vectors.select(col("vec_id").as("a"), emb(col("embedding")).as("ea"),
+      normFloat(emb(col("embedding"))).as("na"))
+    val b = vectors.select(col("vec_id").as("b"), emb(col("embedding")).as("eb"),
+      normFloat(emb(col("embedding"))).as("nb"))
     a.crossJoin(b).filter(col("a") < col("b"))
-      .select(col("a"), col("b"), round(cosine(col("ea"), col("eb")), 6).as("cos"))
+      .select(col("a"), col("b"),
+        round(cosineN(col("ea"), col("eb"), col("na"), col("nb")), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
@@ -422,10 +453,12 @@ object Similarity {
         firstRow(0).getInt(0)
       }
     val banded = vectors.select(col("vec_id").as("doc_id"),
-      bucketExpr(nPlanes, d0).as("bucket"), col("embedding"))
-    Dedup.bandedPairs(banded, Seq("bucket"), maxBucket, Seq("embedding"))
+      bucketExpr(nPlanes, d0).as("bucket"), col("embedding"),
+      normFloat(emb(col("embedding"))).as("nrm"))
+    Dedup.bandedPairs(banded, Seq("bucket"), maxBucket, Seq("embedding", "nrm"))
       .select(col("a"), col("b"),
-        round(cosine(emb(col("embedding_a")), emb(col("embedding_b"))), 6).as("cos"))
+        round(cosineN(emb(col("embedding_a")), emb(col("embedding_b")),
+          col("nrm_a"), col("nrm_b")), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
@@ -435,10 +468,13 @@ object Similarity {
     * threshold cut selects the same rows in any engine.
     */
   def cosineNearDups(probes: DataFrame, corpus: DataFrame, threshold: Double): DataFrame = {
-    val a = probes.select(col("vec_id").as("a"), emb(col("embedding")).as("ea"))
-    val b = corpus.select(col("vec_id").as("b"), emb(col("embedding")).as("eb"))
+    val a = probes.select(col("vec_id").as("a"), emb(col("embedding")).as("ea"),
+      normFloat(emb(col("embedding"))).as("na"))
+    val b = corpus.select(col("vec_id").as("b"), emb(col("embedding")).as("eb"),
+      normFloat(emb(col("embedding"))).as("nb"))
     b.crossJoin(broadcast(a)).filter(col("a") < col("b"))
-      .select(col("a"), col("b"), round(cosine(col("ea"), col("eb")), 6).as("cos"))
+      .select(col("a"), col("b"),
+        round(cosineN(col("ea"), col("eb"), col("na"), col("nb")), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

@@ -274,22 +274,28 @@ class PipelineSpec extends AnyFunSuite {
     assert((0L to 9L).forall(out(_) == (0L, 10L)))
     // and the maxIters runaway guard still bounds the loop: 2 rounds
     // leave the far end of the chain deterministically under-merged
-    // (propagation + pointer jump reach label 7 at node 9 by round 2)
+    // (neighbor jump + chained self-jump reach label 5 at node 9 by
+    // round 2: least(8, nmin 7, label(nmin) 6, label^4 5) = 5)
     val bounded = Dedup.connectedComponents(pairs, maxIters = 2)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(bounded(9L) == 7L)
+    assert(bounded(9L) == 5L)
   }
 
-  test("connectedComponents: pointer jumping converges a 100-node path within 12 rounds") {
+  test("connectedComponents: two-sided chained jumps converge a 100-node path in <= 6 rounds") {
     import spark.implicits._
     import graft.datapipe.Dedup
     // diameter 99 >> 12: plain one-hop propagation could NOT converge
-    // within the default maxIters — the label(label(x)) shortcut must
+    // within the default maxIters — covered distance must grow ~4x
+    // per round (the chained label^4 jump + the neighbor-side jump)
     val pairs = (0L until 99L).map(i => (i, i + 1)).toDF("a", "b")
     val out = Dedup.connectedComponents(pairs)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(out.size == 100)
     assert((0L to 99L).forall(out(_) == (0L, 100L)))
+    // round count includes the final no-change round that detects the
+    // fixpoint; the simulation of the recurrence gives exactly 6
+    assert(Dedup.lastCcRounds.get() <= 6,
+      s"expected <= 6 rounds, took ${Dedup.lastCcRounds.get()}")
   }
 
   test("lshCandidates/bandedPairs: oversized buckets emit star edges, not m^2 pairs") {
