@@ -180,9 +180,24 @@ object SparkEntry {
     .empty[(org.apache.spark.SparkContext, String), String]
   private def tableSuffix(dir: String): String =
     dir.replaceAll("[^a-zA-Z0-9]+", "_").replaceAll("^_+|_+$", "")
-  private def persistedBandTable(s: SparkSession, dir: String): String =
+
+  /** Drop a possibly-stale catalog table AND its warehouse location:
+    * a previous process may have left the data directory behind while
+    * this process's in-memory catalog has no entry for it, in which
+    * case saveAsTable would refuse the "new" table's location.
+    */
+  private def dropStaleTable(s: SparkSession, name: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val path = new org.apache.hadoop.fs.Path(s"$wh/$name")
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+  }
+
+  private[graft] def persistedBandTable(s: SparkSession, dir: String): String =
     bandTables.getOrElseUpdate((s.sparkContext, dir), {
       val name = s"graft_bands_${tableSuffix(dir)}"
+      dropStaleTable(s, name)
       Dedup.lshBands(Dedup.minhashSignaturesFromHashes(docShingles(s, dir), k = 16))
         // pre-shuffle to the bucket layout so the write emits one
         // file per bucket instead of (tasks x buckets) fragments
@@ -200,9 +215,10 @@ object SparkEntry {
     */
   private val componentTables = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.SparkContext, String), String]
-  private def persistedComponentsTable(s: SparkSession, dir: String): String =
+  private[graft] def persistedComponentsTable(s: SparkSession, dir: String): String =
     componentTables.getOrElseUpdate((s.sparkContext, dir), {
       val name = s"graft_components_${tableSuffix(dir)}"
+      dropStaleTable(s, name)
       dedupComponents(s, dir).select(col("doc_id"), col("component"))
         .write.mode("overwrite").saveAsTable(name)
       name
