@@ -30,13 +30,19 @@ object Bench {
       q.awaitTermination(15000)
       q.stop()
     } catch { case _: Throwable => () }
+    // a crashing query must not kill the sweep, but it must be
+    // LOUD in the metric JSON, not a silent timing: round 6's fixture
+    // break made 64 crashed queries read as uniform "0.1 s successes"
+    // and the bench total looked 3x better than reality. Any query
+    // that throws in any sweep lands here and its emitted timing is
+    // forced to -1 (a value no real query can produce).
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def sweep(label: String): Map[String, Double] =
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        // a crashing query must not kill the sweep, but it must be
-        // self-diagnosing in the bench log, not a silent timing
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
+            errors.getOrElseUpdate(name, e.getClass.getSimpleName)
             System.err.println(
               s"[bench:$label] $name FAILED ${e.getClass.getName}: ${e.getMessage}")
             -1L
@@ -55,7 +61,7 @@ object Bench {
     val r1 = sweep("run1")
     val r2 = sweep("run2")
     val results = SparkEntry.queries.keys.map { k =>
-      k -> math.min(r1(k), r2(k))
+      k -> (if (errors.contains(k)) -1.0 else math.min(r1(k), r2(k)))
     }.toMap
     // The driver parses this line out of the LAST 2000 chars of stdout:
     // one-decimal timings keep the ~95-query line under that budget
@@ -66,12 +72,17 @@ object Bench {
         .replaceAll("0+$", "")
       if (s.endsWith(".")) s.dropRight(1) else s
     }
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // totals cover only the queries that ran clean — crashed ones are
+    // reported via n_err/err, not blended into the wall-clock sum
+    val clean = results.filterNot { case (k, _) => errors.contains(k) }
+    val total = if (clean.nonEmpty) clean.values.sum else 0.0
     // timing=warm_min flags that per-query values are min-of-2 after a
     // warm-up sweep (not comparable to the r1/r2 cold single-shots);
     // run1_total preserves a cold-ish whole-sweep number for
     // cross-round comparison.
-    val run1Total = if (r1.nonEmpty) r1.values.sum else 0.0
+    val run1Total =
+      if (r1.nonEmpty) r1.filterNot { case (k, _) => errors.contains(k) }.values.sum
+      else 0.0
     // The driver parses the metric line out of the LAST 2000 chars of
     // stdout. 95 per-query entries no longer fit (round 3's 2242-char
     // line parsed as null and lost the round's bench score), so the
@@ -82,7 +93,13 @@ object Bench {
       .map { case (k, v) => s""""$k":${num(v, 1)}""" }
     System.err.println("[bench:all] " + fullQs.mkString("{", ",", "}"))
     val qs = fullQs.take(40).mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","timing":"warm_min","run1_total":${num(run1Total, 2)},"n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+    // err accounting rides the parsed line: n_err is always present
+    // (0 on a healthy run, so ~10 extra chars), and up to 8 crashed
+    // query names are spelled out — enough to localize a family-wide
+    // break without blowing the driver's 2000-char parse window.
+    val errJson = errors.take(8)
+      .map { case (k, cls) => s""""$k":"$cls"""" }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","timing":"warm_min","run1_total":${num(run1Total, 2)},"n_queries":${results.size},"n_err":${errors.size},"err":$errJson,"queries":$qs,"sf":"$sfDir"}"""
     if (line.length > 1900)
       System.err.println(s"[bench] WARNING metric line ${line.length} chars (driver window 2000)")
     println(line)

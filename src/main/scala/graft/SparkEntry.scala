@@ -128,6 +128,32 @@ object SparkEntry {
         Dedup.minhashSignaturesFromHashes(docShingles(s, dir), k = 16),
         rowsPerBand = 4).cache())
 
+  /** Candidate-touched doc count of the shared LSH candidate table,
+    * memoized per (session, dir): the Jaccard-verify join-strategy
+    * gate needs this ONE number, and round 6 re-aggregated it at
+    * every verify query's plan-build (3x per bench sweep, ~2x wall
+    * time on q_containment/q_neardup_pairs). Count once per shared
+    * table, hand the hint to every verifier of that table.
+    */
+  private val lshCandDocsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+  private def lshCandDocs(s: SparkSession, dir: String): Long =
+    lshCandDocsCache.getOrElseUpdate((s, dir), {
+      val c = lshCands(s, dir)
+      c.select(col("a")).union(c.select(col("b"))).distinct().count()
+    })
+
+  /** Corpus row count, memoized per (session, dir) — a conservative
+    * UPPER bound on candidate-touched docs for verify stages whose
+    * pair list is query-specific (q_ngram_jaccard): an upper bound
+    * can only flip the gate toward the shuffle join, never force an
+    * oversized broadcast, so it is always safe to pass.
+    */
+  private val docCountCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+  private def docCount(s: SparkSession, dir: String): Long =
+    docCountCache.getOrElseUpdate((s, dir), docs(s, dir).count())
+
   /** Degenerate dedup fixture: the first 10 documents plus 50 clones
     * of doc 0's text (doc_ids 1000-1049) — a boilerplate cluster that
     * overflows a maxBucket = 8 band bucket, exercising the
@@ -569,7 +595,8 @@ object SparkEntry {
       // containment |A∩B|/|A| flags subset duplication (short doc
       // quoted whole inside a long one) that Jaccard structurally
       // misses — same broadcast-bounded verify plan, extra columns
-      Dedup.overlapScores(docShingles(s, dir), lshCands(s, dir))),
+      Dedup.overlapScores(docShingles(s, dir), lshCands(s, dir),
+        neededDocsHint = Some(lshCandDocs(s, dir)))),
     "q_ngram_jaccard" -> ((s, dir) => {
       // query-vs-corpus jaccard: every 20th doc against its source
       // bucket — pair count scales linearly with the corpus, not
@@ -579,7 +606,8 @@ object SparkEntry {
         .select(col("doc_id").as("a"), col("source"))
         .join(d.select(col("doc_id").as("b"), col("source")), "source")
         .filter(col("a") =!= col("b")).select("a", "b")
-      Dedup.jaccardByHashes(docShingles(s, dir), pairs)
+      Dedup.jaccardByHashes(docShingles(s, dir), pairs,
+        neededDocsHint = Some(docCount(s, dir)))
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.05)
     }),
@@ -807,7 +835,8 @@ object SparkEntry {
       // -> shared capped candidates -> broadcast-bounded exact
       // Jaccard -> threshold cut (Dedup.minhashNearDups over the
       // memoized intermediates)
-      Dedup.jaccardByHashes(docShingles(s, dir), lshCands(s, dir))
+      Dedup.jaccardByHashes(docShingles(s, dir), lshCands(s, dir),
+        neededDocsHint = Some(lshCandDocs(s, dir)))
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.5)),
     "q_lsh_bucket_cap" -> ((s, dir) => {
@@ -2536,15 +2565,21 @@ object SparkEntry {
     * no-ops (labels already stable); if Spark hit the bound, both
     * engines ran the identical maxIters synchronous rounds — equal
     * either way. This constant MUST stay equal to the maxIters the
-    * q_dedup_components query uses. Covered distance grows >= 4x+1
-    * per round (property-tested: a 100-node path converges in <= 6
-    * rounds), so 8 rounds cover component diameters past 4^7 — far
-    * beyond any test-SF candidate graph (sf0.1's chains converged in
-    * ~10 rounds when growth was only 2x). Each round is one
+    * q_dedup_components query uses — AND the bound must never
+    * actually bind: a capped run ships under-merged labels that the
+    * oracle happily replays (a green row encoding a wrong answer).
+    * Round 6 learned this the hard way: 8 rounds, chosen from the
+    * idealized ">= 4x+1 coverage per round" model, left sf0.1's
+    * candidate graph un-converged (round 8 still relabeled 15 nodes).
+    * 16 rounds is >= 3^15 coverage even under the pessimistic model —
+    * far beyond any candidate-graph diameter at any SF — and
+    * Round7Spec asserts `lastCcRounds < CC_ORACLE_ROUNDS` (strict
+    * convergence) on the real sf graph. Each oracle round is one
     * join+aggregate over the edge list plus label-table self-joins —
-    * cheap because the chain is AS MATERIALIZED.
+    * cheap because the chain is AS MATERIALIZED, and converged rounds
+    * are no-op scans.
     */
-  private val CC_ORACLE_ROUNDS = 8
+  private[graft] val CC_ORACLE_ROUNDS = 16
   private def dedupComponentsSql: String = {
     // AS MATERIALIZED is load-bearing: each round references the
     // previous CTE seven times, and DuckDB's default inlining would

@@ -75,11 +75,25 @@ object Bpe {
     val spark = termCounts.sparkSession
     var vocab = initialVocab(termCounts).cache()
     vocab.count() // materialize once; each round re-reads it
+    // round r's plan carries r chained `replace` projections over the
+    // cached base — fine for seeding-scale round counts, O(rounds^2)
+    // total plan work if rounds grows toward real tokenizer merge
+    // counts (tens of thousands). Re-materialize the segmentation
+    // every REMAT rounds so the chain length — and with it analysis
+    // time and task binary size — stays bounded by a constant.
+    val REMAT = 32
+    var materialized = vocab
     val out = scala.collection.mutable.ArrayBuffer.empty[Row]
     var r = 0
     var done = false
     while (r < rounds && !done) {
       r += 1
+      if (r % REMAT == 0) {
+        val snap = vocab.localCheckpoint(eager = true)
+        materialized.unpersist(blocking = false)
+        materialized = snap
+        vocab = snap
+      }
       val top = pairCounts(vocab)
         .orderBy(col("cnt").desc, col("x").asc, col("y").asc)
         .limit(1).collect()
@@ -95,7 +109,11 @@ object Bpe {
           replace(col("seg"), lit(s"<$x><$y>"), lit(s"<$x$y>")))
       }
     }
-    vocab.unpersist(blocking = false)
+    // `materialized` is the live cached/checkpointed base (the
+    // original cache if no re-materialization happened); checkpoint
+    // blocks from intermediate snapshots are reclaimed by the context
+    // cleaner once unreferenced
+    materialized.unpersist(blocking = false)
     spark.createDataFrame(
       spark.sparkContext.parallelize(out.toSeq, 1),
       StructType(Seq(StructField("round", IntegerType, nullable = false),

@@ -304,8 +304,9 @@ object Dedup {
     * the arrays are never shuffled at all.
     */
   def jaccardByHashes(hashes: DataFrame, pairs: DataFrame,
-                      broadcastMaxDocs: Long = DefaultBroadcastMaxDocs): DataFrame =
-    pairOverlap(hashes, pairs, broadcastMaxDocs)
+                      broadcastMaxDocs: Long = DefaultBroadcastMaxDocs,
+                      neededDocsHint: Option[Long] = None): DataFrame =
+    pairOverlap(hashes, pairs, broadcastMaxDocs, neededDocsHint)
       .select(col("a"), col("b"),
         (col("inter").cast("double") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
 
@@ -329,16 +330,24 @@ object Dedup {
     * 10-30% dup density they are billions of rows of arrays and a
     * forced broadcast hint would OOM the driver regardless of config.
     * So the strategy is decided by a COUNT of the candidate-touched
-    * docs (one cheap aggregate over the pair list, run eagerly at
-    * plan-build — a production verify stage has the pair list
-    * materialized anyway): at or below `broadcastMaxDocs` the hint is
-    * applied; above it the hint is dropped and the planner runs two
-    * shuffle joins on `a`/`b` (sort-merge at scale), which only moves
-    * each needed array once per side. Both paths compute identical
-    * values — the gate changes the plan, never the answer.
+    * docs: at or below `broadcastMaxDocs` the hint is applied; above
+    * it the hint is dropped and the planner runs two shuffle joins on
+    * `a`/`b` (sort-merge at scale), which only moves each needed
+    * array once per side. Both paths compute identical values — the
+    * gate changes the plan, never the answer.
+    *
+    * The count itself runs eagerly at plan-build — but it is ONE
+    * aggregate per MATERIALIZED pair list, so callers that verify the
+    * same shared candidate table more than once (Jaccard + containment
+    * + threshold cut over one memoized LSH output — exactly the
+    * SparkEntry shape, or any production pipeline's fan-out) should
+    * count once and pass `neededDocsHint`: round 6 paid this
+    * aggregate three times per bench sweep and the verify queries
+    * doubled in wall time for no plan change.
     */
   private def pairOverlap(hashes: DataFrame, pairs: DataFrame,
-                          broadcastMaxDocs: Long): DataFrame = {
+                          broadcastMaxDocs: Long,
+                          neededDocsHint: Option[Long] = None): DataFrame = {
     import graft.functions.SortedIntersectCount.sortedIntersectCount
     // restrict the set table to documents that actually appear in a
     // candidate pair BEFORE joining: whichever strategy wins, the
@@ -348,7 +357,7 @@ object Dedup {
     val sets = hashes.join(needed, "doc_id")
       .groupBy("doc_id").agg(sort_array(collect_set(col("h1"))).as("sh"))
       .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("sz"))
-    val nNeeded = needed.count()
+    val nNeeded = neededDocsHint.getOrElse(needed.count())
     def side(nm: String) =
       sets.select(col("doc_id").as(nm), col("sh").as(s"sh$nm"), col("sz").as(s"sz$nm"))
     def hint(df: DataFrame) = if (nNeeded <= broadcastMaxDocs) broadcast(df) else df
@@ -370,8 +379,9 @@ object Dedup {
     * shuffle.
     */
   def overlapScores(hashes: DataFrame, pairs: DataFrame,
-                    broadcastMaxDocs: Long = DefaultBroadcastMaxDocs): DataFrame =
-    pairOverlap(hashes, pairs, broadcastMaxDocs)
+                    broadcastMaxDocs: Long = DefaultBroadcastMaxDocs,
+                    neededDocsHint: Option[Long] = None): DataFrame =
+    pairOverlap(hashes, pairs, broadcastMaxDocs, neededDocsHint)
       .select(col("a"), col("b"), col("inter"), col("sza"), col("szb"),
         round(col("inter") / col("sza"), 6).as("containment_a"),
         round(col("inter") / col("szb"), 6).as("containment_b"),
@@ -461,7 +471,10 @@ object Dedup {
     * that materialization is the action the convergence count reads
     * anyway, and it truncates the per-round join lineage. `maxIters`
     * is a runaway guard — hitting the bound leaves deterministic,
-    * conservatively under-merged labels.
+    * conservatively under-merged labels, i.e. a WRONG answer that
+    * callers must treat as a failure: check `lastCcRounds < maxIters`
+    * (strict, since the loop burns one round discovering changed==0)
+    * after any run whose labels feed a dedup decision.
     *
     * CHECKPOINT DURABILITY: the default `localCheckpoint` stores
     * blocks only on executors, with no lineage to recompute them — a
@@ -471,14 +484,33 @@ object Dedup {
     * checkpoint path (HDFS/object store) instead, which survives
     * executor loss at the cost of one FS round-trip per round.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 12,
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 16,
                           verbose: Boolean = false,
                           checkpointDir: Option[String] = None): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
     checkpointDir.foreach(d => if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d))
-    def ckpt(df: DataFrame, eager: Boolean): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(eager)
-      else df.localCheckpoint(eager)
+    // STATS SHEDDING (the actual fix for round 6's 28x regression):
+    // Dataset.checkpoint carries the origin plan's estimated
+    // Statistics into the checkpointed LogicalRDD, so planners keep
+    // size information across a checkpoint. For an ITERATED fixpoint
+    // that is a time bomb: sizeInBytes is a BigInt PRODUCT across
+    // each round's six label-table joins, so the carried estimate's
+    // digit count grows ~6x per round and by round 8 the stats
+    // visitor is multiplying million-digit BigIntegers on the driver
+    // — super-linear per-round wall time with flat executor load
+    // (jstack: SizeInBytesOnlyStatsPlanVisitor -> BigInteger
+    // .multiplyToomCook3). Rebuilding the frame from the
+    // checkpointed RDD sheds the origin stats: each round restarts
+    // from leaf defaults, and nothing is lost — every CC join is an
+    // intentional shuffle join on conservative estimates anyway. The
+    // two narrow row-conversion maps this adds are per-label-row,
+    // negligible next to the round's joins at any graph size.
+    def ckpt(df: DataFrame, eager: Boolean): DataFrame = {
+      val snap =
+        if (checkpointDir.isDefined) df.checkpoint(eager)
+        else df.localCheckpoint(eager)
+      df.sparkSession.createDataFrame(snap.rdd, snap.schema)
+    }
     // every round references the edge list, and Spark re-runs its
     // lineage (here: the whole LSH candidate pipeline) per reference —
     // cache the skinny pair table once; it is candidate-sized, far
@@ -510,21 +542,31 @@ object Dedup {
         .join(lab("s2", "s3"), "s2")
         .join(lab("s3", "slabel"), "s3")
         .select(col("doc_id"), col("slabel"))
-      // lazy checkpoint: the convergence count below is the single
-      // action that both materializes this round's labels and reads
-      // the changed count — one scheduled job per round, not two
+      // EAGER checkpoint: materialize this round's labels BEFORE the
+      // next round's plan references them six times. Round 6 shipped
+      // this lazy ("one job per round") and per-round wall time grew
+      // super-linearly at sf0.1 — a measured 28x total regression —
+      // because the lazily-checkpointed round never actually pinned
+      // its blocks before the next plan fanned out over it; eager
+      // truncation keeps every round's plan exactly one LogicalRDD
+      // deep and per-round wall time flat (watch it with verbose).
+      // The convergence count then reads the materialized blocks — a
+      // cheap second job per round, the price of a bounded plan.
+      val t0 = System.nanoTime()
       val next = ckpt(labels.join(nbr, Seq("doc_id"), "left")
         .join(short, Seq("doc_id"), "left")
         .select(col("doc_id"), col("label"),
           least(col("label"), coalesce(col("nmin"), col("label")),
             coalesce(col("snmin"), col("label")),
-            coalesce(col("slabel"), col("label"))).as("nlabel")), eager = false)
+            coalesce(col("slabel"), col("label"))).as("nlabel")), eager = true)
       changed = next.filter(col("nlabel") < col("label")).count()
       labels = next.select(col("doc_id"), col("nlabel").as("label"))
-      // observability: convergence progress is the dial that says
-      // whether maxIters is sized right for the graph at hand —
-      // gated off by default (a library must not write to stderr)
-      if (verbose) System.err.println(s"[cc] round $round changed=$changed")
+      // observability: convergence progress + per-round wall time are
+      // the dials that say whether maxIters is sized right and the
+      // lineage truncation is working (flat ms per round) — gated off
+      // by default (a library must not write to stderr)
+      if (verbose) System.err.println(
+        f"[cc] round $round changed=$changed ${(System.nanoTime() - t0) / 1e6}%.0f ms")
     }
     lastCcRounds.set(round)
     // labels is checkpointed (no lineage back through the edge list),

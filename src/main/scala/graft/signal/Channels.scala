@@ -16,11 +16,18 @@ object Channels {
     * (µs-exact: integer micros differenced before the single float
     * division), value is the sample.
     */
-  /** events.ts carries parquet TIMESTAMP(NANOS), which Spark 4 only
-    * reads via the nanosAsLong legacy flag (as int64 nanoseconds).
-    * Enable it defensively before the read (any session may call us)
-    * and reduce to exact integer microseconds — int64 nanos exceed
-    * double precision, so the division must stay integral.
+  /** events.ts has shipped as three parquet encodings across fixture
+    * generations: TIMESTAMP(NANOS) (readable only via the nanosAsLong
+    * legacy flag, as int64 nanoseconds), timestamp[us] with
+    * isAdjustedToUTC=true (Spark TIMESTAMP), and timestamp[us] with
+    * isAdjustedToUTC=false (Spark TIMESTAMP_NTZ). Accept all three:
+    * enable the legacy flag defensively before the read (any session
+    * may call us) and reduce to exact integer microseconds. The nanos
+    * division must stay integral (int64 nanos exceed double
+    * precision); the timestamp branches go through `cast("timestamp")`
+    * because `unix_micros` rejects TIMESTAMP_NTZ — the session TZ is
+    * pinned UTC everywhere in this engine, so the NTZ→LTZ cast is
+    * deterministic (NTZ wall-clock read as UTC).
     */
   def rawEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -28,7 +35,7 @@ object Channels {
     val us =
       if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
         expr("ts div 1000")
-      else unix_micros(col("ts"))
+      else unix_micros(col("ts").cast("timestamp"))
     df.withColumn("us", us)
   }
 
@@ -57,18 +64,28 @@ object Channels {
                      startUs: Long, endUs: Long): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df0 = spark.read.parquet(s"$sfDir/events.parquet")
-    val nanos = df0.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val tsType = df0.schema("ts").dataType
+    val nanos = tsType == org.apache.spark.sql.types.LongType
     // the range predicate must hit the RAW ts column (nanos / native
-    // timestamp) — a filter on the derived microsecond expression
-    // cannot reach PushedFilters
+    // timestamp / NTZ timestamp) — a filter on the derived microsecond
+    // expression cannot reach PushedFilters. For the NTZ encoding the
+    // bound literal must itself be NTZ (a TIMESTAMP literal would force
+    // a cast onto the column and kill pushdown); the cast below sits on
+    // the LITERAL, so Catalyst constant-folds it and the comparison
+    // stays scan-pushable. Session TZ is pinned UTC, so the folded NTZ
+    // wall-clock equals the instant's UTC micros exactly.
     // bounds are µs-truncation semantics (epoch_us(ts) in [startUs,
-    // endUs]); fixture timestamps carry sub-µs nanos, so the raw-nanos
+    // endUs]); nanos fixtures carry sub-µs precision, so the raw-nanos
     // upper bound must be < (endUs+1)*1000, not <= endUs*1000
+    def bound(usv: Long) =
+      if (tsType == org.apache.spark.sql.types.TimestampNTZType)
+        timestamp_micros(lit(usv)).cast("timestamp_ntz")
+      else timestamp_micros(lit(usv))
     val filtered =
       if (nanos) df0.filter(col("ts") >= startUs * 1000L && col("ts") < (endUs + 1) * 1000L)
-      else df0.filter(col("ts") >= timestamp_micros(lit(startUs)) &&
-        col("ts") <= timestamp_micros(lit(endUs)))
-    val us = if (nanos) expr("ts div 1000") else unix_micros(col("ts"))
+      else df0.filter(col("ts") >= bound(startUs) && col("ts") <= bound(endUs))
+    val us = if (nanos) expr("ts div 1000")
+             else unix_micros(col("ts").cast("timestamp"))
     val raw = filtered.select(col("event_type").as("channel"), us.as("us"),
       col("value").as("v"))
     val origins = rawEvents(spark, sfDir)
