@@ -149,6 +149,12 @@ object SparkEntry {
     * can only flip the gate toward the shuffle join, never force an
     * oversized broadcast, so it is always safe to pass.
     */
+  /** Per-round CC convergence/timing trace on stderr, opt-in via
+    * GRAFT_CC_VERBOSE=1 — the tuning dial for maxIters and the
+    * flat-per-round-wall-time check, without a code edit.
+    */
+  private def ccVerbose: Boolean = sys.env.contains("GRAFT_CC_VERBOSE")
+
   private val docCountCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
   private def docCount(s: SparkSession, dir: String): Long =
@@ -176,7 +182,8 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def dedupComponents(s: SparkSession, dir: String): DataFrame =
     memo(componentsCache, s, dir)(
-      Dedup.connectedComponents(lshCands(s, dir), maxIters = CC_ORACLE_ROUNDS).cache())
+      Dedup.connectedComponents(lshCands(s, dir), maxIters = CC_ORACLE_ROUNDS,
+        verbose = ccVerbose).cache())
 
   /** Trained IVF quantizer (k=16, 2 Lloyd iterations over the
     * embedding table), memoized per (session, dir): the trained
@@ -819,7 +826,8 @@ object SparkEntry {
       // components memo — so the benched number is the real fixpoint
       // iteration, not a cache read; q_dedup_keep measures the
       // compute-once/read-many consumption side instead
-      Dedup.connectedComponents(lshCands(s, dir), maxIters = CC_ORACLE_ROUNDS)),
+      Dedup.connectedComponents(lshCands(s, dir), maxIters = CC_ORACLE_ROUNDS,
+        verbose = ccVerbose)),
     "q_dedup_keep" -> ((s, dir) =>
       // the dedup DECISION: keep a doc iff it is its near-dup
       // cluster's representative (the min doc_id); docs in no

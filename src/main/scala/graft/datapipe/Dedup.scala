@@ -514,7 +514,12 @@ object Dedup {
     // every round references the edge list, and Spark re-runs its
     // lineage (here: the whole LSH candidate pipeline) per reference —
     // cache the skinny pair table once; it is candidate-sized, far
-    // smaller than the corpus, and unpersisted before returning
+    // smaller than the corpus, and unpersisted before returning.
+    // CACHE, deliberately not checkpoint: the InMemoryRelation keeps
+    // REAL size statistics, so each round's edge⋈labels join plans as
+    // a broadcast of the small cached table; A/B-measured at sf0.1,
+    // swapping this for a stats-less checkpoint doubled every round
+    // (~450 ms → ~1 s) by forcing both join sides through a shuffle.
     val edges = pairs.select(col("a").as("x"), col("b").as("y"))
       .unionAll(pairs.select(col("b").as("x"), col("a").as("y")))
       .cache()
