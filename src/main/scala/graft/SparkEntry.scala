@@ -618,6 +618,31 @@ object SparkEntry {
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.05)
     }),
+    "q_dup_spans" -> ((s, dir) =>
+      // substring-granular dedup signal: per-doc fraction of rolling
+      // 10-token windows that appear verbatim in another document
+      // (catches a hot paragraph pasted into otherwise-unique pages,
+      // which document-level MinHash structurally misses)
+      Dedup.duplicateSpanStats(docs(s, dir), w = 10)),
+    "q_dup_span_top" -> ((s, dir) =>
+      // the boilerplate report: globally hottest duplicated spans
+      // with their text, top-k bounded (TakeOrderedAndProject)
+      Dedup.topDuplicateSpans(docs(s, dir), w = 10, k = 20)),
+    "q_pii_redact" -> ((s, dir) => {
+      // admission-time PII scrub: deterministic synthetic PII is
+      // injected into every 10th doc (the fixtures carry none), then
+      // masked stage-by-stage; counts are per stage on the text that
+      // stage sees. NULL text passes through as NULL (concat and ||
+      // both propagate it)
+      val injected = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" reach user"), col("doc_id").cast("string"),
+            lit("@example.com or 10.20."),
+            (col("doc_id") % 200 + 1).cast("string"),
+            lit(".7 acct 90210"), col("doc_id").cast("string"), lit("1 done")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.redactPii(injected)
+    }),
 
     // -- similarity search --
     "q_embedding_norms" -> ((s, dir) =>
@@ -1719,6 +1744,9 @@ object SparkEntry {
     "q_kmeans" -> kmeansSql,
     "q_ngram_jaccard" -> ngramJaccardSql,
     "q_containment" -> containmentSql,
+    "q_dup_spans" -> dupSpansSql,
+    "q_dup_span_top" -> dupSpanTopSql,
+    "q_pii_redact" -> piiRedactSql,
 
     // -- streaming sessionization: session_window merges events
     // strictly closer than the gap, so the batch replay uses >= for
@@ -2915,6 +2943,82 @@ object SparkEntry {
        |JOIN sizes za ON za.doc_id = i.a
        |JOIN sizes zb ON zb.doc_id = i.b
        |WHERE round(i.i * 1.0 / (za.sz + zb.sz - i.i), 6) >= 0.05""".stripMargin
+
+  /** Rolling 10-token window table shared by the duplicate-span
+    * oracles, mirroring Dedup.spanTable: normalized text split on
+    * single spaces, windows joined back with single spaces, hashed
+    * to the md5 52-bit key exactly as Spark does.
+    */
+  private def spansSqlFrom(table: String): String =
+    s"""toks AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS t
+       |  FROM $table WHERE text IS NOT NULL
+       |),
+       |spans AS (
+       |  SELECT doc_id, pos,
+       |         array_to_string(t[pos:pos+9], ' ') AS span
+       |  FROM (SELECT doc_id, t,
+       |               unnest(generate_series(1, len(t) - 9)) AS pos
+       |        FROM toks WHERE len(t) >= 10)
+       |)""".stripMargin
+
+  private def dupSpansSql: String =
+    s"""WITH ${spansSqlFrom("documents")},
+       |hs AS (SELECT doc_id,
+       |              ('0x' || substr(md5(span), 1, 13))::BIGINT AS h
+       |       FROM spans),
+       |dup AS (
+       |  SELECT h FROM (SELECT DISTINCT doc_id, h FROM hs)
+       |  GROUP BY h HAVING count(*) >= 2
+       |)
+       |SELECT s.doc_id, count(*) AS n_windows, count(d.h) AS n_dup,
+       |       round(count(d.h) * 1.0 / count(*), 6) AS dup_ratio
+       |FROM hs s LEFT JOIN dup d ON d.h = s.h
+       |GROUP BY s.doc_id""".stripMargin
+
+  private def dupSpanTopSql: String =
+    s"""WITH ${spansSqlFrom("documents")},
+       |ds AS (SELECT DISTINCT doc_id, span FROM spans)
+       |SELECT span, count(*) AS n_docs FROM ds
+       |GROUP BY span HAVING count(*) >= 2
+       |ORDER BY n_docs DESC, span ASC LIMIT 20""".stripMargin
+
+  /** PII-redaction replay: identical injection (|| propagates NULL
+    * text exactly like Spark's concat), identical pattern order,
+    * per-stage counts on the text each stage sees. Patterns are the
+    * Java-regex/RE2 common subset, so 'g'-flagged regexp_replace is
+    * byte-identical to Spark's replace-all.
+    */
+  private def piiRedactSql: String = {
+    // the Scala pattern literals already hold single-backslash RE2
+    // syntax; DuckDB's default (non-escaping) string literals take
+    // them verbatim
+    val em = TextAnalysis.emailPattern
+    val ip = TextAnalysis.ipv4Pattern
+    val num = TextAnalysis.digitRunPattern
+    s"""WITH injected AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 10 = 0 THEN
+       |           text || ' reach user' || CAST(doc_id AS VARCHAR)
+       |                || '@example.com or 10.20.'
+       |                || CAST(doc_id % 200 + 1 AS VARCHAR)
+       |                || '.7 acct 90210' || CAST(doc_id AS VARCHAR) || '1 done'
+       |         ELSE text END AS text
+       |  FROM documents
+       |),
+       |s1 AS (SELECT doc_id, text AS t0,
+       |              regexp_replace(text, '$em', '<EMAIL>', 'g') AS t1
+       |       FROM injected),
+       |s2 AS (SELECT doc_id, t0, t1,
+       |              regexp_replace(t1, '$ip', '<IP>', 'g') AS t2
+       |       FROM s1)
+       |SELECT doc_id,
+       |       len(regexp_extract_all(t0, '$em')) AS n_email,
+       |       len(regexp_extract_all(t1, '$ip')) AS n_ip,
+       |       len(regexp_extract_all(t2, '$num')) AS n_num,
+       |       regexp_replace(t2, '$num', '<NUM>', 'g') AS redacted
+       |FROM s2""".stripMargin
+  }
 
   /** Sign-LSH ANN oracle: the hyperplanes are md5-derived, so the
     * bucket assignment — and therefore the whole candidate set — is

@@ -581,6 +581,79 @@ object Dedup {
       count(lit(1)).over(Window.partitionBy("label")).as("n_members"))
   }
 
+  /** One row per w-token rolling window of the normalized text:
+    * (doc_id, pos, h) with h = 52-bit md5 of the space-joined window.
+    * The substring-granular half of dedup — document-level MinHash
+    * misses a hot paragraph pasted into thousands of otherwise-unique
+    * pages, while span counting catches exactly that (the repeated-
+    * substring dedup of Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better", restated over rolling token
+    * windows). Spans are hashed before they shuffle: 8-byte keys
+    * instead of ~60-byte strings is the difference between a
+    * manageable and a monstrous exchange at 100 TB (md5-52 collisions
+    * are ~1e-11 at fixture scale and only ever over-count a duplicate
+    * — acceptable for a statistic that gates curation).
+    */
+  def spanTable(docs: DataFrame, w: Int = 10): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        split(TextAnalysis.normalized(col("text")), " ").as("toks"))
+      .filter(size(col("toks")) >= w)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${w - 1}), " +
+          s"i -> struct(i AS pos, concat_ws(' ', slice(toks, i, $w)) AS span))")).as("p"))
+      .select(col("doc_id"), col("p.pos").as("pos"),
+        TextAnalysis.hash52(col("p.span")).as("h"))
+
+  /** Per-document duplicate-span statistics: of a document's
+    * n_windows rolling w-token windows, n_dup appear verbatim in at
+    * least one OTHER document; dup_ratio = n_dup / n_windows is the
+    * curation signal (a high ratio on a document that survived
+    * document-level dedup means boilerplate stitching).
+    *
+    * Scale shape: one distinct over (doc_id, h) — partial-aggregated,
+    * the only corpus-wide exchange on the span table — one h-keyed
+    * count to find cross-document spans, and one equi-join back on
+    * the 8-byte hash (left as a shuffle join: at real dup density the
+    * hot-span table is NOT small, and AQE will broadcast it when it
+    * is). No window functions, no per-string shuffles.
+    */
+  def duplicateSpanStats(docs: DataFrame, w: Int = 10): DataFrame = {
+    val spans = spanTable(docs, w)
+    val docSpans = spans.select(col("doc_id"), col("h")).distinct()
+    // docSpans is already distinct on (doc_id, h), so a plain count
+    // IS the per-span document count — no second distinct aggregate
+    val dup = docSpans.groupBy("h")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("h"), lit(1).as("dup"))
+    spans.join(dup, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"), count(col("dup")).as("n_dup"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup"),
+        round(col("n_dup") / col("n_windows"), 6).as("dup_ratio"))
+  }
+
+  /** The globally hottest duplicated spans, with their text — the
+    * diagnostic a curation run reports ("what IS this boilerplate?").
+    * Keeps the span string (this query is top-k bounded, so the
+    * string rides a TakeOrderedAndProject, never a full shuffle);
+    * deterministic order by (n_docs desc, span asc).
+    */
+  def topDuplicateSpans(docs: DataFrame, w: Int = 10, k: Int = 20): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        split(TextAnalysis.normalized(col("text")), " ").as("toks"))
+      .filter(size(col("toks")) >= w)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${w - 1}), " +
+          s"i -> concat_ws(' ', slice(toks, i, $w)))")).as("span"))
+      .distinct()
+      .groupBy("span").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("span").asc)
+      .limit(k)
+
   /** 52-bit SimHash per document over whitespace tokens: per bit j,
     * sum +-1 weighted by token-hash bit j; simhash bit j = (sum > 0).
     * Returned as a double-exact long. Engine-portable (md5 hashes,

@@ -158,4 +158,39 @@ object TextAnalysis {
         (col("top_tok_n").cast("double") / col("n_tokens")).as("top_tok_frac"),
         (col("top_bigram_n").cast("double") / col("n_bigrams")).as("top_bigram_frac"))
   }
+
+  /** PII redaction patterns — deliberately the common subset of Java
+    * regex and RE2 (ASCII classes, bounded quantifiers, no
+    * backreferences/lookaround) so the redaction replays exactly in
+    * the DuckDB oracle. Order matters and is part of the contract:
+    * emails first (their local parts contain digit runs), then IPv4
+    * (dotted digits would otherwise be eaten as digit runs), then
+    * bare long digit runs (account/card/phone-ish numbers).
+    */
+  val emailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val ipv4Pattern = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val digitRunPattern = "[0-9]{7,}"
+
+  /** Masked text + per-stage match counts: the admission-time PII
+    * scrub every published training-data pipeline runs before
+    * pretraining. Counts are computed on the text each stage actually
+    * sees (post-prior-stage), so n_email + n_ip + n_num is exactly
+    * the number of `<EMAIL>`/`<IP>`/`<NUM>` masks in the output.
+    *
+    * Scale shape: pure per-row regex projections — whole-stage
+    * codegen, no shuffle, no UDF; composes with any stream (the same
+    * Column works under readStream) and with `Sampling`/`Dedup`
+    * stages order-independently.
+    */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, emailPattern, "<EMAIL>")
+    val t2 = regexp_replace(t1, ipv4Pattern, "<IP>")
+    val t3 = regexp_replace(t2, digitRunPattern, "<NUM>")
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(t0, lit(emailPattern), lit(0))).as("n_email"),
+      size(regexp_extract_all(t1, lit(ipv4Pattern), lit(0))).as("n_ip"),
+      size(regexp_extract_all(t2, lit(digitRunPattern), lit(0))).as("n_num"),
+      t3.as("redacted"))
+  }
 }

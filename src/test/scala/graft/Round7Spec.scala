@@ -137,6 +137,47 @@ class Round7Spec extends AnyFunSuite {
     assert(out.take(10).toSeq == short10.toSeq)
   }
 
+  test("duplicateSpanStats: shared 10-token span is counted, unique text is not") {
+    import spark.implicits._
+    val boiler = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"unique $boiler"),
+      (2L, s"$boiler totally different trailing words here now ok fine yes"),
+      (3L, "nothing shared in this particular document at all ten tokens"),
+      (4L, "short text"), // < 10 tokens -> no windows
+      (5L, null: String)
+    ).toDF("doc_id", "text")
+    val stats = graft.datapipe.Dedup.duplicateSpanStats(docs, w = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 1: 11 tokens -> 2 windows, the last is the boilerplate span
+    // (shared with doc 2's first window); doc 3: 1 window, unshared
+    assert(stats(1L) == ((2L, 1L)))
+    assert(stats(2L)._2 == 1L)
+    assert(stats(3L) == ((1L, 0L)))
+    assert(!stats.contains(4L) && !stats.contains(5L))
+    val top = graft.datapipe.Dedup.topDuplicateSpans(docs, w = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(top.toSeq == Seq((boiler, 2L)))
+  }
+
+  test("redactPii: stage order, counts, and null pass-through") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail a.b+c@test.org or x@y.io ip 10.2.3.4 acct 123456789 ok"),
+      (2L, "no pii here just words"),
+      (3L, null: String)
+    ).toDF("doc_id", "text")
+    val out = graft.datapipe.TextAnalysis.redactPii(docs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getInt(1) == 2 && r1.getInt(2) == 1 && r1.getInt(3) == 1)
+    assert(r1.getString(4) ==
+      "mail <EMAIL> or <EMAIL> ip <IP> acct <NUM> ok")
+    assert(out(2L).getString(4) == "no pii here just words")
+    assert(out(2L).getInt(1) == 0)
+    assert(out(3L).isNullAt(4))
+  }
+
   test("smoke: every declared query runs end-to-end at sf0.001") {
     val failed = Smoke.run(spark, sf)
     assert(failed.isEmpty, "queries crashed:\n" + failed.map { case (n, e) =>
