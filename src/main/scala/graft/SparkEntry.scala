@@ -160,6 +160,21 @@ object SparkEntry {
   private def docCount(s: SparkSession, dir: String): Long =
     docCountCache.getOrElseUpdate((s, dir), docs(s, dir).count())
 
+  /** Deterministic synthetic-PII injection shared by the batch and
+    * streaming redaction queries (the fixtures carry no real PII):
+    * every 10th doc gains an email, an IPv4 and a long digit run.
+    * Pure projection, so the same expression composes under
+    * readStream unchanged.
+    */
+  private def piiInjected(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+      when(col("doc_id") % 10 === 0,
+        concat(col("text"), lit(" reach user"), col("doc_id").cast("string"),
+          lit("@example.com or 10.20."),
+          (col("doc_id") % 200 + 1).cast("string"),
+          lit(".7 acct 90210"), col("doc_id").cast("string"), lit("1 done")))
+        .otherwise(col("text")).as("text"))
+
   /** Degenerate dedup fixture: the first 10 documents plus 50 clones
     * of doc 0's text (doc_ids 1000-1049) — a boilerplate cluster that
     * overflows a maxBucket = 8 band bucket, exercising the
@@ -628,21 +643,13 @@ object SparkEntry {
       // the boilerplate report: globally hottest duplicated spans
       // with their text, top-k bounded (TakeOrderedAndProject)
       Dedup.topDuplicateSpans(docs(s, dir), w = 10, k = 20)),
-    "q_pii_redact" -> ((s, dir) => {
+    "q_pii_redact" -> ((s, dir) =>
       // admission-time PII scrub: deterministic synthetic PII is
       // injected into every 10th doc (the fixtures carry none), then
       // masked stage-by-stage; counts are per stage on the text that
       // stage sees. NULL text passes through as NULL (concat and ||
       // both propagate it)
-      val injected = docs(s, dir).select(col("doc_id"),
-        when(col("doc_id") % 10 === 0,
-          concat(col("text"), lit(" reach user"), col("doc_id").cast("string"),
-            lit("@example.com or 10.20."),
-            (col("doc_id") % 200 + 1).cast("string"),
-            lit(".7 acct 90210"), col("doc_id").cast("string"), lit("1 done")))
-          .otherwise(col("text")).as("text"))
-      TextAnalysis.redactPii(injected)
-    }),
+      TextAnalysis.redactPii(piiInjected(docs(s, dir)))),
 
     // -- similarity search --
     "q_embedding_norms" -> ((s, dir) =>
@@ -962,6 +969,18 @@ object SparkEntry {
       import graft.streaming.StreamingOps._
       runToMemorySink(streamFingerprintDedup(documentsStream(s, dir)),
         "stream_fingerprint", "complete")
+    }),
+    "q_stream_redact" -> ((s, dir) => {
+      // admission-time PII scrub ON THE STREAM: the same injection +
+      // stage-ordered masking as q_pii_redact, applied per arriving
+      // document — a stateless per-row projection (append mode, no
+      // watermark, no state store), the shape that runs at ingest
+      // throughput at any scale. Bounded stream ≡ the batch query,
+      // so the two share one oracle
+      import graft.streaming.StreamingOps._
+      runToMemorySink(
+        TextAnalysis.redactPii(piiInjected(documentsStream(s, dir))),
+        "stream_redact", "append")
     }),
     "q_stream_lsh_buckets" -> ((s, dir) => {
       // ingestion-time near-dup bucketing: the per-row (map-side)
@@ -1747,6 +1766,9 @@ object SparkEntry {
     "q_dup_spans" -> dupSpansSql,
     "q_dup_span_top" -> dupSpanTopSql,
     "q_pii_redact" -> piiRedactSql,
+    // bounded stream ≡ batch: the streaming scrub replays the exact
+    // batch redaction SQL
+    "q_stream_redact" -> piiRedactSql,
 
     // -- streaming sessionization: session_window merges events
     // strictly closer than the gap, so the batch replay uses >= for
