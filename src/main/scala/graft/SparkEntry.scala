@@ -641,7 +641,9 @@ object SparkEntry {
       Dedup.duplicateSpanStats(docs(s, dir), w = 10)),
     "q_dup_span_top" -> ((s, dir) =>
       // the boilerplate report: globally hottest duplicated spans
-      // with their text, top-k bounded (TakeOrderedAndProject)
+      // with their text — winners picked hash-keyed (8-byte shuffle,
+      // TakeOrderedAndProject), strings recovered for the k winners
+      // only via a broadcast semi-join
       Dedup.topDuplicateSpans(docs(s, dir), w = 10, k = 20)),
     "q_pii_redact" -> ((s, dir) =>
       // admission-time PII scrub: deterministic synthetic PII is
@@ -2998,12 +3000,22 @@ object SparkEntry {
        |FROM hs s LEFT JOIN dup d ON d.h = s.h
        |GROUP BY s.doc_id""".stripMargin
 
+  /** Mirrors the two-phase Spark plan: winners chosen on the 52-bit
+    * hash (count desc, hash asc — the engine-portable tie-break),
+    * strings recovered by joining the k hashes back.
+    */
   private def dupSpanTopSql: String =
     s"""WITH ${spansSqlFrom("documents")},
-       |ds AS (SELECT DISTINCT doc_id, span FROM spans)
-       |SELECT span, count(*) AS n_docs FROM ds
-       |GROUP BY span HAVING count(*) >= 2
-       |ORDER BY n_docs DESC, span ASC LIMIT 20""".stripMargin
+       |hs AS (SELECT doc_id, span,
+       |              ('0x' || substr(md5(span), 1, 13))::BIGINT AS h
+       |       FROM spans),
+       |top AS (
+       |  SELECT h, count(*) AS n_docs
+       |  FROM (SELECT DISTINCT doc_id, h FROM hs)
+       |  GROUP BY h HAVING count(*) >= 2
+       |  ORDER BY n_docs DESC, h ASC LIMIT 20
+       |)
+       |SELECT DISTINCT span, n_docs FROM hs JOIN top USING (h)""".stripMargin
 
   /** PII-redaction replay: identical injection (|| propagates NULL
     * text exactly like Spark's concat), identical pattern order,

@@ -602,7 +602,7 @@ object Dedup {
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, size(toks) - ${w - 1}), " +
           s"i -> struct(i AS pos, concat_ws(' ', slice(toks, i, $w)) AS span))")).as("p"))
-      .select(col("doc_id"), col("p.pos").as("pos"),
+      .select(col("doc_id"), col("p.pos").as("pos"), col("p.span").as("span"),
         TextAnalysis.hash52(col("p.span")).as("h"))
 
   /** Per-document duplicate-span statistics: of a document's
@@ -636,23 +636,27 @@ object Dedup {
 
   /** The globally hottest duplicated spans, with their text — the
     * diagnostic a curation run reports ("what IS this boilerplate?").
-    * Keeps the span string (this query is top-k bounded, so the
-    * string rides a TakeOrderedAndProject, never a full shuffle);
-    * deterministic order by (n_docs desc, span asc).
+    *
+    * Two-phase so span STRINGS never shuffle corpus-wide: the winners
+    * are chosen entirely on the 8-byte hash keys (distinct + count +
+    * TakeOrderedAndProject, deterministic tie-break on the hash), and
+    * only then are the k winning strings recovered by broadcasting
+    * the k hashes against the span generator — a map-side semi-join
+    * that ships ~k rows. The direct string-keyed form shuffled every
+    * distinct span string twice; at 100 TB that is the difference
+    * between kilobytes and the whole corpus on the wire.
     */
-  def topDuplicateSpans(docs: DataFrame, w: Int = 10, k: Int = 20): DataFrame =
-    docs.filter(col("text").isNotNull)
-      .select(col("doc_id"),
-        split(TextAnalysis.normalized(col("text")), " ").as("toks"))
-      .filter(size(col("toks")) >= w)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(toks) - ${w - 1}), " +
-          s"i -> concat_ws(' ', slice(toks, i, $w)))")).as("span"))
-      .distinct()
-      .groupBy("span").agg(count(lit(1)).as("n_docs"))
+  def topDuplicateSpans(docs: DataFrame, w: Int = 10, k: Int = 20): DataFrame = {
+    val spans = spanTable(docs, w)
+    val top = spans.select(col("doc_id"), col("h")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 2)
-      .orderBy(col("n_docs").desc, col("span").asc)
+      .orderBy(col("n_docs").desc, col("h").asc)
       .limit(k)
+    spans.select(col("h"), col("span"))
+      .join(broadcast(top), "h")
+      .select(col("span"), col("n_docs")).distinct()
+  }
 
   /** 52-bit SimHash per document over whitespace tokens: per bit j,
     * sum +-1 weighted by token-hash bit j; simhash bit j = (sum > 0).
