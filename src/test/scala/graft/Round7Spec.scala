@@ -198,6 +198,11 @@ class Round7Spec extends AnyFunSuite {
     val keep = SparkEntry.queries("q_dedup_keep")(spark, dir)
       .filter(col("doc_id") % 7 === 0)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // the components behind both sides were built fresh for this dir:
+    // they must have CONVERGED, not hit the iteration cap (round 6
+    // shipped a green-but-under-merged sf0.1 table exactly this way)
+    assert(Dedup.lastCcRounds.get() < SparkEntry.CC_ORACLE_ROUNDS,
+      s"sf0.1 CC hit the cap un-converged: ${Dedup.lastCcRounds.get()} rounds")
     assert(admit == keep)
     assert(admit.nonEmpty)
     assert(admit.values.exists(_._2) && admit.values.exists(!_._2))
