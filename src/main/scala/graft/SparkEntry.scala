@@ -160,6 +160,17 @@ object SparkEntry {
   private def docCount(s: SparkSession, dir: String): Long =
     docCountCache.getOrElseUpdate((s, dir), docs(s, dir).count())
 
+  /** Trained int8-quantization ranges (per-dimension min/max over the
+    * embedding table), memoized per (session, dir) — train once,
+    * encode many, the same pattern as the IVF centroids; 2·64 doubles
+    * on the driver.
+    */
+  private val quantRangesCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Array[(Double, Double)]]
+  private def quantRanges(s: SparkSession, dir: String): Array[(Double, Double)] =
+    quantRangesCache.getOrElseUpdate((s, dir),
+      Similarity.dimRanges(emb(s, dir), dims = 64))
+
   /** Deterministic synthetic-PII injection shared by the batch and
     * streaming redaction queries (the fixtures carry no real PII):
     * every 10th doc gains an email, an IPv4 and a long digit run.
@@ -657,6 +668,18 @@ object SparkEntry {
     "q_embedding_norms" -> ((s, dir) =>
       emb(s, dir).select(col("vec_id"),
         round(Similarity.l2norm(col("embedding").cast("array<double>")), 6).as("nrm"))),
+    "q_int8_quant" -> ((s, dir) =>
+      // scalar int8 quantization (float32 -> int8, the 4x index-
+      // storage shrink): per-dim (lo, scale) trained once (memoized
+      // aggregate) and folded into the plan as literals; the encode
+      // is a map-side floor expression. Exact-integer aggregates of
+      // the codes make the check engine-exact
+      Similarity.quantizeInt8(emb(s, dir), quantRanges(s, dir))
+        .select(col("vec_id"),
+          expr("aggregate(codes, 0L, (acc, c) -> acc + c)").as("code_sum"),
+          array_min(col("codes")).cast("long").as("code_min"),
+          array_max(col("codes")).cast("long").as("code_max"),
+          size(col("codes")).cast("long").as("dims"))),
     "q_cosine_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") % 25 === 0), k = 10)
@@ -1965,6 +1988,31 @@ object SparkEntry {
         |FROM embeddings""".stripMargin,
     "q_cosine_topk" -> cosineTopkSql,
     "q_ann_topk" -> annTopkSql,
+    // int8 quantization replay: DuckDB trains the same per-dim
+    // min/max and applies the identical (x - lo) * (254/(hi - lo))
+    // floor — the division happens engine-side but IEEE doubles make
+    // it the exact scale Spark folded as a literal
+    "q_int8_quant" ->
+      """WITH dimstats AS (
+        |  SELECT d, min(v) AS lo, max(v) AS hi
+        |  FROM (SELECT unnest(embedding::DOUBLE[]) AS v,
+        |               unnest(range(0, len(embedding))) AS d
+        |        FROM embeddings)
+        |  GROUP BY d
+        |),
+        |codes AS (
+        |  SELECT e.vec_id,
+        |         CASE WHEN s.hi > s.lo THEN
+        |           least(254, floor((e.embedding[s.d + 1]::DOUBLE - s.lo)
+        |                            * (254.0 / (s.hi - s.lo)))) - 127
+        |         ELSE -127 END AS code
+        |  FROM embeddings e, dimstats s
+        |)
+        |SELECT vec_id, CAST(sum(code) AS BIGINT) AS code_sum,
+        |       CAST(min(code) AS BIGINT) AS code_min,
+        |       CAST(max(code) AS BIGINT) AS code_max,
+        |       count(*) AS dims
+        |FROM codes GROUP BY vec_id""".stripMargin,
 
     // streaming analogs: the bounded-stream results must equal plain
     // batch SQL over the same table

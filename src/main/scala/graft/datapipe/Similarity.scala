@@ -477,4 +477,39 @@ object Similarity {
         round(cosineN(col("ea"), col("eb"), col("na"), col("nb")), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Per-dimension (min, max) over the embedding table — the trained
+    * parameters of scalar int8 quantization. ONE aggregation pass,
+    * 2·dims doubles back to the driver (the k-means-centroid
+    * pattern), folded into downstream plans as literals.
+    */
+  def dimRanges(vectors: DataFrame, dims: Int): Array[(Double, Double)] = {
+    val aggs = (0 until dims).flatMap(d => Seq(
+      min(col("embedding").getItem(d).cast("double")).as(s"lo$d"),
+      max(col("embedding").getItem(d).cast("double")).as(s"hi$d")))
+    val r = vectors.agg(aggs.head, aggs.tail: _*).collect()(0)
+    (0 until dims).map(d => (r.getDouble(2 * d), r.getDouble(2 * d + 1))).toArray
+  }
+
+  /** Scalar int8 quantization of the embedding column: per dimension
+    * d, code = least(254, floor((x - lo_d) * 254/(hi_d - lo_d))) - 127
+    * ∈ [-127, 127] — the 4x storage shrink (float32 → int8) every
+    * large ANN deployment applies before sharding an index, as a
+    * map-side expression. The trained (lo, scale) pairs ride the plan
+    * as ARRAY LITERALS (nothing recomputed per row, nothing joined
+    * in); `floor` — not `round` — is the quantizer so the bucket edge
+    * behavior is engine-exact (half-up vs half-even can never
+    * disagree). A constant dimension (hi == lo) quantizes to -127.
+    */
+  def quantizeInt8(vectors: DataFrame, ranges: Array[(Double, Double)]): DataFrame = {
+    // Double.toString round-trips bit-exactly, so the folded literals
+    // are the aggregation's exact values
+    val lows = ranges.map(_._1).mkString("array(", "D, ", "D)")
+    val scales = ranges.map { case (lo, hi) => if (hi > lo) 254.0 / (hi - lo) else 0.0 }
+      .mkString("array(", "D, ", "D)")
+    vectors.select(col("vec_id"), expr(
+      s"""transform(sequence(0, ${ranges.length - 1}), d ->
+         |  CAST(least(254, floor((CAST(embedding[d] AS DOUBLE) - $lows[d])
+         |       * $scales[d])) - 127 AS INT))""".stripMargin).as("codes"))
+  }
 }

@@ -178,6 +178,24 @@ class Round7Spec extends AnyFunSuite {
     assert(out(3L).isNullAt(4))
   }
 
+  test("quantizeInt8: endpoints clamp to ±127, constant dims quantize to -127") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(0.0f, 10.0f, 5.0f)),
+      (2L, Array(1.0f, 20.0f, 5.0f)),
+      (3L, Array(0.5f, 15.0f, 5.0f))
+    ).toDF("vec_id", "embedding")
+    val ranges = graft.datapipe.Similarity.dimRanges(vecs, dims = 3)
+    assert(ranges(0) == ((0.0, 1.0)) && ranges(2) == ((5.0, 5.0)))
+    val codes = graft.datapipe.Similarity.quantizeInt8(vecs, ranges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // x == lo -> floor(0) - 127 = -127; x == hi -> floor(254) capped -> 127;
+    // midpoint -> floor(127) - 127 = 0; constant dim -> -127
+    assert(codes(1L) == Seq(-127, -127, -127))
+    assert(codes(2L) == Seq(127, 127, -127))
+    assert(codes(3L) == Seq(0, 0, -127))
+  }
+
   test("smoke: every declared query runs end-to-end at sf0.001") {
     val failed = Smoke.run(spark, sf)
     assert(failed.isEmpty, "queries crashed:\n" + failed.map { case (n, e) =>
