@@ -14,6 +14,7 @@ object Plans {
       "q_resample_linear", "q_cosine_topk", "q_minhash_sig")
     val spark = SparkSession.builder()
       .master("local[4]")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")

@@ -17,27 +17,60 @@ object Channels {
     * division), value is the sample.
     */
   /** events.ts has shipped as three parquet encodings across fixture
-    * generations: TIMESTAMP(NANOS) (readable only via the nanosAsLong
-    * legacy flag, as int64 nanoseconds), timestamp[us] with
-    * isAdjustedToUTC=true (Spark TIMESTAMP), and timestamp[us] with
-    * isAdjustedToUTC=false (Spark TIMESTAMP_NTZ). Accept all three:
-    * enable the legacy flag defensively before the read (any session
-    * may call us) and reduce to exact integer microseconds. The nanos
-    * division must stay integral (int64 nanos exceed double
-    * precision); the timestamp branches go through `cast("timestamp")`
-    * because `unix_micros` rejects TIMESTAMP_NTZ — the session TZ is
-    * pinned UTC everywhere in this engine, so the NTZ→LTZ cast is
-    * deterministic (NTZ wall-clock read as UTC).
+    * generations: TIMESTAMP(NANOS) (readable only when the session
+    * sets the `spark.sql.legacy.parquet.nanosAsLong` flag, as int64
+    * nanoseconds), timestamp[us] with isAdjustedToUTC=true (Spark
+    * TIMESTAMP), and timestamp[us] with isAdjustedToUTC=false (Spark
+    * TIMESTAMP_NTZ). Accept all three and reduce to exact integer
+    * microseconds. The nanos division must stay integral (int64 nanos
+    * exceed double precision). The NTZ branch reads the wall-clock AS
+    * UTC via pure field arithmetic (`ntzMicros`) — NOT a cast to
+    * TIMESTAMP, whose result shifts with spark.sql.session.timeZone.
+    *
+    * The loader is PURE: it never mutates session config. The engine's
+    * own entry points (Bench/Verify/Smoke/Plans/Profile and the test
+    * sessions) enable the nanos legacy flag at session build; an
+    * external session reading a nanos fixture without it gets Spark's
+    * loud legacy-flag error instead of a silently flipped global.
     */
   def rawEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/events.parquet")
-    val us =
-      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        expr("ts div 1000")
-      else unix_micros(col("ts").cast("timestamp"))
-    df.withColumn("us", us)
+    df.withColumn("us", usOf(df.schema("ts").dataType))
   }
+
+  /** Exact epoch-microseconds projection for a `ts` column in any of
+    * the three fixture encodings, timezone-independent in all three.
+    */
+  private def usOf(tsType: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column =
+    tsType match {
+      case org.apache.spark.sql.types.LongType         => expr("ts div 1000")
+      case org.apache.spark.sql.types.TimestampNTZType => ntzMicros(col("ts"))
+      case _                                           => unix_micros(col("ts"))
+    }
+
+  /** Epoch micros of a TIMESTAMP_NTZ column with the wall-clock read
+    * as UTC, independent of spark.sql.session.timeZone: date days plus
+    * time-of-day fields, all timezone-free on NTZ inputs (a
+    * cast("timestamp") would silently shift any non-UTC caller's
+    * epoch). date_part('SECOND') is DECIMAL(8,6) seconds, so the
+    * micro-of-second term is exact integer arithmetic.
+    */
+  private def ntzMicros(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    unix_date(c.cast("date")).cast("long") * lit(86400000000L) +
+      hour(c).cast("long") * lit(3600000000L) +
+      minute(c).cast("long") * lit(60000000L) +
+      (date_part(lit("SECOND"), c) * lit(1000000)).cast("long")
+
+  /** A TIMESTAMP_NTZ literal holding the UTC wall-clock of the given
+    * epoch micros — built driver-side from LocalDateTime, so no
+    * session-timezone cast ever touches it (timestamp_micros(...)
+    * .cast("timestamp_ntz") would constant-fold THROUGH the session
+    * zone and shift non-UTC callers' filter bounds).
+    */
+  private def ntzLit(usv: Long): org.apache.spark.sql.Column =
+    lit(java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(usv, 1000000L), (Math.floorMod(usv, 1000000L) * 1000L).toInt,
+      java.time.ZoneOffset.UTC))
 
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = rawEvents(spark, sfDir)
@@ -62,31 +95,25 @@ object Channels {
     */
   def eventsAbsolute(spark: SparkSession, sfDir: String,
                      startUs: Long, endUs: Long): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df0 = spark.read.parquet(s"$sfDir/events.parquet")
     val tsType = df0.schema("ts").dataType
     val nanos = tsType == org.apache.spark.sql.types.LongType
     // the range predicate must hit the RAW ts column (nanos / native
     // timestamp / NTZ timestamp) — a filter on the derived microsecond
     // expression cannot reach PushedFilters. For the NTZ encoding the
-    // bound literal must itself be NTZ (a TIMESTAMP literal would force
-    // a cast onto the column and kill pushdown); the cast below sits on
-    // the LITERAL, so Catalyst constant-folds it and the comparison
-    // stays scan-pushable. Session TZ is pinned UTC, so the folded NTZ
-    // wall-clock equals the instant's UTC micros exactly.
-    // bounds are µs-truncation semantics (epoch_us(ts) in [startUs,
-    // endUs]); nanos fixtures carry sub-µs precision, so the raw-nanos
-    // upper bound must be < (endUs+1)*1000, not <= endUs*1000
+    // bound is an NTZ LITERAL built from LocalDateTime (`ntzLit`): a
+    // TIMESTAMP literal would force a cast onto the column and kill
+    // pushdown, and a cast-folded literal would shift with the session
+    // timezone. bounds are µs-truncation semantics (epoch_us(ts) in
+    // [startUs, endUs]); nanos fixtures carry sub-µs precision, so the
+    // raw-nanos upper bound must be < (endUs+1)*1000, not <= endUs*1000
     def bound(usv: Long) =
-      if (tsType == org.apache.spark.sql.types.TimestampNTZType)
-        timestamp_micros(lit(usv)).cast("timestamp_ntz")
+      if (tsType == org.apache.spark.sql.types.TimestampNTZType) ntzLit(usv)
       else timestamp_micros(lit(usv))
     val filtered =
       if (nanos) df0.filter(col("ts") >= startUs * 1000L && col("ts") < (endUs + 1) * 1000L)
       else df0.filter(col("ts") >= bound(startUs) && col("ts") <= bound(endUs))
-    val us = if (nanos) expr("ts div 1000")
-             else unix_micros(col("ts").cast("timestamp"))
-    val raw = filtered.select(col("event_type").as("channel"), us.as("us"),
+    val raw = filtered.select(col("event_type").as("channel"), usOf(tsType).as("us"),
       col("value").as("v"))
     val origins = rawEvents(spark, sfDir)
       .groupBy(col("event_type").as("channel")).agg(min("us").as("us0"))

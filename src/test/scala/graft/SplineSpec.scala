@@ -60,6 +60,7 @@ class SplineSpec extends AnyFunSuite {
   test("distributed cubic resample matches the array-level spline") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.shuffle.partitions", "4").getOrCreate()
     import spark.implicits._
     val xs = Array.tabulate(50)(i => i * 0.9)
