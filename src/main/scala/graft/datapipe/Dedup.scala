@@ -611,25 +611,37 @@ object Dedup {
     * curation signal (a high ratio on a document that survived
     * document-level dedup means boilerplate stitching).
     *
-    * Scale shape: one distinct over (doc_id, h) — partial-aggregated,
-    * the only corpus-wide exchange on the span table — one h-keyed
-    * count to find cross-document spans, and one equi-join back on
-    * the 8-byte hash (left as a shuffle join: at real dup density the
-    * hot-span table is NOT small, and AQE will broadcast it when it
-    * is). No window functions, no per-string shuffles.
+    * Scale shape: one (doc_id, h) aggregate — partial-aggregated, the
+    * only corpus-wide exchange on the span table — one h-keyed count
+    * to find cross-document spans, and one equi-join back on the
+    * 8-byte hash. The join-back operates at (doc_id, h) GRAIN with the
+    * per-doc window count carried as one long: a corpus-universal
+    * boilerplate span (every doc carries it) still concentrates its h
+    * on one shuffle key, but each of its rows is now 24 bytes of
+    * integers — the per-(doc, h) minimum payload — instead of a span
+    * STRING per window position, so the hot partition is bounded by
+    * |docs carrying h| × 24 B and AQE's skew-join split can rebalance
+    * it (left as a shuffle join: at real dup density the hot-span
+    * table is NOT small, and AQE will broadcast it when it is). No
+    * window functions, no per-string shuffles; Round8Spec exercises a
+    * 50-clone universal-span fixture against a literal re-derivation.
     */
   def duplicateSpanStats(docs: DataFrame, w: Int = 10): DataFrame = {
     val spans = spanTable(docs, w)
-    val docSpans = spans.select(col("doc_id"), col("h")).distinct()
-    // docSpans is already distinct on (doc_id, h), so a plain count
-    // IS the per-span document count — no second distinct aggregate
+    // (doc_id, h) grain with the within-doc window multiplicity: the
+    // distinct the dup-count needs AND the n_windows total in one
+    // aggregate (sum(n_win) = the old count over raw windows)
+    val docSpans = spans.groupBy("doc_id", "h").agg(count(lit(1)).as("n_win"))
+    // docSpans has one row per (doc, h), so a plain count IS the
+    // per-span document count — no second distinct aggregate
     val dup = docSpans.groupBy("h")
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 2)
       .select(col("h"), lit(1).as("dup"))
-    spans.join(dup, Seq("h"), "left")
+    docSpans.join(dup, Seq("h"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_windows"), count(col("dup")).as("n_dup"))
+      .agg(sum("n_win").as("n_windows"),
+        coalesce(sum(when(col("dup").isNotNull, col("n_win"))), lit(0L)).as("n_dup"))
       .select(col("doc_id"), col("n_windows"), col("n_dup"),
         round(col("n_dup") / col("n_windows"), 6).as("dup_ratio"))
   }

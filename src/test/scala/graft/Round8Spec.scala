@@ -49,6 +49,47 @@ class Round8Spec extends AnyFunSuite {
     assert(utcRows.getLong(0) > 0)
   }
 
+  test("duplicateSpanStats survives a universal boilerplate span and matches the literal form") {
+    import graft.datapipe.Dedup
+    // 10 real docs + 50 clones of doc 0: every clone shares every
+    // window with 50 siblings — the degenerate hot-h fixture (one
+    // span hash carried by 51 documents)
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val fixture = d.filter(col("doc_id") < 10).select(col("doc_id"), col("text"))
+      .unionAll(d.filter(col("doc_id") === 0)
+        .select(explode(sequence(lit(1000L), lit(1049L))).as("doc_id"), col("text")))
+    val stats = Dedup.duplicateSpanStats(fixture, w = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // clones duplicate every window (their text is identical to doc 0)
+    assert(stats(1000L)._1 === stats(1000L)._2)
+    assert(stats(0L)._1 === stats(0L)._2)
+    assert(stats.keys.count(_ >= 1000L) === 50)
+    // grain-reduced join-back must agree with the literal
+    // window-per-row formulation it replaced
+    val spans = Dedup.spanTable(fixture, 10)
+    val dup = spans.select(col("doc_id"), col("h")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("nd")).filter(col("nd") >= 2)
+      .select(col("h"), lit(1).as("dup"))
+    val literal = spans.join(dup, Seq("h"), "left").groupBy("doc_id")
+      .agg(count(lit(1)).as("nw"), count(col("dup")).as("ndup"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(stats === literal)
+  }
+
+  test("duplicateSpanStats join-back ships no span strings") {
+    import graft.datapipe.Dedup
+    val d = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val plan = Dedup.duplicateSpanStats(d, w = 10)
+      .queryExecution.executedPlan.toString
+    // the join operator's output must be hash-grain integers only —
+    // the span string column never reaches a join
+    val joinLines = plan.linesIterator.filter(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")).toSeq
+    assert(joinLines.nonEmpty)
+    assert(!joinLines.exists(_.contains("span")), joinLines.mkString("\n"))
+  }
+
   test("loaders no longer mutate session config") {
     val clean = spark.newSession()
     // unset in the clone: reading through the loaders must not set it
