@@ -171,6 +171,21 @@ object SparkEntry {
     quantRangesCache.getOrElseUpdate((s, dir),
       Similarity.dimRanges(emb(s, dir), dims = 64))
 
+  /** Per-query recall@k of `approx` against the exact `truth` pair
+    * set — exact long counts, ONE division at the end (shared by
+    * q_ann_recall and q_ann_int8_recall).
+    */
+  private def recallPerQuery(truth: DataFrame, approx: DataFrame,
+                             name: String): DataFrame =
+    truth.join(
+        approx.select(col("query_id"), col("neighbor_id"), lit(1).as("hit")),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+      .select(lit(name).as("method"), col("query_id"), col("n_true"),
+        col("n_hits"), round(col("n_hits") / col("n_true"), 6).as("recall"))
+
   /** Deterministic synthetic-PII injection shared by the batch and
     * streaming redaction queries (the fixtures carry no real PII):
     * every 10th doc gains an email, an IPv4 and a long digit run.
@@ -846,18 +861,27 @@ object SparkEntry {
       val q = e.filter(col("vec_id") % 25 === 0)
       val truth = Similarity.bruteForceTopK(e, q, k = 10)
         .select(col("query_id"), col("neighbor_id"))
-      def recallOf(approx: DataFrame, name: String): DataFrame =
-        truth.join(
-            approx.select(col("query_id"), col("neighbor_id"), lit(1).as("hit")),
-            Seq("query_id", "neighbor_id"), "left")
-          .groupBy("query_id")
-          .agg(count(lit(1)).as("n_true"),
-            sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
-          .select(lit(name).as("method"), col("query_id"), col("n_true"),
-            col("n_hits"), round(col("n_hits") / col("n_true"), 6).as("recall"))
-      recallOf(Similarity.annTopK(e, q, k = 10, dims = 64), "ann")
-        .unionAll(recallOf(
+      recallPerQuery(truth, Similarity.annTopK(e, q, k = 10, dims = 64), "ann")
+        .unionAll(recallPerQuery(truth,
           Similarity.ivfTopK(e, q, k = 10, nlist = 16, nprobe = 4, dims = 64), "ivf"))
+    }),
+    "q_ann_int8_recall" -> ((s, dir) => {
+      // the int8 loop CLOSED: IVF search runs against the quantized
+      // codes table (asymmetric float-query × decoded-int8 scoring,
+      // the float corpus untouched at search time), and its recall@10
+      // is measured against the same exact truth, side by side with
+      // the float IVF — the number that prices the 4x storage shrink
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") % 25 === 0)
+      val truth = Similarity.bruteForceTopK(e, q, k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val ranges = quantRanges(s, dir)
+      val codes = Similarity.quantizeInt8(e, ranges)
+      val cents = Array.tabulate(16)(Similarity.centroid(_, 64))
+      recallPerQuery(truth,
+          Similarity.ivfTopK(e, q, k = 10, nlist = 16, nprobe = 4, dims = 64), "ivf_float")
+        .unionAll(recallPerQuery(truth,
+          Similarity.ivfTopKInt8(codes, q, cents, ranges, k = 10, nprobe = 4), "ivf_int8"))
     }),
     "q_simhash_neardups" -> ((s, dir) =>
       Dedup.simhashNearDups(docs(s, dir))),
@@ -1783,6 +1807,7 @@ object SparkEntry {
     "q_ivf_trained" -> ivfTrainedSql,
     "q_ivf_list_sizes" -> ivfListSizesSql,
     "q_ann_recall" -> annRecallSql,
+    "q_ann_int8_recall" -> annInt8RecallSql,
     "q_ivf_probe_sweep" -> ivfProbeSweepSql,
     "q_ann_plane_sweep" -> annPlaneSweepSql,
     "q_kmeans" -> kmeansSql,
@@ -2003,8 +2028,8 @@ object SparkEntry {
         |codes AS (
         |  SELECT e.vec_id,
         |         CASE WHEN s.hi > s.lo THEN
-        |           least(254, floor((e.embedding[s.d + 1]::DOUBLE - s.lo)
-        |                            * (254.0 / (s.hi - s.lo)))) - 127
+        |           least(254, greatest(0, floor((e.embedding[s.d + 1]::DOUBLE - s.lo)
+        |                            * (254.0 / (s.hi - s.lo))))) - 127
         |         ELSE -127 END AS code
         |  FROM embeddings e, dimstats s
         |)
@@ -3369,22 +3394,113 @@ object SparkEntry {
        |  ON tf.nbits = x.nbits AND tf.query_id = x.query_id AND tf.neighbor_id = x.neighbor_id
        |GROUP BY tf.nbits""".stripMargin
 
-  private def annRecallSql: String = {
-    def leg(name: String): String =
-      s"""SELECT '$name' AS method, t.query_id,
-         |       count(*) AS n_true,
-         |       CAST(sum(CASE WHEN x.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
-         |       round(CAST(sum(CASE WHEN x.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-         |             / count(*), 6) AS recall
-         |FROM truth t LEFT JOIN $name x USING (query_id, neighbor_id)
-         |GROUP BY t.query_id""".stripMargin
+  private def recallLegSql(table: String, method: String): String =
+    s"""SELECT '$method' AS method, t.query_id,
+       |       count(*) AS n_true,
+       |       CAST(sum(CASE WHEN x.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |       round(CAST(sum(CASE WHEN x.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |             / count(*), 6) AS recall
+       |FROM truth t LEFT JOIN $table x USING (query_id, neighbor_id)
+       |GROUP BY t.query_id""".stripMargin
+
+  private def annRecallSql: String =
     s"""WITH truth AS (SELECT query_id, neighbor_id FROM ($cosineTopkSql)),
        |ann AS (SELECT query_id, neighbor_id FROM ($annTopkSql)),
        |ivf AS (SELECT query_id, neighbor_id FROM ($ivfTopkSql))
-       |${leg("ann")}
+       |${recallLegSql("ann", "ann")}
        |UNION ALL
-       |${leg("ivf")}""".stripMargin
+       |${recallLegSql("ivf", "ivf")}""".stripMargin
+
+  /** Int8-IVF replay: DuckDB re-trains the identical per-dim ranges,
+    * fuses encode∘decode per element (bit-equal to Spark's
+    * codes-table decode: code+127.5 = clampedFloor+0.5 exactly), and
+    * re-runs assignment/probing/scoring with the same deterministic
+    * orderings as `ivfTopkSql`. Corpus routing uses the DECODED
+    * vectors (the int8 index is self-contained); query probes use the
+    * full-precision embedding, as in the Spark plan.
+    */
+  private def ivfInt8TopkSql: String = {
+    val norms = (0 until 16).map { j =>
+      val c = graft.datapipe.Similarity.centroid(j, 64)
+      s"($j, ${OracleDsp.dlit(math.sqrt(c.map(x => x * x).sum))})"
+    }.mkString(", ")
+    val planes =
+      """list_transform(generate_series(0, 63), d ->
+        |             ('0x' || substr(md5('ivf:' || nrm.j || ':' || d), 1, 13))::BIGINT
+        |               / 4503599627370496.0 - 0.5)""".stripMargin
+    s"""WITH nrm(j, n) AS (VALUES $norms),
+       |dimstats AS (
+       |  SELECT d, min(v) AS lo, max(v) AS hi
+       |  FROM (SELECT unnest(embedding::DOUBLE[]) AS v,
+       |               unnest(range(0, len(embedding))) AS d
+       |        FROM embeddings)
+       |  GROUP BY d
+       |),
+       |arrs AS (
+       |  SELECT list(lo ORDER BY d) AS los,
+       |         list(CASE WHEN hi > lo THEN 254.0 / (hi - lo) ELSE 0.0 END ORDER BY d) AS scales
+       |  FROM dimstats
+       |),
+       |dec AS (
+       |  SELECT e.vec_id, list_transform(generate_series(1, 64), i ->
+       |    CASE WHEN a.scales[i] = 0.0 THEN a.los[i]
+       |         ELSE a.los[i] + (least(254.0, greatest(0.0,
+       |                floor((e.embedding[i]::DOUBLE - a.los[i]) * a.scales[i]))) + 0.5)
+       |              / a.scales[i] END) AS de
+       |  FROM embeddings e, arrs a
+       |),
+       |sc AS (
+       |  SELECT dec.vec_id, nrm.j,
+       |         list_dot_product(dec.de, $planes) / nrm.n AS s
+       |  FROM dec, nrm
+       |),
+       |ranked AS (
+       |  SELECT vec_id, j AS list,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, j DESC) AS pr
+       |  FROM sc
+       |),
+       |assign AS (SELECT vec_id, list FROM ranked WHERE pr = 1),
+       |scq AS (
+       |  SELECT e.vec_id, nrm.j,
+       |         list_dot_product(e.embedding::DOUBLE[], $planes) / nrm.n AS s
+       |  FROM embeddings e, nrm WHERE e.vec_id % 25 = 0
+       |),
+       |rankedq AS (
+       |  SELECT vec_id, j AS list,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, j DESC) AS pr
+       |  FROM scq
+       |),
+       |probes AS (SELECT vec_id, list FROM rankedq WHERE pr <= 4),
+       |q AS (
+       |  SELECT e.vec_id AS query_id, e.embedding::DOUBLE[] AS qe, p.list
+       |  FROM embeddings e JOIN probes p ON e.vec_id = p.vec_id
+       |),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |         list_dot_product(q.qe, c.de) /
+       |           (sqrt(list_dot_product(q.qe, q.qe)) *
+       |            sqrt(list_dot_product(c.de, c.de))) AS cos
+       |  FROM dec c
+       |  JOIN assign a ON c.vec_id = a.vec_id
+       |  JOIN q ON q.list = a.list AND q.query_id != c.vec_id
+       |),
+       |rk AS (
+       |  SELECT query_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS rank,
+       |         round(cos, 6) AS cos
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, rank, cos FROM rk WHERE rank <= 10""".stripMargin
   }
+
+  private def annInt8RecallSql: String =
+    s"""WITH truth AS (SELECT query_id, neighbor_id FROM ($cosineTopkSql)),
+       |ivf_float AS (SELECT query_id, neighbor_id FROM ($ivfTopkSql)),
+       |ivf_int8 AS (SELECT query_id, neighbor_id FROM ($ivfInt8TopkSql))
+       |${recallLegSql("ivf_float", "ivf_float")}
+       |UNION ALL
+       |${recallLegSql("ivf_int8", "ivf_int8")}""".stripMargin
 
   private def cosineTopkSql: String =
     """WITH q AS (

@@ -189,11 +189,12 @@ object Similarity {
     * driver-side left-to-right sum over the literal components, so an
     * oracle re-deriving it from the same values is bit-identical.
     */
-  private def ivfScoresFor(cents: Array[Array[Double]]): Column =
+  private def ivfScoresFor(cents: Array[Array[Double]],
+                           v: Column = emb(col("embedding"))): Column =
     array(cents.zipWithIndex.map { case (c, j) =>
       val lit_c = typedLit(c)
       val normC = math.sqrt(c.map(x => x * x).sum)
-      val dp = aggregate(zip_with(emb(col("embedding")), lit_c, (x, p) => x * p),
+      val dp = aggregate(zip_with(v, lit_c, (x, p) => x * p),
         lit(0.0), (acc, x) => acc + x)
       struct((dp / lit(normC)).as("s"), lit(j).as("list"))
     }: _*)
@@ -479,16 +480,32 @@ object Similarity {
   }
 
   /** Per-dimension (min, max) over the embedding table — the trained
-    * parameters of scalar int8 quantization. ONE aggregation pass,
-    * 2·dims doubles back to the driver (the k-means-centroid
-    * pattern), folded into downstream plans as literals.
+    * parameters of scalar int8 quantization, 2·dims doubles back to
+    * the driver (the k-means-centroid pattern), folded into
+    * downstream plans as literals.
+    *
+    * Aggregation is CHUNKED at 256 dims per pass: production
+    * embedding widths (768–4096) would otherwise put 1.5k–8k
+    * aggregate expressions in one plan — codegen-fallback and
+    * planner-blowup territory. Each pass is one partial-aggregated
+    * scan; a 4096-dim table costs 16 scans ONCE at train time.
+    * Non-finite trained ranges fail loudly here: folding a NaN into a
+    * plan literal would render as an unparseable "NaND", and an
+    * infinite range quantizes everything to one code.
     */
   def dimRanges(vectors: DataFrame, dims: Int): Array[(Double, Double)] = {
-    val aggs = (0 until dims).flatMap(d => Seq(
-      min(col("embedding").getItem(d).cast("double")).as(s"lo$d"),
-      max(col("embedding").getItem(d).cast("double")).as(s"hi$d")))
-    val r = vectors.agg(aggs.head, aggs.tail: _*).collect()(0)
-    (0 until dims).map(d => (r.getDouble(2 * d), r.getDouble(2 * d + 1))).toArray
+    (0 until dims).grouped(256).flatMap { ds =>
+      val aggs = ds.flatMap(d => Seq(
+        min(col("embedding").getItem(d).cast("double")).as(s"lo$d"),
+        max(col("embedding").getItem(d).cast("double")).as(s"hi$d")))
+      val r = vectors.agg(aggs.head, aggs.tail: _*).collect()(0)
+      ds.zipWithIndex.map { case (d, i) =>
+        val (lo, hi) = (r.getDouble(2 * i), r.getDouble(2 * i + 1))
+        require(java.lang.Double.isFinite(lo) && java.lang.Double.isFinite(hi),
+          s"dimRanges: non-finite range [$lo, $hi] at dim $d — clean the embedding table first")
+        (lo, hi)
+      }
+    }.toArray
   }
 
   /** Scalar int8 quantization of the embedding column: per dimension
@@ -503,13 +520,91 @@ object Similarity {
     */
   def quantizeInt8(vectors: DataFrame, ranges: Array[(Double, Double)]): DataFrame = {
     // Double.toString round-trips bit-exactly, so the folded literals
-    // are the aggregation's exact values
-    val lows = ranges.map(_._1).mkString("array(", "D, ", "D)")
-    val scales = ranges.map { case (lo, hi) => if (hi > lo) 254.0 / (hi - lo) else 0.0 }
-      .mkString("array(", "D, ", "D)")
+    // are the aggregation's exact values. dimRanges guarantees finite
+    // ranges; re-assert here for externally supplied ones (a NaN
+    // renders as the unparseable literal "NaND").
+    require(ranges.forall { case (lo, hi) =>
+      java.lang.Double.isFinite(lo) && java.lang.Double.isFinite(hi) },
+      "quantizeInt8: ranges must be finite")
+    val lows = lowsLit(ranges)
+    val scales = scalesLit(ranges)
+    // greatest(0, ...) clamps inputs BELOW the trained lo — a no-op
+    // when ranges were trained on this table, load-bearing when a
+    // fresh corpus is encoded against a previously trained quantizer
     vectors.select(col("vec_id"), expr(
       s"""transform(sequence(0, ${ranges.length - 1}), d ->
-         |  CAST(least(254, floor((CAST(embedding[d] AS DOUBLE) - $lows[d])
-         |       * $scales[d])) - 127 AS INT))""".stripMargin).as("codes"))
+         |  CAST(least(254, greatest(0, floor((CAST(embedding[d] AS DOUBLE) - $lows[d])
+         |       * $scales[d]))) - 127 AS INT))""".stripMargin).as("codes"))
+  }
+
+  private def lowsLit(ranges: Array[(Double, Double)]): String =
+    ranges.map(_._1).mkString("array(", "D, ", "D)")
+
+  /** scale_d = 254/(hi_d - lo_d); 0 marks a constant dimension. */
+  private def scalesLit(ranges: Array[(Double, Double)]): String =
+    ranges.map { case (lo, hi) => if (hi > lo) 254.0 / (hi - lo) else 0.0 }
+      .mkString("array(", "D, ", "D)")
+
+  private def scalesOf(ranges: Array[(Double, Double)]): Array[Double] =
+    ranges.map { case (lo, hi) => if (hi > lo) 254.0 / (hi - lo) else 0.0 }
+
+  /** Midpoint decode of an int8 `codes` array back to the quantizer's
+    * reconstruction points: x̂_d = lo_d + (code_d + 127.5)/scale_d
+    * (code + 127 recovers the clamped floor cell F ∈ [0, 254]; +0.5
+    * is the cell midpoint — both terms exact in doubles). Constant
+    * dimensions (scale 0) decode to lo. Pure map-side expression over
+    * plan-literal (lo, scale) arrays — the asymmetric-distance
+    * "decode" half of scalar-quantized search, never a join.
+    */
+  def dequantInt8(codes: Column, ranges: Array[(Double, Double)]): Column = {
+    val lows = typedLit(ranges.map(_._1))
+    val scales = typedLit(scalesOf(ranges))
+    transform(codes, (c, d) =>
+      when(element_at(scales, d + 1) === 0.0, element_at(lows, d + 1))
+        .otherwise(element_at(lows, d + 1) +
+          (c.cast("double") + lit(127.5)) / element_at(scales, d + 1)))
+  }
+
+  /** IVF-flat search over an INT8-QUANTIZED index: the corpus side is
+    * the (vec_id, codes) table `quantizeInt8` produced — the float
+    * embeddings are never touched at search time, which is the point
+    * of the 4x storage shrink — and scoring is asymmetric (a full-
+    * precision float query against midpoint-decoded corpus codes, the
+    * standard SQ/ADC arrangement). List assignment is the argmax
+    * centroid score of the DECODED vector, a pure map-side expression
+    * over the codes scan (the int8 index is self-contained: no join
+    * back to the float table to route candidates). Recall loss vs the
+    * float path is measured by `q_ann_int8_recall` against the exact
+    * brute-force truth.
+    */
+  def ivfTopKInt8(codes: DataFrame, queries: DataFrame,
+                  centroids: Array[Array[Double]], ranges: Array[(Double, Double)],
+                  k: Int = 10, nprobe: Int = 4): DataFrame = {
+    require(nprobe >= 1 && nprobe <= centroids.length, "nprobe must be in [1, nlist]")
+    val d0 = ranges.length
+    require(centroids.forall(_.length == d0), s"centroid dims must all be $d0")
+    val de = dequantInt8(col("codes"), ranges)
+    // one projection computes decode + norm + assignment; whole-stage
+    // codegen's subexpression elimination evaluates the decode once
+    val cScores = ivfScoresFor(centroids, col("de"))
+    val c = codes.select(col("vec_id").as("neighbor_id"), de.as("de"))
+      .select(col("neighbor_id"), col("de"),
+        sqrt(dot(col("de"), col("de"))).as("cn"),
+        element_at(reverse(array_sort(cScores)), 1).getField("list").as("list"))
+    val qScores = ivfScoresFor(centroids, col("qe"))
+    val q = queries.select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qe"))
+      .select(col("query_id"), col("qe"), sqrt(dot(col("qe"), col("qe"))).as("qn"),
+        posexplode(slice(reverse(array_sort(qScores)), 1, nprobe)))
+      .select(col("query_id"), col("qe"), col("qn"), col("col.list").as("list"))
+    val scored = c.join(broadcast(q), "list")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qe"), col("de")) / (col("qn") * col("cn"))).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(round(col("cos"), 6).desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 6).as("cos"))
   }
 }

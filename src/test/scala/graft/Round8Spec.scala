@@ -90,6 +90,62 @@ class Round8Spec extends AnyFunSuite {
     assert(!joinLines.exists(_.contains("span")), joinLines.mkString("\n"))
   }
 
+  test("dimRanges chunks wide embeddings and returns identical ranges") {
+    import graft.datapipe.Similarity
+    // 1024 dims = 4 aggregation passes; ranges are analytic:
+    // emb[d] = (r + 1) * (d + 1) over rows r = 0..4 -> lo = d+1,
+    // hi = 5*(d+1), float-rounded
+    val df = spark.range(5).selectExpr("id AS vec_id",
+      "transform(sequence(0, 1023), d -> CAST((id + 1) * (d + 1) AS FLOAT)) AS embedding")
+    val r = Similarity.dimRanges(df, dims = 1024)
+    assert(r.length === 1024)
+    (0 until 1024).foreach { d =>
+      assert(r(d)._1 === (d + 1).toFloat.toDouble, s"lo at dim $d")
+      assert(r(d)._2 === (5L * (d + 1)).toFloat.toDouble, s"hi at dim $d")
+    }
+    // non-finite data must fail loudly, not fold a NaN literal
+    val bad = spark.range(2).selectExpr("id AS vec_id",
+      "transform(sequence(0, 3), d -> CAST(CASE WHEN d = 2 THEN 'NaN' ELSE '1.0' END AS FLOAT)) AS embedding")
+    assertThrows[IllegalArgumentException](Similarity.dimRanges(bad, dims = 4))
+  }
+
+  test("int8-scored IVF recall is within tolerance of the float path") {
+    import graft.datapipe.Similarity
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = e.filter(col("vec_id") % 25 === 0)
+    val truth = Similarity.bruteForceTopK(e, q, k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val ranges = Similarity.dimRanges(e, dims = 64)
+    val codes = Similarity.quantizeInt8(e, ranges)
+    val cents = Array.tabulate(16)(Similarity.centroid(_, 64))
+    def meanRecall(approx: org.apache.spark.sql.DataFrame): Double = {
+      val hits = truth.join(approx.select("query_id", "neighbor_id")
+          .withColumn("hit", lit(1)), Seq("query_id", "neighbor_id"), "left")
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("double"), count(lit(1)).cast("double"))
+        .collect()(0)
+      hits.getDouble(0) / hits.getDouble(1)
+    }
+    val rFloat = meanRecall(Similarity.ivfTopK(e, q, k = 10, nlist = 16, nprobe = 4, dims = 64))
+    val rInt8 = meanRecall(Similarity.ivfTopKInt8(codes, q, cents, ranges, k = 10, nprobe = 4))
+    // 254-level scalar quantization barely perturbs cosine ranks: the
+    // int8 path must stay within 5 points of the float IVF
+    assert(rInt8 >= rFloat - 0.05, s"int8 recall $rInt8 vs float $rFloat")
+    assert(rInt8 > 0.3, s"int8 recall $rInt8 suspiciously low")
+  }
+
+  test("quantizeInt8 clamps below-range inputs to code -127") {
+    import graft.datapipe.Similarity
+    // encode a fresh vector against ranges trained elsewhere: values
+    // below lo must clamp at -127, not underflow
+    val ranges = Array((0.0, 1.0), (0.0, 1.0))
+    val df = spark.range(1).selectExpr("id AS vec_id",
+      "array(CAST(-5.0 AS FLOAT), CAST(2.0 AS FLOAT)) AS embedding")
+    val codes = Similarity.quantizeInt8(df, ranges).selectExpr("codes[0]", "codes[1]")
+      .collect()(0)
+    assert(codes.getInt(0) === -127)
+    assert(codes.getInt(1) === 127)
+  }
+
   test("loaders no longer mutate session config") {
     val clean = spark.newSession()
     // unset in the clone: reading through the loaders must not set it
