@@ -64,13 +64,19 @@ object SparkEntry {
     */
   def release(s: SparkSession): Unit = {
     Seq(evCache, uniformCache, welchRmsCache, shingleCache, termCountCache,
-        lshCandCache, componentsCache).foreach { c =>
+        lshCandCache, componentsCache, redactedCache).foreach { c =>
       c.keys.filter(_._1 eq s).foreach { k =>
         c.remove(k).foreach(df =>
           try df.unpersist(blocking = false) catch { case _: Throwable => () })
       }
     }
     centsCache.keys.filter(_._1 eq s).foreach(centsCache.remove)
+    // scalar-valued memos: no unpersist needed, but dropping them
+    // releases the stopped session reference and guards against stale
+    // counts/ranges if a fixture dir is regenerated mid-process
+    lshCandDocsCache.keys.filter(_._1 eq s).foreach(lshCandDocsCache.remove)
+    docCountCache.keys.filter(_._1 eq s).foreach(docCountCache.remove)
+    quantRangesCache.keys.filter(_._1 eq s).foreach(quantRangesCache.remove)
     evictionInstalled.remove(s)
   }
 
@@ -171,6 +177,31 @@ object SparkEntry {
     quantRangesCache.getOrElseUpdate((s, dir),
       Similarity.dimRanges(emb(s, dir), dims = 64))
 
+  /** The PII-scrubbed corpus (benchmark holdout removed, synthetic
+    * PII injected then redacted), cached per (session, dir): the
+    * curation pipeline's quality gate, repetition gate and mixture
+    * decision all read this ONE text projection — the scrub regexes
+    * run once, not once per consumer (the composition hazard the
+    * shared-shingle memo already guards against for dedup).
+    */
+  private val redactedCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def redactedCorpus(s: SparkSession, dir: String): DataFrame =
+    memo(redactedCache, s, dir)(
+      TextAnalysis.redactPii(
+          piiInjected(docs(s, dir).filter(col("doc_id") % 97 =!= 0)),
+          keep = Seq("lang"))
+        .select(col("doc_id"), col("lang"),
+          (col("n_email") + col("n_ip") + col("n_num")).cast("long").as("n_pii"),
+          col("redacted")).cache())
+
+  /** Target training-mix weights (parts per group) — shared by the
+    * standalone q_mix_resample and the composed curation pipeline so
+    * the two stages can never drift apart.
+    */
+  private val MIX_WEIGHTS =
+    Map("en" -> 40L, "fr" -> 20L, "de" -> 20L, "es" -> 15L, "zh" -> 5L)
+
   /** Per-query recall@k of `approx` against the exact `truth` pair
     * set — exact long counts, ONE division at the end (shared by
     * q_ann_recall and q_ann_int8_recall).
@@ -193,7 +224,7 @@ object SparkEntry {
     * readStream unchanged.
     */
   private def piiInjected(d: DataFrame): DataFrame =
-    d.select(col("doc_id"),
+    d.select(col("doc_id"), col("lang"),
       when(col("doc_id") % 10 === 0,
         concat(col("text"), lit(" reach user"), col("doc_id").cast("string"),
           lit("@example.com or 10.20."),
@@ -665,6 +696,11 @@ object SparkEntry {
       // (catches a hot paragraph pasted into otherwise-unique pages,
       // which document-level MinHash structurally misses)
       Dedup.duplicateSpanStats(docs(s, dir), w = 10)),
+    "q_span_sweep" -> ((s, dir) =>
+      // the Lee-et-al window-length sweep (10/20/50 tokens) in ONE
+      // corpus pass: one tokenize, one generator, one explode — the
+      // scan count stays 1 as lengths are added
+      Dedup.spanSweepStats(docs(s, dir), ws = Seq(10, 20, 50))),
     "q_dup_span_top" -> ((s, dir) =>
       // the boilerplate report: globally hottest duplicated spans
       // with their text — winners picked hash-keyed (8-byte shuffle,
@@ -1213,8 +1249,67 @@ object SparkEntry {
       // map-side salted-hash compare per row — deterministic,
       // retry-invariant, zero shuffle after the one tiny count
       Sampling.mixResample(docs(s, dir), col("lang"), col("doc_id"), "mix1",
-          Map("en" -> 40L, "fr" -> 20L, "de" -> 20L, "es" -> 15L, "zh" -> 5L))
+          MIX_WEIGHTS)
         .select(col("doc_id"), col("lang"), col("admitted"))),
+
+    // -- the curation pipeline COMPOSED end-to-end: decontaminate ->
+    // dedup keep -> PII redact -> quality/repetition gates -> mixture
+    // re-weighting, in one job. Every per-doc signal rides a shared
+    // cached intermediate (shingle hashes feed both decontamination
+    // and the dedup components; the scrubbed text feeds quality,
+    // repetition AND the mix decision), so the corpus text is scanned
+    // once per distinct representation, never once per stage --
+    "q_curate_pipeline" -> ((s, dir) => {
+      val sh = docShingles(s, dir)
+      // stage 1: benchmark decontamination (docs % 97 == 0 stand in
+      // for the held-out eval set and are excluded from the corpus).
+      // The gate is 70% shingle overlap, stricter than the report's
+      // 10% advisory flag: the stand-in benchmark docs are drawn from
+      // the same synthetic distribution as the corpus, so common
+      // character 5-grams alone put every doc past 50% — the
+      // admission decision needs the bar that indicates actual
+      // test-set leakage, not shared surface vocabulary. Exact
+      // integer arithmetic, same as the 10% flag
+      val decon = Dedup.benchmarkOverlap(
+          sh.filter(col("doc_id") % 97 =!= 0),
+          sh.filter(col("doc_id") % 97 === 0))
+        .select(col("doc_id"),
+          when(col("hits") * 10 >= col("n_shingles") * 7, 1).otherwise(0)
+            .as("contaminated"))
+      // stage 2: near-dup keep decision off the memoized components
+      val comp = dedupComponents(s, dir).select(col("doc_id"), col("component"))
+      // stage 3: the memoized scrubbed corpus (inject + 3-stage mask)
+      val red = redactedCorpus(s, dir)
+      // stage 4: quality + repetition gates ON THE REDACTED TEXT (the
+      // text that would enter training — gating pre-scrub text is the
+      // composition bug this query exists to catch)
+      val rep = TextAnalysis.repetition(
+          red.select(col("doc_id"), col("redacted").as("text")))
+        .select(col("doc_id"), col("distinct_ratio"), col("top_tok_frac"),
+          col("top_bigram_frac"))
+      // stage 5: mixture re-weighting over the surviving-language
+      // counts (one tiny collected agg over the cached scrub table)
+      val spine = Sampling.mixResample(red, col("lang"), col("doc_id"),
+          "mix1", MIX_WEIGHTS)
+        .select(col("doc_id"), col("lang"), col("n_pii"),
+          round(TextAnalysis.qualityScore(col("redacted")) + 1e-7, 4).as("quality"),
+          col("admitted").as("mix_admitted"))
+      val keepC = col("doc_id") === coalesce(col("component"), col("doc_id"))
+      val cleanC = coalesce(col("contaminated"), lit(0)) === 0
+      val qOk = col("quality") >= 0.5
+      // a doc too short to have bigrams passes the bigram gate
+      val rOk = col("distinct_ratio") >= 0.35 && col("top_tok_frac") <= 0.15 &&
+        coalesce(col("top_bigram_frac") <= 0.25, lit(true))
+      spine
+        .join(decon, Seq("doc_id"), "left")
+        .join(comp, Seq("doc_id"), "left")
+        .join(rep, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("contaminated"), lit(0)).as("contaminated"),
+          keepC.as("keep"), col("n_pii"), col("quality"),
+          qOk.as("quality_ok"), rOk.as("rep_ok"), col("mix_admitted"),
+          (cleanC && keepC && qOk && rOk && col("mix_admitted")).as("admitted"))
+    }),
 
     // -- BPE merge training (tokenizer seeding over the corpus vocab) --
     "q_bpe_merges" -> ((s, dir) =>
@@ -1814,6 +1909,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> ngramJaccardSql,
     "q_containment" -> containmentSql,
     "q_dup_spans" -> dupSpansSql,
+    "q_span_sweep" -> spanSweepSql,
     "q_dup_span_top" -> dupSpanTopSql,
     "q_pii_redact" -> piiRedactSql,
     // bounded stream ≡ batch: the streaming scrub replays the exact
@@ -1898,6 +1994,7 @@ object SparkEntry {
          |LIMIT 100""".stripMargin,
     "q_bpe_merges" -> bpeMergesSql,
     "q_mix_resample" -> mixResampleSql,
+    "q_curate_pipeline" -> curatePipelineSql,
     "q_tfidf_topk" ->
       s"""WITH $TERM_COUNTS,
          |dfreq AS (SELECT term, count(*) AS df FROM tc GROUP BY term),
@@ -2798,6 +2895,126 @@ object SparkEntry {
       |         < t.th AS admitted
       |FROM documents d JOIN th t ON t.g = d.lang""".stripMargin
 
+  /** Composed curation-pipeline replay: each stage's oracle chained
+    * over the SAME corpus (doc_id % 97 != 0). Decontamination and the
+    * dedup fixpoint ride their existing statement builders as
+    * materialized subqueries; the scrub, the gates and the mixture
+    * thresholds are re-derived over the redacted text exactly as the
+    * Spark plan computes them (quality and repetition on POST-scrub
+    * text — the stage order is part of the contract). Every gate
+    * compares engine-exact values: rounded quality, exact-integer-
+    * division ratios, and the integer salted-hash mix decision.
+    */
+  private def curatePipelineSql: String = {
+    val em = TextAnalysis.emailPattern
+    val ip = TextAnalysis.ipv4Pattern
+    val num = TextAnalysis.digitRunPattern
+    s"""WITH decon0 AS MATERIALIZED ($decontaminateSql),
+       |decon AS (
+       |  SELECT doc_id,
+       |         CASE WHEN hits * 10 >= n_shingles * 7 THEN 1 ELSE 0 END AS contaminated
+       |  FROM decon0
+       |),
+       |comp AS MATERIALIZED ($dedupComponentsSql),
+       |injected AS (
+       |  SELECT doc_id, lang,
+       |         CASE WHEN doc_id % 10 = 0 THEN
+       |           text || ' reach user' || CAST(doc_id AS VARCHAR)
+       |                || '@example.com or 10.20.'
+       |                || CAST(doc_id % 200 + 1 AS VARCHAR)
+       |                || '.7 acct 90210' || CAST(doc_id AS VARCHAR) || '1 done'
+       |         ELSE text END AS text
+       |  FROM documents WHERE doc_id % 97 != 0
+       |),
+       |s1 AS (SELECT doc_id, lang, text AS t0,
+       |              regexp_replace(text, '$em', '<EMAIL>', 'g') AS t1
+       |       FROM injected),
+       |s2 AS (SELECT doc_id, lang, t0, t1,
+       |              regexp_replace(t1, '$ip', '<IP>', 'g') AS t2
+       |       FROM s1),
+       |red AS MATERIALIZED (
+       |  SELECT doc_id, lang,
+       |         len(regexp_extract_all(t0, '$em'))
+       |           + len(regexp_extract_all(t1, '$ip'))
+       |           + len(regexp_extract_all(t2, '$num')) AS n_pii,
+       |         regexp_replace(t2, '$num', '<NUM>', 'g') AS redacted
+       |  FROM s2
+       |),
+       |qm AS (
+       |  SELECT doc_id, CAST(length(redacted) AS DOUBLE) AS n,
+       |         CAST(length(redacted) - length(regexp_replace(redacted, '[0-9]', '', 'g')) AS DOUBLE) AS digits,
+       |         CAST(length(redacted) - length(regexp_replace(redacted, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) AS punct,
+       |         CAST(length(redacted) - length(regexp_replace(redacted, '[A-Z]', '', 'g')) AS DOUBLE) AS uppr
+       |  FROM red
+       |),
+       |qual AS (
+       |  SELECT doc_id, round(greatest(0.0, least(n / 200.0, 1.0) *
+       |           (1.0 - least(digits / n * 4.0, 1.0) * 0.4
+       |                - least(punct / n * 3.0, 1.0) * 0.3
+       |                - least(uppr / n * 2.0, 1.0) * 0.3)) + 1e-7, 4) AS quality
+       |  FROM qm
+       |),
+       |toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(redacted)), '\\s+') AS a FROM red),
+       |us AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
+       |         max(c) AS top_tok_n
+       |  FROM (SELECT doc_id, g, count(*) AS c
+       |        FROM (SELECT doc_id, unnest(a) AS g FROM toks) GROUP BY doc_id, g)
+       |  GROUP BY doc_id
+       |),
+       |bs AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, max(c) AS top_bigram_n
+       |  FROM (SELECT doc_id, g, count(*) AS c
+       |        FROM (SELECT doc_id,
+       |                     unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i + 1])) AS g
+       |              FROM toks)
+       |        GROUP BY doc_id, g)
+       |  GROUP BY doc_id
+       |),
+       |rep AS (
+       |  SELECT us.doc_id,
+       |         CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+       |         CAST(top_tok_n AS DOUBLE) / n_tokens AS top_tok_frac,
+       |         CAST(top_bigram_n AS DOUBLE) / n_bigrams AS top_bigram_frac
+       |  FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id
+       |),
+       |counts AS (SELECT lang AS g, count(*) AS n FROM red GROUP BY lang),
+       |w(g, wt) AS (VALUES ('en', 40), ('fr', 20), ('de', 20), ('es', 15), ('zh', 5)),
+       |j AS (SELECT counts.g, counts.n, w.wt FROM counts JOIN w USING (g) WHERE counts.n > 0),
+       |m AS (SELECT g, n, wt FROM j j1
+       |      WHERE NOT EXISTS (SELECT 1 FROM j j2
+       |                        WHERE j2.n::HUGEINT * j1.wt < j1.n::HUGEINT * j2.wt
+       |                           OR (j2.n::HUGEINT * j1.wt = j1.n::HUGEINT * j2.wt
+       |                               AND j2.g < j1.g))),
+       |th AS (SELECT j.g,
+       |              (4503599627370496::HUGEINT * m.n * j.wt) // (m.wt::HUGEINT * j.n) AS th
+       |       FROM j, m),
+       |mix AS (SELECT r.doc_id,
+       |               ('0x' || substr(md5('mix1:' || CAST(r.doc_id AS VARCHAR)), 1, 13))::BIGINT
+       |                 < t.th AS mix_admitted
+       |        FROM red r JOIN th t ON t.g = r.lang)
+       |SELECT r.doc_id, r.lang,
+       |       coalesce(dc.contaminated, 0) AS contaminated,
+       |       (r.doc_id = coalesce(cp.component, r.doc_id)) AS keep,
+       |       r.n_pii, q.quality,
+       |       (q.quality >= 0.5) AS quality_ok,
+       |       (rp.distinct_ratio >= 0.35 AND rp.top_tok_frac <= 0.15
+       |        AND coalesce(rp.top_bigram_frac <= 0.25, TRUE)) AS rep_ok,
+       |       mx.mix_admitted,
+       |       (coalesce(dc.contaminated, 0) = 0
+       |        AND r.doc_id = coalesce(cp.component, r.doc_id)
+       |        AND q.quality >= 0.5
+       |        AND rp.distinct_ratio >= 0.35 AND rp.top_tok_frac <= 0.15
+       |        AND coalesce(rp.top_bigram_frac <= 0.25, TRUE)
+       |        AND mx.mix_admitted) AS admitted
+       |FROM red r
+       |LEFT JOIN decon dc USING (doc_id)
+       |LEFT JOIN comp cp USING (doc_id)
+       |JOIN qual q USING (doc_id)
+       |LEFT JOIN rep rp USING (doc_id)
+       |JOIN mix mx USING (doc_id)""".stripMargin
+  }
+
   /** BPE merge-training replay: the same (word, freq, seg) evolution
     * as `Bpe.merges`, unrolled to `BPE_ROUNDS` materialized CTE
     * levels. Pair extraction replays Spark's split-on-"><" over the
@@ -3058,6 +3275,38 @@ object SparkEntry {
        |               unnest(generate_series(1, len(t) - 9)) AS pos
        |        FROM toks WHERE len(t) >= 10)
        |)""".stripMargin
+
+  /** Window-length-sweep replay: same normalize/tokenize as the spans
+    * oracle, the lengths cross-joined in, the position series
+    * correlated on (len(t), w). Dup decision at (w, h) exactly as the
+    * Spark (doc_id, w, h)-grain aggregate; counts are raw-window
+    * counts (sum of per-(doc,w,h) multiplicities on the Spark side —
+    * identical totals).
+    */
+  private def spanSweepSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS t
+       |  FROM documents WHERE text IS NOT NULL
+       |),
+       |hs AS (
+       |  SELECT doc_id, w,
+       |         ('0x' || substr(md5(span), 1, 13))::BIGINT AS h
+       |  FROM (
+       |    SELECT doc_id, w, array_to_string(t[pos:pos+w-1], ' ') AS span
+       |    FROM (SELECT doc_id, t, w,
+       |                 unnest(generate_series(1, len(t) - w + 1)) AS pos
+       |          FROM toks, (SELECT unnest([10, 20, 50]) AS w) ws
+       |          WHERE len(t) >= w)
+       |  )
+       |),
+       |dup AS (
+       |  SELECT w, h FROM (SELECT DISTINCT doc_id, w, h FROM hs)
+       |  GROUP BY w, h HAVING count(*) >= 2
+       |)
+       |SELECT s.doc_id, s.w, count(*) AS n_windows, count(d.h) AS n_dup,
+       |       round(count(d.h) * 1.0 / count(*), 6) AS dup_ratio
+       |FROM hs s LEFT JOIN dup d ON d.w = s.w AND d.h = s.h
+       |GROUP BY s.doc_id, s.w""".stripMargin
 
   private def dupSpansSql: String =
     s"""WITH ${spansSqlFrom("documents")},

@@ -486,7 +486,18 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 16,
                           verbose: Boolean = false,
-                          checkpointDir: Option[String] = None): DataFrame = {
+                          checkpointDir: Option[String] = None): DataFrame =
+    connectedComponentsCounted(pairs, maxIters, verbose, checkpointDir)._1
+
+  /** As `connectedComponents`, but returns (labels, rounds) so a
+    * caller's convergence assertion is tied to ITS run — the global
+    * `lastCcRounds` reads whichever run happened last in the process,
+    * which under a shared test SparkSession may not be the one under
+    * test.
+    */
+  def connectedComponentsCounted(pairs: DataFrame, maxIters: Int = 16,
+                                 verbose: Boolean = false,
+                                 checkpointDir: Option[String] = None): (DataFrame, Int) = {
     val sc = pairs.sparkSession.sparkContext
     checkpointDir.foreach(d => if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d))
     // STATS SHEDDING (the actual fix for round 6's 28x regression):
@@ -577,8 +588,8 @@ object Dedup {
     // labels is checkpointed (no lineage back through the edge list),
     // so the cached pair table can be released immediately
     edges.unpersist(blocking = false)
-    labels.select(col("doc_id"), col("label").as("component"),
-      count(lit(1)).over(Window.partitionBy("label")).as("n_members"))
+    (labels.select(col("doc_id"), col("label").as("component"),
+      count(lit(1)).over(Window.partitionBy("label")).as("n_members")), round)
   }
 
   /** One row per w-token rolling window of the normalized text:
@@ -643,6 +654,46 @@ object Dedup {
       .agg(sum("n_win").as("n_windows"),
         coalesce(sum(when(col("dup").isNotNull, col("n_win"))), lit(0L)).as("n_dup"))
       .select(col("doc_id"), col("n_windows"), col("n_dup"),
+        round(col("n_dup") / col("n_windows"), 6).as("dup_ratio"))
+  }
+
+  /** Duplicate-span statistics for SEVERAL window lengths in one
+    * corpus pass — the window-size sweep of Lee et al. 2022 (how much
+    * duplication lives at paragraph vs page granularity). The corpus
+    * is tokenized ONCE; a single generator emits (w, h) for every
+    * length from the same token array (flatten-of-transforms, one
+    * explode), so adding a length adds map-side hashing CPU but never
+    * another scan. md5 is not rolling-composable, so the per-window
+    * hash cost is paid per length — the scan count, not the hash CPU,
+    * is what hurts at 100 TB (the corpus read dominates).
+    *
+    * Downstream shape is `duplicateSpanStats` at (doc_id, w, h) grain:
+    * the same skew-guarded integer-only join-back, now keyed (w, h).
+    * Docs shorter than a given w simply have no rows at that w.
+    */
+  def spanSweepStats(docs: DataFrame, ws: Seq[Int] = Seq(10, 20, 50)): DataFrame = {
+    require(ws.nonEmpty && ws.forall(_ >= 2) && ws.distinct == ws, "ws must be distinct, >= 2")
+    val arms = ws.map { w =>
+      s"""IF(size(toks) >= $w,
+         |   transform(sequence(1, size(toks) - ${w - 1}),
+         |     i -> named_struct('w', $w,
+         |            'h', CAST(conv(substring(md5(to_binary(concat_ws(' ', slice(toks, i, $w)), 'utf-8')), 1, 13), 16, 10) AS BIGINT))),
+         |   CAST(array() AS ARRAY<STRUCT<w: INT, h: BIGINT>>))""".stripMargin
+    }.mkString("flatten(array(", ",\n", "))")
+    val spans = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        split(TextAnalysis.normalized(col("text")), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(arms)).as("s"))
+      .select(col("doc_id"), col("s.w").as("w"), col("s.h").as("h"))
+    val docSpans = spans.groupBy("doc_id", "w", "h").agg(count(lit(1)).as("n_win"))
+    val dup = docSpans.groupBy("w", "h").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("w"), col("h"), lit(1).as("dup"))
+    docSpans.join(dup, Seq("w", "h"), "left")
+      .groupBy("doc_id", "w")
+      .agg(sum("n_win").as("n_windows"),
+        coalesce(sum(when(col("dup").isNotNull, col("n_win"))), lit(0L)).as("n_dup"))
+      .select(col("doc_id"), col("w"), col("n_windows"), col("n_dup"),
         round(col("n_dup") / col("n_windows"), 6).as("dup_ratio"))
   }
 

@@ -182,15 +182,16 @@ object TextAnalysis {
     * Column works under readStream) and with `Sampling`/`Dedup`
     * stages order-independently.
     */
-  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+  def redactPii(docs: DataFrame, textCol: String = "text",
+                keep: Seq[String] = Nil): DataFrame = {
     val t0 = col(textCol)
     val t1 = regexp_replace(t0, emailPattern, "<EMAIL>")
     val t2 = regexp_replace(t1, ipv4Pattern, "<IP>")
     val t3 = regexp_replace(t2, digitRunPattern, "<NUM>")
-    docs.select(col("doc_id"),
+    docs.select(col("doc_id") +: keep.map(col) ++: Seq(
       size(regexp_extract_all(t0, lit(emailPattern), lit(0))).as("n_email"),
       size(regexp_extract_all(t1, lit(ipv4Pattern), lit(0))).as("n_ip"),
       size(regexp_extract_all(t2, lit(digitRunPattern), lit(0))).as("n_num"),
-      t3.as("redacted"))
+      t3.as("redacted")): _*)
   }
 }

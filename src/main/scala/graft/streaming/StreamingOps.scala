@@ -74,7 +74,8 @@ object StreamingOps {
   }
 
   /** The documents fixture as a bounded file stream (doc_id, text,
-    * source) — the input shape of streaming corpus dedup.
+    * lang, source) — the input shape of streaming corpus dedup and
+    * the streaming PII scrub.
     */
   def documentsStream(root: SparkSession, sfDir: String): DataFrame = {
     val spark = streamSession(root)
@@ -82,7 +83,7 @@ object StreamingOps {
     spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(sfDir)
-      .select(col("doc_id"), col("text"), col("source"))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
   }
 
   /** Streaming exact-dedup on the normalized-text fingerprint — the

@@ -85,10 +85,12 @@ class Round7Spec extends AnyFunSuite {
     // optimistic per-round coverage model. 500 >> anything a fixture
     // candidate graph produces; must converge with rounds to spare.
     val pairs = (0L until 499L).map(i => (i, i + 1)).toDF("a", "b")
-    val out = Dedup.connectedComponents(pairs)
+    // the counted variant ties the round assertion to THIS run, not
+    // whatever CC run a sibling test happened to execute last
+    val (out, rounds) = Dedup.connectedComponentsCounted(pairs)
     assert(out.collect().forall(_.getLong(1) == 0L))
-    assert(Dedup.lastCcRounds.get() < 16,
-      s"expected convergence under the 16-round cap, took ${Dedup.lastCcRounds.get()}")
+    assert(rounds < 16,
+      s"expected convergence under the 16-round cap, took $rounds")
   }
 
   test("jaccard verify: neededDocsHint changes neither values nor the gated strategy") {

@@ -146,6 +146,52 @@ class Round8Spec extends AnyFunSuite {
     assert(codes.getInt(1) === 127)
   }
 
+  test("curation pipeline: gates bind, PII is scrubbed, decisions compose") {
+    val df = SparkEntry.queries("q_curate_pipeline")(spark, sf).cache()
+    val rows = df.count()
+    // exactly the corpus (benchmark holdout excluded)
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 97 =!= 0).count()
+    assert(rows === corpus)
+    def n(c: String): Long = df.filter(col(c) === true).count()
+    // every gate must BIND on the real fixture (an always-true or
+    // always-false gate is a configuration bug, not a pipeline)
+    val admitted = n("admitted")
+    assert(admitted > 0 && admitted < rows, s"admitted=$admitted of $rows")
+    assert(df.filter(col("contaminated") === 1).count() > 0)
+    Seq("keep", "quality_ok", "rep_ok", "mix_admitted").foreach { g =>
+      val k = n(g)
+      assert(k > 0 && k < rows, s"gate $g never binds: $k of $rows")
+    }
+    // the final decision is exactly the conjunction of its stages
+    assert(df.filter(col("admitted") =!= (col("contaminated") === 0 &&
+      col("keep") && col("quality_ok") && col("rep_ok") &&
+      col("mix_admitted"))).count() === 0)
+    // injected PII must be counted on every surviving injected doc
+    assert(df.filter(col("doc_id") % 10 === 0 && col("n_pii") < 3).count() === 0)
+    df.unpersist()
+  }
+
+  test("curation pipeline plan reads the corpus through shared caches") {
+    val q = SparkEntry.queries("q_curate_pipeline")(spark, sf)
+    q.count() // materialize the shared memos (shingles, components, scrub)
+    val leaves = SparkEntry.queries("q_curate_pipeline")(spark, sf)
+      .queryExecution.optimizedPlan.collectLeaves()
+    // after the shared intermediates exist, every corpus-derived leaf
+    // must be a cached relation — a per-stage re-scan of the text
+    // (the composition bug this query guards) would put the parquet
+    // relation back among the leaves. (String-matching the whole plan
+    // would false-positive: InMemoryRelation PRINTS its cached child,
+    // file scan included.)
+    val names = leaves.map(_.getClass.getSimpleName)
+    val fileLeaves = leaves.filter(l =>
+      l.getClass.getSimpleName != "InMemoryRelation" &&
+        l.toString.contains("documents.parquet"))
+    assert(fileLeaves.isEmpty,
+      s"pipeline re-scans the corpus parquet:\n${fileLeaves.mkString("\n")}")
+    assert(names.count(_ == "InMemoryRelation") >= 2, names.mkString(","))
+  }
+
   test("loaders no longer mutate session config") {
     val clean = spark.newSession()
     // unset in the clone: reading through the loaders must not set it
