@@ -77,6 +77,7 @@ object SparkEntry {
     lshCandDocsCache.keys.filter(_._1 eq s).foreach(lshCandDocsCache.remove)
     docCountCache.keys.filter(_._1 eq s).foreach(docCountCache.remove)
     quantRangesCache.keys.filter(_._1 eq s).foreach(quantRangesCache.remove)
+    pqCache.keys.filter(_._1 eq s).foreach(pqCache.remove)
     evictionInstalled.remove(s)
   }
 
@@ -176,6 +177,21 @@ object SparkEntry {
   private def quantRanges(s: SparkSession, dir: String): Array[(Double, Double)] =
     quantRangesCache.getOrElseUpdate((s, dir),
       Similarity.dimRanges(emb(s, dir), dims = 64))
+
+  /** Trained PQ codebooks (m=4 sub-spaces x k=16 centroids over the
+    * 64-dim embeddings, 2 Lloyd iterations per sub-quantizer),
+    * memoized per (session, dir) — train once, encode/search many;
+    * k*dims doubles on the driver, same payload as one flat k-means.
+    */
+  private[graft] val PQ_M = 8
+  private[graft] val PQ_SUB = 8 // 64 / PQ_M
+  private[graft] val PQ_K = 32
+  private[graft] val PQ_ITERS = 3
+  private val pqCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Array[Array[Array[Double]]]]
+  private def pqBooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] =
+    pqCache.getOrElseUpdate((s, dir),
+      Similarity.pqCodebooks(emb(s, dir), m = PQ_M, k = PQ_K, iters = PQ_ITERS, dims = 64))
 
   /** The PII-scrubbed corpus (benchmark holdout removed, synthetic
     * PII injected then redacted), cached per (session, dir): the
@@ -918,6 +934,25 @@ object SparkEntry {
           Similarity.ivfTopK(e, q, k = 10, nlist = 16, nprobe = 4, dims = 64), "ivf_float")
         .unionAll(recallPerQuery(truth,
           Similarity.ivfTopKInt8(codes, q, cents, ranges, k = 10, nprobe = 4), "ivf_int8"))
+    }),
+    "q_pq_codes" -> ((s, dir) =>
+      // product quantization encode: PQ_M=8 sub-space codebooks
+      // (k=16, trained once via the memoized fit), each vector stored
+      // as 8 4-bit codes — 4 B/vector vs 256 B float32, a 64x index
+      // shrink. Pure map-side argmin over plan-literal codebooks
+      Similarity.pqEncode(emb(s, dir), pqBooks(s, dir))),
+    "q_pq_recall" -> ((s, dir) => {
+      // the number that prices the 64x shrink: ADC (asymmetric
+      // float-query x blockwise-centroid reconstruction) top-10 vs
+      // the exact brute-force truth — the same recall harness as the
+      // int8 and IVF paths
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") % 25 === 0)
+      val truth = Similarity.bruteForceTopK(e, q, k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val books = pqBooks(s, dir)
+      recallPerQuery(truth,
+        Similarity.pqTopK(Similarity.pqEncode(e, books), q, books, k = 10), "pq")
     }),
     "q_simhash_neardups" -> ((s, dir) =>
       Dedup.simhashNearDups(docs(s, dir))),
@@ -1903,6 +1938,8 @@ object SparkEntry {
     "q_ivf_list_sizes" -> ivfListSizesSql,
     "q_ann_recall" -> annRecallSql,
     "q_ann_int8_recall" -> annInt8RecallSql,
+    "q_pq_codes" -> pqCodesSql,
+    "q_pq_recall" -> pqRecallSql,
     "q_ivf_probe_sweep" -> ivfProbeSweepSql,
     "q_ann_plane_sweep" -> annPlaneSweepSql,
     "q_kmeans" -> kmeansSql,
@@ -3436,36 +3473,38 @@ object SparkEntry {
     * shared by the kmeans oracle and the trained-IVF oracle so both
     * replay the exact `Clustering.kmeansCentroids` fit.
     */
-  private def kmeansChainSql(k: Int, dims: Int, iters: Int): String = {
+  private def kmeansChainSql(k: Int, dims: Int, iters: Int,
+                             src: String = "embeddings", prefix: String = ""): String = {
     val dist = kmeansDistSql(dims) _
+    val p = prefix
     val cent0 = (for (j <- 0 until k; d <- 0 until dims)
       yield s"($j, $d, ${OracleDsp.dlit(Clustering.initComponent(j, d))})")
       .mkString(", ")
     val iterCtes = (1 to iters).map { t =>
-      s"""a$t AS (
+      s"""${p}a$t AS (
          |  SELECT vec_id, cluster FROM (
          |    SELECT e.vec_id, c.cluster,
          |           row_number() OVER (PARTITION BY e.vec_id
          |                              ORDER BY ${dist("e", "c")} ASC, c.cluster ASC) AS pr
-         |    FROM embeddings e, c${t - 1} c
+         |    FROM $src e, ${p}c${t - 1} c
          |  ) WHERE pr = 1
          |),
-         |m$t AS (
+         |${p}m$t AS (
          |  SELECT a.cluster, ed.dim, round(avg(ed.x) + 1e-7, 6) AS m
-         |  FROM a$t a JOIN ed ON ed.vec_id = a.vec_id GROUP BY a.cluster, ed.dim
+         |  FROM ${p}a$t a JOIN ${p}ed ed ON ed.vec_id = a.vec_id GROUP BY a.cluster, ed.dim
          |),
-         |c${t}d AS (
+         |${p}c${t}d AS (
          |  SELECT c.cluster, c.dim, coalesce(m.m, c.m) AS m
-         |  FROM c${t - 1}d c LEFT JOIN m$t m USING (cluster, dim)
+         |  FROM ${p}c${t - 1}d c LEFT JOIN ${p}m$t m USING (cluster, dim)
          |),
-         |c$t AS (SELECT cluster, list(m ORDER BY dim) AS cl FROM c${t}d GROUP BY cluster)"""
+         |${p}c$t AS (SELECT cluster, list(m ORDER BY dim) AS cl FROM ${p}c${t}d GROUP BY cluster)"""
         .stripMargin
     }.mkString(",\n")
-    s"""c0d(cluster, dim, m) AS (VALUES $cent0),
-       |c0 AS (SELECT cluster, list(m ORDER BY dim) AS cl FROM c0d GROUP BY cluster),
-       |ed AS (
+    s"""${p}c0d(cluster, dim, m) AS (VALUES $cent0),
+       |${p}c0 AS (SELECT cluster, list(m ORDER BY dim) AS cl FROM ${p}c0d GROUP BY cluster),
+       |${p}ed AS (
        |  SELECT vec_id, d AS dim, embedding[d + 1]::DOUBLE AS x
-       |  FROM embeddings, (SELECT unnest(generate_series(0, ${dims - 1})) AS d)
+       |  FROM $src, (SELECT unnest(generate_series(0, ${dims - 1})) AS d)
        |),
        |$iterCtes""".stripMargin
   }
@@ -3750,6 +3789,88 @@ object SparkEntry {
        |${recallLegSql("ivf_float", "ivf_float")}
        |UNION ALL
        |${recallLegSql("ivf_int8", "ivf_int8")}""".stripMargin
+
+  /** One PQ sub-space: slice CTE + the full Lloyd chain (prefix
+    * `pq{u}_`) + the final-centroid assignment `pq{u}_fin(vec_id,
+    * cluster)` — identical training to `Similarity.pqCodebooks`
+    * (which delegates to `Clustering.kmeansCentroids` per slice).
+    */
+  private def pqSubspaceChains(m: Int, sub: Int, k: Int, iters: Int): String =
+    (0 until m).map { u =>
+      val lo = u * sub + 1
+      val hi = (u + 1) * sub
+      s"""pq${u}_src AS MATERIALIZED (
+         |  SELECT vec_id, embedding[$lo:$hi] AS embedding FROM embeddings
+         |),
+         |${kmeansChainSql(k, sub, iters, src = s"pq${u}_src", prefix = s"pq${u}_")},
+         |pq${u}_fin AS MATERIALIZED (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT e.vec_id, c.cluster,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |                              ORDER BY ${kmeansDistSql(sub)("e", "c")} ASC, c.cluster ASC) AS pr
+         |    FROM pq${u}_src e, pq${u}_c$iters c
+         |  ) WHERE pr = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+
+  /** PQ-codes replay: PQ_M sliced Lloyd fits + final assignments,
+    * joined to one row per vector.
+    */
+  private def pqJoinChain: String =
+    s"pq0_fin a0 " + (1 until PQ_M)
+      .map(u => s"JOIN pq${u}_fin a$u USING (vec_id)").mkString(" ")
+
+  private def pqCodesSql: String =
+    s"""WITH ${pqSubspaceChains(PQ_M, PQ_SUB, PQ_K, PQ_ITERS)}
+       |SELECT a0.vec_id,
+       |       ${(0 until PQ_M).map(u => s"a$u.cluster AS c$u").mkString(", ")}
+       |FROM $pqJoinChain""".stripMargin
+
+  /** PQ ADC-recall replay: corpus rows reconstructed blockwise from
+    * their assigned sub-centroids, scored against the full-precision
+    * queries exactly as `Similarity.pqTopK` (numerator = sum of
+    * per-slice dot products, denominator from the reconstruction's
+    * exact blockwise self-dot), ranked with the same
+    * (round 6, neighbor asc) tie-break, recall vs the brute-force
+    * truth via the shared leg.
+    */
+  private def pqRecallSql: String = {
+    val centJoins = (0 until PQ_M)
+      .map(u => s"JOIN pq${u}_c$PQ_ITERS x$u ON x$u.cluster = a$u.cluster").mkString("\n  ")
+    val selfDots = (0 until PQ_M)
+      .map(u => s"list_dot_product(x$u.cl, x$u.cl)").mkString(" + ")
+    val qDots = (0 until PQ_M)
+      .map(u => s"list_dot_product(q.qe[${u * PQ_SUB + 1}:${(u + 1) * PQ_SUB}], c.cl$u)")
+      .mkString("\n        + ")
+    s"""WITH ${pqSubspaceChains(PQ_M, PQ_SUB, PQ_K, PQ_ITERS)},
+       |corp AS (
+       |  SELECT a0.vec_id,
+       |         ${(0 until PQ_M).map(u => s"x$u.cl AS cl$u").mkString(", ")},
+       |         sqrt($selfDots) AS cn
+       |  FROM $pqJoinChain
+       |  $centJoins
+       |),
+       |qq AS (
+       |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn
+       |  FROM embeddings WHERE vec_id % 25 = 0
+       |),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |         ($qDots)
+       |           / (q.qn * c.cn) AS cos
+       |  FROM corp c, qq q WHERE q.query_id != c.vec_id
+       |),
+       |rk AS (
+       |  SELECT query_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS rank
+       |  FROM scored
+       |),
+       |pq AS (SELECT query_id, neighbor_id FROM rk WHERE rank <= 10),
+       |truth AS (SELECT query_id, neighbor_id FROM ($cosineTopkSql))
+       |${recallLegSql("pq", "pq")}""".stripMargin
+  }
 
   private def cosineTopkSql: String =
     """WITH q AS (

@@ -607,4 +607,109 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 6).as("cos"))
   }
+
+  // ------------------------------------------------------------------
+  // Product quantization (Jégou et al. 2011): the step past scalar
+  // int8 on the index-compression axis. The vector is split into m
+  // contiguous sub-vectors; each sub-space gets its own k-centroid
+  // codebook (trained with the deterministic Lloyd's of `Clustering`),
+  // and a vector is stored as m small codes — here m=4 × k=16 over 64
+  // dims = 4 bytes/vector vs 256 for float32 (64x), vs 64 for int8.
+  // Scoring is asymmetric (ADC): the full-precision query against the
+  // blockwise-centroid reconstruction, whose dot product decomposes
+  // into per-subspace codebook lookups.
+  // ------------------------------------------------------------------
+
+  /** Per-subspace PQ codebooks: codebooks(u)(j) is centroid j of
+    * sub-space u (dims/m components). Each sub-quantizer is the SAME
+    * deterministic Lloyd fit as `Clustering.kmeansCentroids` run on
+    * the sliced embedding — md5 seeds + per-iteration round-6
+    * centroids, so the whole training replays exactly in the DuckDB
+    * oracle. Driver payload: m*k*(dims/m) = k*dims doubles, the same
+    * as one flat k-means.
+    */
+  def pqCodebooks(vectors: DataFrame, m: Int = 4, k: Int = 16,
+                  iters: Int = 2, dims: Int = 64): Array[Array[Array[Double]]] = {
+    require(m >= 1 && dims % m == 0, s"dims=$dims must split evenly into m=$m sub-spaces")
+    val sub = dims / m
+    Array.tabulate(m) { u =>
+      val sliced = vectors.select(col("vec_id"),
+        expr(s"slice(embedding, ${u * sub + 1}, $sub)").as("embedding"))
+      Clustering.kmeansCentroids(sliced, k, iters, sub)
+    }
+  }
+
+  /** Squared distance of a sub-vector slice to a centroid literal,
+    * left-to-right accumulation (engine-portable).
+    */
+  private def subSqDist(sliceCol: Column, c: Array[Double]): Column =
+    aggregate(zip_with(sliceCol, typedLit(c), (x, p) => (x - p) * (x - p)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** PQ encode: one int code per sub-space, argmin squared distance to
+    * that sub-space's codebook (ties to the smaller centroid id —
+    * identical to the k-means assignment rule). Pure map-side
+    * expression; the codebooks ride the plan as literals. Output
+    * (vec_id, c0..c{m-1}) — m INTS per vector, the entire index
+    * payload.
+    */
+  def pqEncode(vectors: DataFrame, codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    val dims = m * sub
+    val codeCols = codebooks.zipWithIndex.map { case (cb, u) =>
+      val sl = expr(s"slice(embedding, ${u * sub + 1}, $sub)")
+      val best = array_min(array(cb.zipWithIndex.map { case (c, j) =>
+        struct(subSqDist(sl, c).as("dist"), lit(j).as("cluster"))
+      }: _*)).getField("cluster")
+      // ragged input would null-pad the zip_with and corrupt every
+      // distance — fail loudly (same contract as kmeans/lshBuckets)
+      when(size(col("embedding")) === dims, best)
+        .otherwise(raise_error(concat(
+          lit(s"pqEncode: embedding dims != $dims for vec_id="),
+          col("vec_id"))).cast("int"))
+        .as(s"c$u")
+    }
+    vectors.select(col("vec_id") +: codeCols: _*)
+  }
+
+  /** Brute-force ADC top-k over the PQ codes table: the float corpus
+    * is never touched at search time — each corpus row contributes
+    * only its m codes, and the score is
+    *   cos ≈ Σ_u q_u · C_u[c_u] / (‖q‖ · sqrt(Σ_u ‖C_u[c_u]‖²))
+    * where every C_u[c_u] term is an element_at into a plan-literal
+    * lookup table (the classic ADC distance table, expressed as
+    * codegen'd array indexing; the reconstruction's self-dot is exact
+    * blockwise, so the denominator needs only the per-centroid squared
+    * norms — also literals). Queries broadcast; the only shuffle is
+    * the final per-query top-k window. Recall loss vs the float truth
+    * is measured by `q_pq_recall`.
+    */
+  def pqTopK(codes: DataFrame, queries: DataFrame,
+             codebooks: Array[Array[Array[Double]]], k: Int = 10): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    val q = queries.select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qe"))
+      .select(col("query_id"), col("qe"), sqrt(dot(col("qe"), col("qe"))).as("qn"))
+    val dots = codebooks.zipWithIndex.map { case (cb, u) =>
+      dot(expr(s"slice(qe, ${u * sub + 1}, $sub)"),
+        element_at(typedLit(cb), col(s"c$u") + 1))
+    }.reduce(_ + _)
+    val n2 = codebooks.zipWithIndex.map { case (cb, u) =>
+      element_at(typedLit(cb.map(c => c.map(x => x * x).sum)), col(s"c$u") + 1)
+    }.reduce(_ + _)
+    val scored = codes.select(col("vec_id").as("neighbor_id") +:
+        (0 until m).map(u => col(s"c$u")): _*)
+      .crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dots / (col("qn") * sqrt(n2))).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(round(col("cos"), 6).desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cos"))
+  }
 }

@@ -192,6 +192,43 @@ class Round8Spec extends AnyFunSuite {
     assert(names.count(_ == "InMemoryRelation") >= 2, names.mkString(","))
   }
 
+  test("product quantization: codes are bounded, ADC recall is usable, ragged input fails") {
+    import graft.datapipe.Similarity
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val books = Similarity.pqCodebooks(e, m = SparkEntry.PQ_M, k = SparkEntry.PQ_K,
+      iters = SparkEntry.PQ_ITERS, dims = 64)
+    assert(books.length === SparkEntry.PQ_M)
+    assert(books.forall(_.length === SparkEntry.PQ_K))
+    assert(books.forall(_.forall(_.length === 64 / SparkEntry.PQ_M)))
+    val codes = Similarity.pqEncode(e, books).cache()
+    // every code addresses a real centroid
+    (0 until SparkEntry.PQ_M).foreach { u =>
+      val mm = codes.agg(min(s"c$u"), max(s"c$u")).collect()(0)
+      assert(mm.getInt(0) >= 0 && mm.getInt(1) < SparkEntry.PQ_K, s"subspace $u: $mm")
+    }
+    // ADC search never touches the float corpus; recall vs the exact
+    // truth must clear a usable floor (deterministic fit, so this is
+    // a stable number — ~0.3 on the synthetic fixture at 64x
+    // compression)
+    val q = e.filter(col("vec_id") % 25 === 0)
+    val truth = Similarity.bruteForceTopK(e, q, k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = truth.join(Similarity.pqTopK(codes, q, books, k = 10)
+        .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1)),
+        Seq("query_id", "neighbor_id"), "left")
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("double"), count(lit(1)).cast("double"))
+      .collect()(0)
+    val recall = hits.getDouble(0) / hits.getDouble(1)
+    assert(recall >= 0.15, s"PQ ADC recall $recall suspiciously low")
+    codes.unpersist()
+    // ragged embedding must fail loudly, not silently null-pad
+    val bad = spark.range(1).selectExpr("id AS vec_id",
+      "transform(sequence(0, 9), d -> CAST(d AS FLOAT)) AS embedding")
+    // raise_error surfaces wrapped per Spark's runtime exception
+    // hierarchy; any throwable is the contract (vs silent nulls)
+    intercept[Exception](Similarity.pqEncode(bad, books).collect())
+  }
+
   test("loaders no longer mutate session config") {
     val clean = spark.newSession()
     // unset in the clone: reading through the loaders must not set it
