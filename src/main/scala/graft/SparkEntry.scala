@@ -942,17 +942,21 @@ object SparkEntry {
       // shrink. Pure map-side argmin over plan-literal codebooks
       Similarity.pqEncode(emb(s, dir), pqBooks(s, dir))),
     "q_pq_recall" -> ((s, dir) => {
-      // the number that prices the 64x shrink: ADC (asymmetric
-      // float-query x blockwise-centroid reconstruction) top-10 vs
-      // the exact brute-force truth — the same recall harness as the
-      // int8 and IVF paths
+      // the numbers that price the 64x shrink: brute-force ADC
+      // (asymmetric float-query x blockwise reconstruction — the
+      // recall ceiling) and IVF-routed ADC (the bucketed scale path,
+      // nprobe=4/16 lists) vs the exact brute-force truth — the same
+      // recall harness as the int8 and IVF paths
       val e = emb(s, dir)
       val q = e.filter(col("vec_id") % 25 === 0)
       val truth = Similarity.bruteForceTopK(e, q, k = 10)
         .select(col("query_id"), col("neighbor_id"))
       val books = pqBooks(s, dir)
-      recallPerQuery(truth,
-        Similarity.pqTopK(Similarity.pqEncode(e, books), q, books, k = 10), "pq")
+      val codes = Similarity.pqEncode(e, books)
+      val cents = Array.tabulate(16)(Similarity.centroid(_, 64))
+      recallPerQuery(truth, Similarity.pqTopK(codes, q, books, k = 10), "pq")
+        .unionAll(recallPerQuery(truth,
+          Similarity.ivfTopKPq(codes, q, cents, books, k = 10, nprobe = 4), "ivf_pq"))
     }),
     "q_simhash_neardups" -> ((s, dir) =>
       Dedup.simhashNearDups(docs(s, dir))),
@@ -3868,8 +3872,78 @@ object SparkEntry {
        |  FROM scored
        |),
        |pq AS (SELECT query_id, neighbor_id FROM rk WHERE rank <= 10),
+       |$ivfPqLegSql,
        |truth AS (SELECT query_id, neighbor_id FROM ($cosineTopkSql))
-       |${recallLegSql("pq", "pq")}""".stripMargin
+       |${recallLegSql("pq", "pq")}
+       |UNION ALL
+       |${recallLegSql("ivf_pq", "ivf_pq")}""".stripMargin
+  }
+
+  /** The IVF-routed leg of the PQ recall oracle (appended to the
+    * shared WITH of `pqRecallSql`, which provides `corp` with the
+    * per-row sub-centroid lists): the corpus reconstruction is the
+    * FLAT flatten of the block centroids (matching Spark's single
+    * left-to-right dot in `ivfSearchDecoded`, not the blockwise sums
+    * of the ADC leg), routed/probed/scored exactly as the int8-IVF
+    * oracle with the same md5 routing centroids.
+    */
+  private def ivfPqLegSql: String = {
+    val norms = (0 until 16).map { j =>
+      val c = graft.datapipe.Similarity.centroid(j, 64)
+      s"($j, ${OracleDsp.dlit(math.sqrt(c.map(x => x * x).sum))})"
+    }.mkString(", ")
+    val planes =
+      """list_transform(generate_series(0, 63), d ->
+        |             ('0x' || substr(md5('ivf:' || pnrm.j || ':' || d), 1, 13))::BIGINT
+        |               / 4503599627370496.0 - 0.5)""".stripMargin
+    s"""corpde AS MATERIALIZED (
+       |  SELECT vec_id, flatten([${(0 until PQ_M).map(u => s"cl$u").mkString(", ")}]) AS de
+       |  FROM corp
+       |),
+       |pnrm(j, n) AS (VALUES $norms),
+       |psc AS (
+       |  SELECT c.vec_id, pnrm.j, list_dot_product(c.de, $planes) / pnrm.n AS s
+       |  FROM corpde c, pnrm
+       |),
+       |passign AS (
+       |  SELECT vec_id, list FROM (
+       |    SELECT vec_id, j AS list,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, j DESC) AS pr
+       |    FROM psc
+       |  ) WHERE pr = 1
+       |),
+       |pscq AS (
+       |  SELECT e.vec_id, pnrm.j,
+       |         list_dot_product(e.embedding::DOUBLE[], $planes) / pnrm.n AS s
+       |  FROM embeddings e, pnrm WHERE e.vec_id % 25 = 0
+       |),
+       |pprobes AS (
+       |  SELECT vec_id, list FROM (
+       |    SELECT vec_id, j AS list,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, j DESC) AS pr
+       |    FROM pscq
+       |  ) WHERE pr <= 4
+       |),
+       |pq_q AS (
+       |  SELECT e.vec_id AS query_id, e.embedding::DOUBLE[] AS qe, p.list
+       |  FROM embeddings e JOIN pprobes p ON e.vec_id = p.vec_id
+       |),
+       |pscored AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |         list_dot_product(q.qe, c.de) /
+       |           (sqrt(list_dot_product(q.qe, q.qe)) *
+       |            sqrt(list_dot_product(c.de, c.de))) AS cos
+       |  FROM corpde c
+       |  JOIN passign a ON c.vec_id = a.vec_id
+       |  JOIN pq_q q ON q.list = a.list AND q.query_id != c.vec_id
+       |),
+       |prk AS (
+       |  SELECT query_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS rank
+       |  FROM pscored
+       |),
+       |ivf_pq AS (SELECT query_id, neighbor_id FROM prk WHERE rank <= 10)""".stripMargin
   }
 
   private def cosineTopkSql: String =

@@ -583,9 +583,21 @@ object Similarity {
     require(nprobe >= 1 && nprobe <= centroids.length, "nprobe must be in [1, nlist]")
     val d0 = ranges.length
     require(centroids.forall(_.length == d0), s"centroid dims must all be $d0")
-    val de = dequantInt8(col("codes"), ranges)
-    // one projection computes decode + norm + assignment; whole-stage
-    // codegen's subexpression elimination evaluates the decode once
+    ivfSearchDecoded(codes, dequantInt8(col("codes"), ranges),
+      queries, centroids, k, nprobe)
+  }
+
+  /** The shared IVF-over-a-decoded-index search: `de` reconstructs
+    * each corpus row's vector from its compressed form (int8 midpoint
+    * decode, PQ blockwise centroids, ...) as a pure map-side
+    * expression; routing, probing and asymmetric scoring are then
+    * identical across code formats. One projection computes decode +
+    * norm + assignment — whole-stage codegen's subexpression
+    * elimination evaluates the decode once.
+    */
+  private def ivfSearchDecoded(codes: DataFrame, de: Column, queries: DataFrame,
+                               centroids: Array[Array[Double]],
+                               k: Int, nprobe: Int): DataFrame = {
     val cScores = ivfScoresFor(centroids, col("de"))
     val c = codes.select(col("vec_id").as("neighbor_id"), de.as("de"))
       .select(col("neighbor_id"), col("de"),
@@ -606,6 +618,32 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Blockwise-centroid reconstruction from the m PQ code columns —
+    * the PQ analog of `dequantInt8`, a flatten of per-sub-space
+    * lookups into plan-literal codebooks.
+    */
+  def pqDecode(codebooks: Array[Array[Array[Double]]]): Column =
+    flatten(array(codebooks.zipWithIndex.map { case (cb, u) =>
+      element_at(typedLit(cb), col(s"c$u") + 1)
+    }: _*))
+
+  /** IVF search over the PQ codes table — the bucketed scale path for
+    * the 64x-compressed index (brute-force ADC in `pqTopK` is the
+    * recall ceiling; this adds the nprobe/nlist dial on top). List
+    * assignment routes on the blockwise reconstruction, so the index
+    * is self-contained: neither routing nor scoring ever reads the
+    * float corpus.
+    */
+  def ivfTopKPq(codes: DataFrame, queries: DataFrame,
+                centroids: Array[Array[Double]],
+                codebooks: Array[Array[Array[Double]]],
+                k: Int = 10, nprobe: Int = 4): DataFrame = {
+    require(nprobe >= 1 && nprobe <= centroids.length, "nprobe must be in [1, nlist]")
+    val d0 = codebooks.map(_(0).length).sum
+    require(centroids.forall(_.length == d0), s"centroid dims must all be $d0")
+    ivfSearchDecoded(codes, pqDecode(codebooks), queries, centroids, k, nprobe)
   }
 
   // ------------------------------------------------------------------
