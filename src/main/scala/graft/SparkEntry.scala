@@ -239,14 +239,15 @@ object SparkEntry {
     * Pure projection, so the same expression composes under
     * readStream unchanged.
     */
+  private def piiInjectExpr: org.apache.spark.sql.Column =
+    when(col("doc_id") % 10 === 0,
+      concat(col("text"), lit(" reach user"), col("doc_id").cast("string"),
+        lit("@example.com or 10.20."),
+        (col("doc_id") % 200 + 1).cast("string"),
+        lit(".7 acct 90210"), col("doc_id").cast("string"), lit("1 done")))
+      .otherwise(col("text"))
   private def piiInjected(d: DataFrame): DataFrame =
-    d.select(col("doc_id"), col("lang"),
-      when(col("doc_id") % 10 === 0,
-        concat(col("text"), lit(" reach user"), col("doc_id").cast("string"),
-          lit("@example.com or 10.20."),
-          (col("doc_id") % 200 + 1).cast("string"),
-          lit(".7 acct 90210"), col("doc_id").cast("string"), lit("1 done")))
-        .otherwise(col("text")).as("text"))
+    d.select(col("doc_id"), col("lang"), piiInjectExpr.as("text"))
 
   /** Degenerate dedup fixture: the first 10 documents plus 50 clones
     * of doc 0's text (doc_ids 1000-1049) — a boilerplate cluster that
@@ -1202,6 +1203,98 @@ object SparkEntry {
         .toDF("doc_id", "n_shingles", "hits", "overlap", "contaminated")
       runToMemorySink(flagged, "stream_decontaminate", "append")
     }),
+    "q_stream_curate" -> ((s, dir) => {
+      // the FULL admission pipeline ON THE STREAM: every arriving
+      // corpus document gets the identical decision q_curate_pipeline
+      // computes in batch (same oracle), from one linear streaming
+      // plan — no stream-stream join, no fixpoint. Per-row work:
+      // inject/redact/quality/mix as pure projections (the batch
+      // expressions verbatim); contamination + repetition gates +
+      // band keys in ONE typed kernel (broadcast benchmark set, the
+      // q_stream_decontaminate pattern, at the strict 70% bar); then
+      // two stream-static joins against the persisted band/components
+      // tables and one grouped min — the q_stream_admit shape, whose
+      // band-mates-share-components argument makes the keep decision
+      // provably equal to the batch coalesce(component, doc_id) test.
+      // Mix thresholds are TRAINED on the static scrubbed corpus
+      // (identical counts to the batch stage) and applied as literal
+      // compares per arriving row.
+      import graft.streaming.StreamingOps._
+      val bandTable = persistedBandTable(s, dir)
+      val compTable = persistedComponentsTable(s, dir)
+      val thresholds = Sampling.mixThresholds(redactedCorpus(s, dir), col("lang"), MIX_WEIGHTS)
+      val probes = documentsStream(s, dir).filter(col("doc_id") % 97 =!= 0)
+      val sc = probes.sparkSession
+      import sc.implicits._
+      val benchSet = sc.sparkContext.broadcast(
+        Dedup.shingleHashes(Dedup.shingles(
+            sc.read.parquet(s"$dir/documents.parquet").filter(col("doc_id") % 97 === 0),
+            distinct = false))
+          .select(col("h1")).distinct().as[Long].collect().toSet)
+      val sigs = TextAnalysis.redactPii(probes.withColumn("itext", piiInjectExpr),
+          textCol = "itext", keep = Seq("lang", "text"))
+        .select(col("doc_id").cast("long"), col("lang"), col("text"),
+          (col("n_email") + col("n_ip") + col("n_num")).cast("long").as("n_pii"),
+          round(TextAnalysis.qualityScore(col("redacted")) + 1e-7, 4).as("quality"),
+          Sampling.mixAdmitExpr(col("lang"), col("doc_id"), "mix1", thresholds)
+            .as("mix_admitted"),
+          col("redacted"))
+      val banded = sigs
+        .as[(Long, String, String, Long, Double, Boolean, String)]
+        .flatMap { case (id, lang, text, npii, q, mix, redacted) =>
+          if (text == null) Seq.empty
+          else {
+            val sh = Dedup.shingleH1sOf(text)
+            val hits = sh.count(benchSet.value.contains)
+            val contaminated = if (hits * 10 >= 7 * sh.size) 1 else 0
+            // repetition gates on the REDACTED text, replaying the
+            // batch tokenization per row (trim/lower/\s+ split;
+            // exact integer counts, one IEEE division per ratio)
+            val toks = redacted.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+            val uni = new scala.collection.mutable.HashMap[String, Long]
+            toks.foreach(t => uni.update(t, uni.getOrElse(t, 0L) + 1L))
+            val nTokens = toks.length.toLong
+            val dr = uni.size.toDouble / nTokens
+            val ttf = uni.values.max.toDouble / nTokens
+            val repOk = dr >= 0.35 && ttf <= 0.15 && (toks.length < 2 || {
+              val bi = new scala.collection.mutable.HashMap[String, Long]
+              var i = 0
+              while (i < toks.length - 1) {
+                val g = toks(i) + " " + toks(i + 1)
+                bi.update(g, bi.getOrElse(g, 0L) + 1L)
+                i += 1
+              }
+              bi.values.max.toDouble / (toks.length - 1) <= 0.25
+            })
+            Dedup.bandKeysOf(text).map { case (b, sg) =>
+              (id, lang, contaminated, npii, q, repOk, mix, b, sg)
+            }
+          }
+        }
+        .toDF("doc_id", "lang", "contaminated", "n_pii", "quality",
+          "rep_ok", "mix_admitted", "band", "sig")
+      val bands = sc.table(bandTable)
+        .select(col("doc_id").as("partner"), col("band"), col("sig"))
+      val comps = sc.table(compTable)
+        .select(col("doc_id").as("partner"), col("component"))
+      val grouped = banded
+        .join(bands, Seq("band", "sig"))
+        .join(comps, Seq("partner"), "left")
+        .select(col("doc_id"), col("lang"), col("contaminated"), col("n_pii"),
+          col("quality"), col("rep_ok"), col("mix_admitted"),
+          coalesce(col("component"), col("partner")).as("pcluster"))
+        .groupBy("doc_id", "lang", "contaminated", "n_pii", "quality",
+          "rep_ok", "mix_admitted")
+        .agg(min("pcluster").as("cluster"))
+      val keepC = col("doc_id") === col("cluster")
+      val qOk = col("quality") >= 0.5
+      val out = grouped.select(col("doc_id"), col("lang"), col("contaminated"),
+        keepC.as("keep"), col("n_pii"), col("quality"),
+        qOk.as("quality_ok"), col("rep_ok"), col("mix_admitted"),
+        (col("contaminated") === 0 && keepC && qOk && col("rep_ok") &&
+          col("mix_admitted")).as("admitted"))
+      runToMemorySink(out, "stream_curate", "complete")
+    }),
     "q_movrms_time" -> ((s, dir) =>
       Signal(evUniform(s, dir)).movRms(7200.0).df
         .select(col("channel"), col("t"), round(col("v"), 6).as("v"))),
@@ -2036,6 +2129,9 @@ object SparkEntry {
     "q_bpe_merges" -> bpeMergesSql,
     "q_mix_resample" -> mixResampleSql,
     "q_curate_pipeline" -> curatePipelineSql,
+    // bounded stream ≡ batch: the streaming admission pipeline shares
+    // the batch composition's oracle
+    "q_stream_curate" -> curatePipelineSql,
     "q_tfidf_topk" ->
       s"""WITH $TERM_COUNTS,
          |dfreq AS (SELECT term, count(*) AS df FROM tc GROUP BY term),

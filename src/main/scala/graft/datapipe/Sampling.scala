@@ -84,6 +84,19 @@ object Sampling {
     */
   def mixResample(df: DataFrame, group: Column, key: Column, salt: String,
                   weights: Map[String, Long]): DataFrame = {
+    val thresholds = mixThresholds(df, group, weights)
+    df.filter(group.isInCollection(thresholds.map(_._1)))
+      .withColumn("admitted", mixAdmitExpr(group, key, salt, thresholds))
+  }
+
+  /** The trained half of `mixResample`: exact integer admission
+    * thresholds per group from the input's group counts (one tiny
+    * collected aggregate). Exposed so a STREAMING admission path can
+    * train on the static corpus and apply the identical map-side
+    * decision per arriving row.
+    */
+  def mixThresholds(df: DataFrame, group: Column,
+                    weights: Map[String, Long]): Seq[(String, Long)] = {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       "weights must be positive")
     val counts = df.select(group.cast("string").as("g")).groupBy("g").count()
@@ -97,14 +110,21 @@ object Sampling {
       if (cmp < 0 || (cmp == 0 && a < b)) a else b
     }
     val two52 = BigInt(1) << 52
-    val thresholds = present.map { g =>
+    present.map { g =>
       g -> (two52 * counts(m) * weights(g) / (BigInt(weights(m)) * counts(g))).toLong
     }
+  }
+
+  /** The apply half: a pure map-side Long comparison of the salted
+    * 52-bit hash against the group's plan-literal threshold. Composes
+    * unchanged under readStream.
+    */
+  def mixAdmitExpr(group: Column, key: Column, salt: String,
+                   thresholds: Seq[(String, Long)]): Column = {
     val thresholdExpr = thresholds.foldLeft(lit(-1L): Column) {
       case (els, (g, th)) => when(group === g, lit(th)).otherwise(els)
     }
-    df.filter(group.isInCollection(present))
-      .withColumn("admitted", saltedHash(key, salt) < thresholdExpr)
+    saltedHash(key, salt) < thresholdExpr
   }
 
   /** Exactly k rows per group, chosen by hash order — a deterministic
