@@ -1,0 +1,71 @@
+package graft.signal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.IdeSource
+
+/** The reference's enDAQ file surface over the native `.ide` DSv2
+  * source — `Endaq` / `EndaqChannel` (`io.py:160-301`) re-expressed
+  * as DataFrames:
+  *
+  *  - `channelList` ≡ `Endaq.channel_list` (`io.py:175-184`): every
+  *    subchannel display name, channel-definition order.
+  *  - `getChannel` ≡ `Endaq.get_channel` (`io.py:208-239`): resolve a
+  *    subchannel BY NAME, raising if absent, and return its
+  *    (name, unit, t, v) series — the 5-tuple a `Channel` carries.
+  *    The name→id resolution happens on the driver against the
+  *    header; the data scan then pushes `ch = id` into the source,
+  *    where it prunes whole blocks (visible as `blocks=k/n` in the
+  *    plan).
+  *  - `startTimes` ≡ `EndaqChannel.start_time` (`io.py:249-254`):
+  *    per-subchannel absolute first-sample time, epoch microseconds
+  *    (UTC, the reference's tz="utc" + naive index).
+  */
+object Ide {
+
+  /** All samples: (ch, sub, t, v), t in seconds since the recording
+    * origin — `to_pandas(time_mode="seconds")` (`io.py:256-261`).
+    */
+  def read(spark: SparkSession, path: String, partitionBytes: Long = 128L << 20): DataFrame =
+    spark.read.format(IdeSource.NAME)
+      .option("partitionBytes", partitionBytes).load(path)
+
+  /** Header as a table: one row per (channel, subchannel). */
+  def channels(spark: SparkSession, path: String): DataFrame =
+    spark.read.format(IdeSource.NAME).option("mode", "channels").load(path)
+
+  def channelList(spark: SparkSession, path: String): DataFrame =
+    channels(spark, path).select(col("sub_name").as("name"), col("unit"))
+
+  /** One subchannel by display name; error-if-absent per the
+    * reference contract. Block pruning makes this read only the
+    * resolved channel's bytes.
+    */
+  def getChannel(spark: SparkSession, path: String, name: String): DataFrame = {
+    val meta = IdeSource.readMeta(path)
+    val hit = (for {
+      c <- meta.channels
+      (s, i) <- c.subs.zipWithIndex
+      if s.name == name
+    } yield (c.id, i, s.unit)).headOption
+    val (chId, subId, unit) = hit.getOrElse(
+      throw new IllegalArgumentException(s"Channel does not exist: $name"))
+    read(spark, path)
+      .filter(col("ch") === chId && col("sub") === subId)
+      .select(lit(name).as("name"), lit(unit).as("unit"), col("t"), col("v"))
+  }
+
+  /** Per-subchannel absolute start time in epoch microseconds:
+    * TimeBaseUTC + the subchannel's first block timecode.
+    */
+  def startTimes(spark: SparkSession, path: String): DataFrame = {
+    val t0 = IdeSource.readMeta(path).timeBaseUs
+    read(spark, path)
+      .groupBy(col("ch"), col("sub"))
+      .agg(min(col("t")).as("t_first"))
+      .join(broadcast(channels(spark, path)), Seq("ch", "sub"))
+      .select(col("sub_name").as("name"),
+        (lit(t0) + (col("t_first") * 1e6).cast("long")).as("start_us"))
+  }
+}

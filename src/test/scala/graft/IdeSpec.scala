@@ -1,0 +1,175 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.signal.Ide
+import graft.sources.{Ebml, IdeSink, IdeSource, MideSchema}
+
+/** Native `.ide` (MIDE-style EBML) connector: the writer/reader
+  * round-trip, multi-subchannel interleaving, int16 calibration,
+  * channel-filter block pruning, header metadata, and the EBML
+  * layer's VINT edge cases. Reference surface: `Endaq` /
+  * `EndaqChannel` (`io.py:160-301`).
+  */
+class IdeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmpIde(prefix: String): String = {
+    val f = File.createTempFile(s"graft_$prefix", ".ide")
+    f.deleteOnExit()
+    f.getAbsolutePath
+  }
+
+  private def sine(n: Int, f: Double): Array[Array[Double]] =
+    Array.tabulate(n)(i => Array(math.sin(2 * math.Pi * f * i / n)))
+
+  test("EBML VINT sizes round-trip across length boundaries") {
+    for (v <- Seq(0L, 1L, 126L, 127L, 128L, 16382L, 16383L, 16384L, (1L << 21) - 2, 1L << 21,
+                  (1L << 28) - 2, 1L << 28, 1L << 35)) {
+      val b = java.nio.ByteBuffer.wrap(Ebml.sizeBytes(v))
+      assert(Ebml.readSize(b) === v, s"size $v")
+      assert(!b.hasRemaining, s"size $v left bytes")
+    }
+    // IDs keep their marker bits verbatim
+    for (id <- Seq(0xA1L, 0xB3L, 0x4282L, 0x6334L, 0x1A45DFA3L)) {
+      val b = java.nio.ByteBuffer.wrap(Ebml.idBytes(id))
+      assert(Ebml.readId(b) === id, s"id 0x${id.toHexString}")
+    }
+  }
+
+  test("float64 round-trip: multi-channel, multi-block, bit-exact") {
+    val path = tmpIde("rt")
+    val a = sine(700, 3.0)
+    val b = sine(500, 5.0)
+    IdeSink.write(path, 1700000000000000L, Seq(
+      IdeSink.Ch(0, "accel", 1000.0, MideSchema.FmtFloat64,
+        Seq(IdeSink.Sub("ax", "g")), a, blockFrames = 256),
+      IdeSink.Ch(1, "mic", 1000.0, MideSchema.FmtFloat64,
+        Seq(IdeSink.Sub("pressure", "Pa")), b, blockFrames = 200)))
+
+    val back = Ide.read(spark, path).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+    assert(back.length === 1200)
+    val byCh = back.groupBy(_._1)
+    val gotA = byCh(0).sortBy(_._3)
+    assert(gotA.map(_._4).sameElements(a.map(_(0))), "channel 0 values bit-exact")
+    // constant-rate writer: integer-microsecond grid, t = k/1000 s
+    assert(gotA.zipWithIndex.forall { case ((_, _, t, _), k) => t == k / 1000.0 * 1.0 },
+      "channel 0 times on the exact 1 kHz grid")
+    val gotB = byCh(1).sortBy(_._3)
+    assert(gotB.map(_._4).sameElements(b.map(_(0))), "channel 1 values bit-exact")
+  }
+
+  test("interleaved subchannels decode frame-major with per-sub calibration") {
+    val path = tmpIde("xyz")
+    // 3-axis block: frame i carries (x, y, z) back to back
+    val frames = Array.tabulate(10)(i => Array(i * 1.0, i * 10.0, i * 100.0))
+    IdeSink.write(path, 0L, Seq(
+      IdeSink.Ch(8, "xyz", 100.0, MideSchema.FmtFloat64,
+        Seq(IdeSink.Sub("x", "g"), IdeSink.Sub("y", "g"), IdeSink.Sub("z", "g")),
+        frames, blockFrames = 4)))
+    val got = Ide.read(spark, path).collect()
+      .map(r => (r.getInt(1), r.getDouble(2), r.getDouble(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(got(0) === (0 until 10).map(_ * 1.0))
+    assert(got(1) === (0 until 10).map(_ * 10.0))
+    assert(got(2) === (0 until 10).map(_ * 100.0))
+  }
+
+  test("int16 payload applies the linear calibration on read") {
+    val path = tmpIde("i16")
+    // raw counts quantize: stored raw = round((v-b)/a); read v' = a*raw + b
+    val vals = Array(-4.0, -0.25, 0.0, 0.5, 1.0, 3.75)
+    val (calA, calB) = (0.25, 0.5)
+    IdeSink.write(path, 0L, Seq(
+      IdeSink.Ch(2, "temp", 10.0, MideSchema.FmtInt16,
+        Seq(IdeSink.Sub("t", "degC", calA, calB)), vals.map(Array(_)), blockFrames = 4)))
+    val got = Ide.read(spark, path).orderBy("t").collect().map(_.getDouble(3))
+    val expected = vals.map(v => calA * math.round((v - calB) / calA) + calB)
+    assert(got.sameElements(expected))
+  }
+
+  test("channel equality filter prunes whole blocks at planning time") {
+    val path = tmpIde("prune")
+    IdeSink.write(path, 0L, Seq(
+      IdeSink.Ch(0, "a", 1000.0, MideSchema.FmtFloat64,
+        Seq(IdeSink.Sub("a0", "u")), sine(600, 2.0), blockFrames = 100), // 6 blocks
+      IdeSink.Ch(1, "b", 1000.0, MideSchema.FmtFloat64,
+        Seq(IdeSink.Sub("b0", "u")), sine(300, 2.0), blockFrames = 100))) // 3 blocks
+    val df = Ide.read(spark, path).filter(col("ch") === 1)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("blocks=3/9"), s"expected pruned block count in plan:\n$plan")
+    assert(df.count() === 300)
+    // pruning is exact — same rows as a post-scan filter
+    val full = Ide.read(spark, path).collect().count(_.getInt(0) == 1)
+    assert(full === 300)
+  }
+
+  test("partitionBytes splits a scan into block groups") {
+    val path = tmpIde("split")
+    IdeSink.write(path, 0L, Seq(
+      IdeSink.Ch(0, "a", 1000.0, MideSchema.FmtFloat64,
+        Seq(IdeSink.Sub("a0", "u")), sine(1000, 2.0), blockFrames = 100))) // 10×800-byte blocks
+    val df = Ide.read(spark, path, partitionBytes = 1600)
+    assert(df.rdd.getNumPartitions === 5, "two 800-byte blocks per 1600-byte partition")
+    assert(df.count() === 1000)
+  }
+
+  test("channelList and getChannel mirror the reference surface") {
+    val path = tmpIde("api")
+    IdeSink.write(path, 1700000000000000L, Seq(
+      IdeSink.Ch(0, "accel", 1000.0, MideSchema.FmtFloat64,
+        Seq(IdeSink.Sub("ax", "g"), IdeSink.Sub("ay", "g")), sine(50, 1.0).map(r => Array(r(0), -r(0))), blockFrames = 50),
+      IdeSink.Ch(1, "mic", 2000.0, MideSchema.FmtFloat64,
+        Seq(IdeSink.Sub("pressure", "Pa")), sine(40, 1.0), blockFrames = 50)))
+    assert(Ide.channelList(spark, path).collect().map(r => (r.getString(0), r.getString(1)))
+      === Array(("ax", "g"), ("ay", "g"), ("pressure", "Pa")))
+    val ay = Ide.getChannel(spark, path, "ay").orderBy("t").collect()
+    assert(ay.length === 50)
+    assert(ay.forall(r => r.getString(0) == "ay" && r.getString(1) == "g"))
+    assert(ay.map(_.getDouble(3)).sameElements(sine(50, 1.0).map(r => -r(0))))
+    val err = intercept[IllegalArgumentException](Ide.getChannel(spark, path, "nope"))
+    assert(err.getMessage.contains("Channel does not exist"))
+    // start_time: TimeBaseUTC + first sample offset (io.py:249-254)
+    val starts = Ide.startTimes(spark, path).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(starts("pressure") === 1700000000000000L)
+  }
+
+  test("unknown elements are skipped (EBML forward compatibility)") {
+    val path = tmpIde("fwd")
+    IdeSink.write(path, 0L, Seq(
+      IdeSink.Ch(0, "a", 1000.0, MideSchema.FmtFloat64,
+        Seq(IdeSink.Sub("a0", "u")), sine(20, 1.0), blockFrames = 20)))
+    // splice an unrecognized top-level element between header and data
+    val bytes = Files.readAllBytes(new File(path).toPath)
+    val stray = Ebml.element(0xEC, Array.fill[Byte](37)(0x55)) // Void-style padding
+    val hdrEnd = {
+      val b = java.nio.ByteBuffer.wrap(bytes)
+      Ebml.readId(b); val sz = Ebml.readSize(b); b.position() + sz.toInt
+    }
+    val spliced = bytes.take(hdrEnd) ++ stray ++ bytes.drop(hdrEnd)
+    val p2 = tmpIde("fwd2")
+    Files.write(new File(p2).toPath, spliced)
+    assert(Ide.read(spark, p2).count() === 20)
+  }
+
+  test("a non-mide EBML file is rejected up front") {
+    val p = tmpIde("bad")
+    Files.write(new File(p).toPath,
+      Ebml.master(MideSchema.EbmlHeader, Ebml.utf8Element(MideSchema.DocType, "matroska")))
+    val err = intercept[IllegalArgumentException](IdeSource.readMeta(p))
+    assert(err.getMessage.contains("not an ide recording"))
+  }
+}
