@@ -78,6 +78,9 @@ object SparkEntry {
     docCountCache.keys.filter(_._1 eq s).foreach(docCountCache.remove)
     quantRangesCache.keys.filter(_._1 eq s).foreach(quantRangesCache.remove)
     pqCache.keys.filter(_._1 eq s).foreach(pqCache.remove)
+    ideFixtureCache.keys.filter(_._1 eq s).foreach { k =>
+      ideFixtureCache.remove(k).foreach(p => new java.io.File(p).delete())
+    }
     evictionInstalled.remove(s)
   }
 
@@ -94,6 +97,33 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def evUniform(s: SparkSession, dir: String): DataFrame =
     memo(uniformCache, s, dir)(Interp.resample(ev(s, dir), 1.0 / 3600.0, "linear").cache())
+
+  /** The native `.ide` fixture: every uniform channel sunk once per
+    * (session, dir) through [[graft.sources.IdeSink]] at a 1 kHz
+    * frame re-index (the WAV-roundtrip convention), multi-block so
+    * the read path exercises block-group splits and pruning. Channel
+    * ids are assigned in sorted-name order; units derive from the
+    * name so the DuckDB oracle can reproduce them.
+    */
+  private val ideFixtureCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def ideFixture(s: SparkSession, dir: String): String =
+    ideFixtureCache.getOrElseUpdate((s, dir), {
+      val byCh = evUniform(s, dir)
+        .orderBy("channel", "t")
+        .select(col("channel"), col("v").cast("double"))
+        .collect()
+        .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1))).toMap
+      val chans = byCh.keys.toSeq.sorted.zipWithIndex.map { case (name, id) =>
+        graft.sources.IdeSink.Ch(id, name, 1000.0, graft.sources.MideSchema.FmtFloat64,
+          Seq(graft.sources.IdeSink.Sub(name, s"${name}_u")),
+          byCh(name).map(Array(_)), blockFrames = 256)
+      }
+      val f = java.io.File.createTempFile("graft_bench_", ".ide")
+      f.deleteOnExit()
+      graft.sources.IdeSink.write(f.getAbsolutePath, 1700000000000000L, chans)
+      f.getAbsolutePath
+    })
 
   /** The default Welch sub-PSD table (432000 s hann windows over the
     * uniform grid), cached per (session, dir): five summarize modes
@@ -1070,6 +1100,22 @@ object SparkEntry {
       s.read.format(graft.sources.WavSource.NAME).option("partitionFrames", 4096L)
         .load(tmp.getAbsolutePath).filter(col("ch") === 0)
     }),
+    "k_ide_roundtrip" -> ((s, dir) => {
+      // sink every uniform channel to a native .ide recording, read
+      // it back through the DSv2 source with block-group partition
+      // splits; float64 payloads make the round-trip bit-exact
+      val path = ideFixture(s, dir)
+      graft.signal.Ide.read(s, path, partitionBytes = 8192)
+        .join(broadcast(graft.signal.Ide.channels(s, path)), Seq("ch", "sub"))
+        .select(col("name"), col("t"), col("v"))
+    }),
+    "q_ide_channel_list" -> ((s, dir) =>
+      // Endaq.channel_list over the native format (io.py:175-184)
+      graft.signal.Ide.channelList(s, ideFixture(s, dir))),
+    "q_ide_get_channel" -> ((s, dir) =>
+      // Endaq.get_channel by display name (io.py:208-239); the pushed
+      // ch filter prunes every other channel's blocks at planning
+      graft.signal.Ide.getChannel(s, ideFixture(s, dir), "click")),
     "q_stream_sessions" -> ((s, dir) => {
       // streaming sessionization: native session_window state merged
       // across micro-batches; complete mode emits every closed-and-open
@@ -1904,6 +1950,23 @@ object SparkEntry {
     "k_wav_roundtrip" ->
       s"""WITH ${uniformSql(3600.0)}
          |SELECT CAST(0 AS INT) AS ch,
+         |       CAST(row_number() OVER (ORDER BY t) - 1 AS DOUBLE) / 1000 AS t, v
+         |FROM u WHERE channel = 'click'""".stripMargin,
+
+    // -- native .ide roundtrip: float64 blocks on a constant-rate
+    // writer land samples on the exact integer-microsecond 1 kHz
+    // grid, so read-back t is (rn-1)/1000 bit-exactly --
+    "k_ide_roundtrip" ->
+      s"""WITH ${uniformSql(3600.0)}
+         |SELECT channel AS name,
+         |       CAST(row_number() OVER (PARTITION BY channel ORDER BY t) - 1 AS DOUBLE)
+         |         / 1000 AS t, v
+         |FROM u""".stripMargin,
+    "q_ide_channel_list" ->
+      "SELECT DISTINCT event_type AS name, event_type || '_u' AS unit FROM events",
+    "q_ide_get_channel" ->
+      s"""WITH ${uniformSql(3600.0)}
+         |SELECT 'click' AS name, 'click_u' AS unit,
          |       CAST(row_number() OVER (ORDER BY t) - 1 AS DOUBLE) / 1000 AS t, v
          |FROM u WHERE channel = 'click'""".stripMargin,
 

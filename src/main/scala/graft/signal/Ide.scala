@@ -26,6 +26,8 @@ object Ide {
 
   /** All samples: (ch, sub, t, v), t in seconds since the recording
     * origin — `to_pandas(time_mode="seconds")` (`io.py:256-261`).
+    * `path` may be a directory of rollover files: t is continuous
+    * across files on the earliest file's clock.
     */
   def read(spark: SparkSession, path: String, partitionBytes: Long = 128L << 20): DataFrame =
     spark.read.format(IdeSource.NAME)
@@ -43,7 +45,7 @@ object Ide {
     * resolved channel's bytes.
     */
   def getChannel(spark: SparkSession, path: String, name: String): DataFrame = {
-    val meta = IdeSource.readMeta(path)
+    val meta = IdeSource.readMultiMeta(IdeSource.resolveFiles(path))
     val hit = (for {
       c <- meta.channels
       (s, i) <- c.subs.zipWithIndex
@@ -60,7 +62,7 @@ object Ide {
     * TimeBaseUTC + the subchannel's first block timecode.
     */
   def startTimes(spark: SparkSession, path: String): DataFrame = {
-    val t0 = IdeSource.readMeta(path).timeBaseUs
+    val t0 = IdeSource.readMultiMeta(IdeSource.resolveFiles(path)).timeBaseUs
     read(spark, path)
       .groupBy(col("ch"), col("sub"))
       .agg(min(col("t")).as("t_first"))

@@ -79,10 +79,50 @@ object IdeSource {
   final case class SubMeta(name: String, unit: String, calA: Double, calB: Double)
   final case class ChMeta(id: Int, name: String, sr: Double, fmt: Int, subs: Seq[SubMeta])
   final case class BlockMeta(ch: Int, startUs: Long, endUs: Long,
-                             payloadOffset: Long, payloadLen: Long)
+                             payloadOffset: Long, payloadLen: Long, fileIdx: Int = 0)
   final case class IdeMeta(timeBaseUs: Long, channels: Seq[ChMeta], blocks: Seq[BlockMeta]) {
     def channel(id: Int): ChMeta = channels.find(_.id == id).getOrElse(
       throw new IllegalArgumentException(s"data block references undefined channel $id"))
+  }
+
+  /** Resolve a load path to the recording's file list: a directory
+    * means every `*.ide` inside, name-sorted — the rollover layout an
+    * enDAQ-style logger produces (one recording split across files).
+    */
+  def resolveFiles(path: String): Seq[String] = {
+    val f = new java.io.File(path)
+    if (f.isDirectory) {
+      val files = Option(f.listFiles()).getOrElse(Array.empty)
+        .filter(x => x.isFile && x.getName.endsWith(".ide"))
+        .map(_.getAbsolutePath).sorted.toSeq
+      require(files.nonEmpty, s"$path: no .ide files in directory")
+      files
+    } else Seq(path)
+  }
+
+  /** Merge per-file metadata into one logical recording: the origin
+    * is the EARLIEST file's TimeBaseUTC and every block timecode is
+    * shifted onto that shared clock, so `t` is continuous across a
+    * rollover. Channel definitions must agree wherever the same id
+    * appears (one device configuration per recording — differing
+    * defs under one id would silently mis-decode payloads, so that is
+    * an error, not a merge).
+    */
+  def readMultiMeta(files: Seq[String]): IdeMeta = {
+    val metas = files.map(readMeta)
+    val origin = metas.map(_.timeBaseUs).min
+    val chans = scala.collection.mutable.LinkedHashMap.empty[Int, ChMeta]
+    for ((m, f) <- metas.zip(files); c <- m.channels) chans.get(c.id) match {
+      case None => chans(c.id) = c
+      case Some(prev) => require(prev == c,
+        s"$f: channel ${c.id} definition conflicts with an earlier file")
+    }
+    val blocks = metas.zipWithIndex.flatMap { case (m, i) =>
+      val shift = m.timeBaseUs - origin
+      m.blocks.map(b => b.copy(startUs = b.startUs + shift, endUs = b.endUs + shift,
+        fileIdx = i))
+    }
+    IdeMeta(origin, chans.values.toSeq, blocks)
   }
 
   /** Driver-side metadata walk: EBML header, recording properties,
@@ -218,9 +258,10 @@ class IdeScanBuilder(path: String, mode: String, partitionBytes: Long)
 
 /** Per-partition work unit: a run of data blocks plus the per-block
   * decode parameters (format, subchannel calibrations) resolved at
-  * planning so tasks never re-read the recording header.
+  * planning so tasks never re-read the recording header. `files` is
+  * the resolved multi-file list; blocks index into it.
   */
-final case class IdeBlockPart(path: String, blocks: Seq[IdeSource.BlockMeta],
+final case class IdeBlockPart(files: Seq[String], blocks: Seq[IdeSource.BlockMeta],
                               fmt: Map[Int, Int], calA: Map[Int, Array[Double]],
                               calB: Map[Int, Array[Double]]) extends InputPartition
 
@@ -228,7 +269,8 @@ final case class IdeChannelsPart(path: String) extends InputPartition
 
 class IdeScan(path: String, mode: String, partitionBytes: Long, chFilter: Option[Set[Int]])
     extends Scan with Batch {
-  private lazy val meta = IdeSource.readMeta(path)
+  private lazy val files = IdeSource.resolveFiles(path)
+  private lazy val meta = IdeSource.readMultiMeta(files)
 
   override def readSchema(): StructType =
     if (mode == "channels") IdeSource.CHANNELS_SCHEMA else IdeSource.DATA_SCHEMA
@@ -259,13 +301,13 @@ class IdeScan(path: String, mode: String, partitionBytes: Long, chFilter: Option
     var bytes = 0L
     for (b <- prunedBlocks) {
       if (cur.nonEmpty && bytes + b.payloadLen > partitionBytes) {
-        parts += IdeBlockPart(path, cur.toSeq, fmt, calA, calB)
+        parts += IdeBlockPart(files, cur.toSeq, fmt, calA, calB)
         cur.clear(); bytes = 0L
       }
       cur += b; bytes += b.payloadLen
     }
-    if (cur.nonEmpty) parts += IdeBlockPart(path, cur.toSeq, fmt, calA, calB)
-    if (parts.isEmpty) parts += IdeBlockPart(path, Seq.empty, fmt, calA, calB)
+    if (cur.nonEmpty) parts += IdeBlockPart(files, cur.toSeq, fmt, calA, calB)
+    if (parts.isEmpty) parts += IdeBlockPart(files, Seq.empty, fmt, calA, calB)
     parts.toArray
   }
 
@@ -286,7 +328,16 @@ class IdeReaderFactory extends PartitionReaderFactory {
   * constant-rate writer), double interpolation otherwise.
   */
 class IdeBlockReader(p: IdeBlockPart) extends PartitionReader[InternalRow] {
-  private val raf = new RandomAccessFile(p.path, "r")
+  private var rafIdx = -1
+  private var raf: RandomAccessFile = _
+  private def fileFor(idx: Int): RandomAccessFile = {
+    if (idx != rafIdx) {
+      if (raf != null) raf.close()
+      raf = new RandomAccessFile(p.files(idx), "r")
+      rafIdx = idx
+    }
+    raf
+  }
   private val row = new GenericInternalRow(4)
   private var blockIdx = -1
   private var buf: ByteBuffer = _
@@ -311,8 +362,9 @@ class IdeBlockReader(p: IdeBlockPart) extends PartitionReader[InternalRow] {
     nSubs = calA.length
     val bpv = bytesPerValue(fmt)
     val bytes = new Array[Byte](b.payloadLen.toInt)
-    raf.seek(b.payloadOffset)
-    raf.readFully(bytes)
+    val f = fileFor(b.fileIdx)
+    f.seek(b.payloadOffset)
+    f.readFully(bytes)
     buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     nFrames = bytes.length / (nSubs * bpv)
     startUs = b.startUs
@@ -348,7 +400,7 @@ class IdeBlockReader(p: IdeBlockPart) extends PartitionReader[InternalRow] {
   }
 
   override def get(): InternalRow = row
-  override def close(): Unit = raf.close()
+  override def close(): Unit = if (raf != null) raf.close()
 }
 
 /** Metadata mode: the recording header as a tiny table — one row per
@@ -356,7 +408,7 @@ class IdeBlockReader(p: IdeBlockPart) extends PartitionReader[InternalRow] {
   * payloads.
   */
 class IdeChannelsReader(p: IdeChannelsPart) extends PartitionReader[InternalRow] {
-  private val meta = IdeSource.readMeta(p.path)
+  private val meta = IdeSource.readMultiMeta(IdeSource.resolveFiles(p.path))
   private val rows: Iterator[InternalRow] = meta.channels.iterator.flatMap { c =>
     c.subs.zipWithIndex.map { case (s, i) =>
       new GenericInternalRow(Array[Any](

@@ -165,6 +165,37 @@ class IdeSpec extends AnyFunSuite {
     assert(Ide.read(spark, p2).count() === 20)
   }
 
+  test("a directory of rollover files reads as one continuous recording") {
+    val dir = Files.createTempDirectory("graft_ide_fleet").toFile
+    dir.deleteOnExit()
+    // two files from the same device config; file 2's clock starts
+    // 0.5 s after file 1's — t must be continuous on file 1's origin
+    val mk = (vals: Array[Array[Double]]) =>
+      IdeSink.Ch(0, "accel", 1000.0, MideSchema.FmtFloat64,
+        Seq(IdeSink.Sub("ax", "g")), vals, blockFrames = 100)
+    IdeSink.write(s"$dir/rec_001.ide", 1700000000000000L,
+      Seq(mk(Array.tabulate(500)(i => Array(i * 1.0)))))
+    IdeSink.write(s"$dir/rec_002.ide", 1700000000500000L,
+      Seq(mk(Array.tabulate(300)(i => Array(1000.0 + i)))))
+    val got = Ide.read(spark, dir.getAbsolutePath).orderBy("t").collect()
+      .map(r => (r.getDouble(2), r.getDouble(3)))
+    assert(got.length === 800)
+    // the global 1 kHz grid: sample k at exactly (k·1000 µs)/1e6 —
+    // one correctly-rounded division, no intermediate float adds
+    assert(got.map(_._1).sameElements((0 until 800).map(k => k * 1000L / 1e6)),
+      "continuous clock across rollover")
+    assert(got(500) === ((0.5, 1000.0)))
+    // pruning and getChannel work through the directory path too
+    assert(Ide.getChannel(spark, dir.getAbsolutePath, "ax").count() === 800)
+    // conflicting channel defs under one id are an error, not a merge
+    IdeSink.write(s"$dir/rec_003.ide", 1700000001000000L,
+      Seq(IdeSink.Ch(0, "mic", 1000.0, MideSchema.FmtFloat64,
+        Seq(IdeSink.Sub("p", "Pa")), Array(Array(0.0)), blockFrames = 1)))
+    val err = intercept[IllegalArgumentException](Ide.read(spark, dir.getAbsolutePath).count())
+    assert(err.getMessage.contains("conflicts"))
+    new File(s"$dir/rec_003.ide").delete()
+  }
+
   test("a non-mide EBML file is rejected up front") {
     val p = tmpIde("bad")
     Files.write(new File(p).toPath,
