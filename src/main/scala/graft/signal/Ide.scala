@@ -33,6 +33,18 @@ object Ide {
     spark.read.format(IdeSource.NAME)
       .option("partitionBytes", partitionBytes).load(path)
 
+  /** Continuous ingestion of a recorder fleet's upload directory:
+    * each micro-batch reads the `.ide` files that arrived since the
+    * last one (name-sorted, count-offset — the standard immutable-
+    * file stream contract). Same (ch, sub, t, v) schema as `read`,
+    * with t anchored on the first file's clock so it is comparable
+    * across batches and restarts.
+    */
+  def readStream(spark: SparkSession, path: String,
+                 partitionBytes: Long = 128L << 20): DataFrame =
+    spark.readStream.format(IdeSource.NAME)
+      .option("partitionBytes", partitionBytes).load(path)
+
   /** Header as a table: one row per (channel, subchannel). */
   def channels(spark: SparkSession, path: String): DataFrame =
     spark.read.format(IdeSource.NAME).option("mode", "channels").load(path)

@@ -220,7 +220,8 @@ class IdeTable(path: String, mode: String) extends Table with SupportsRead {
   override def schema(): StructType =
     if (mode == "channels") IdeSource.CHANNELS_SCHEMA else IdeSource.DATA_SCHEMA
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    (if (mode == "channels") Set(TableCapability.BATCH_READ)
+     else Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new IdeScanBuilder(path, mode, options.getLong("partitionBytes", 128L << 20))
 }
@@ -230,9 +231,13 @@ class IdeTable(path: String, mode: String) extends Table with SupportsRead {
   * are handled EXACTLY at block grain and removed from the residual.
   */
 class IdeScanBuilder(path: String, mode: String, partitionBytes: Long)
-    extends ScanBuilder with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var chFilter: Option[Set[Int]] = None
   private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = IdeSource.DATA_SCHEMA
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    if (mode != "channels") required = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     if (mode == "channels") return filters
@@ -253,62 +258,151 @@ class IdeScanBuilder(path: String, mode: String, partitionBytes: Long)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new IdeScan(path, mode, partitionBytes, chFilter)
+  override def build(): Scan =
+    new IdeScan(path, mode, partitionBytes, chFilter, required)
 }
 
 /** Per-partition work unit: a run of data blocks plus the per-block
   * decode parameters (format, subchannel calibrations) resolved at
   * planning so tasks never re-read the recording header. `files` is
-  * the resolved multi-file list; blocks index into it.
+  * the resolved multi-file list; blocks index into it. `cols` maps
+  * the pruned output schema back to DATA_SCHEMA ordinals
+  * (0=ch, 1=sub, 2=t, 3=v).
   */
 final case class IdeBlockPart(files: Seq[String], blocks: Seq[IdeSource.BlockMeta],
                               fmt: Map[Int, Int], calA: Map[Int, Array[Double]],
-                              calB: Map[Int, Array[Double]]) extends InputPartition
+                              calB: Map[Int, Array[Double]],
+                              cols: Seq[Int]) extends InputPartition
 
 final case class IdeChannelsPart(path: String) extends InputPartition
 
-class IdeScan(path: String, mode: String, partitionBytes: Long, chFilter: Option[Set[Int]])
-    extends Scan with Batch {
+/** Shared planning logic: prune blocks on the pushed channel set,
+  * then group consecutive blocks into `partitionBytes`-sized work
+  * units. Used by both the batch scan (all blocks) and the
+  * micro-batch stream (each new file's blocks).
+  */
+object IdePlanner {
+  def plan(files: Seq[String], meta: IdeSource.IdeMeta, chFilter: Option[Set[Int]],
+           partitionBytes: Long, required: StructType): Array[InputPartition] = {
+    val fmt = meta.channels.map(c => c.id -> c.fmt).toMap
+    val calA = meta.channels.map(c => c.id -> c.subs.map(_.calA).toArray).toMap
+    val calB = meta.channels.map(c => c.id -> c.subs.map(_.calB).toArray).toMap
+    val cols = required.fieldNames.map(IdeSource.DATA_SCHEMA.fieldIndex).toSeq
+    val pruned = chFilter match {
+      case Some(keep) => meta.blocks.filter(b => keep(b.ch))
+      case None => meta.blocks
+    }
+    val parts = ArrayBuffer.empty[InputPartition]
+    val cur = ArrayBuffer.empty[IdeSource.BlockMeta]
+    var bytes = 0L
+    for (b <- pruned) {
+      if (cur.nonEmpty && bytes + b.payloadLen > partitionBytes) {
+        parts += IdeBlockPart(files, cur.toSeq, fmt, calA, calB, cols)
+        cur.clear(); bytes = 0L
+      }
+      cur += b; bytes += b.payloadLen
+    }
+    if (cur.nonEmpty) parts += IdeBlockPart(files, cur.toSeq, fmt, calA, calB, cols)
+    if (parts.isEmpty) parts += IdeBlockPart(files, Seq.empty, fmt, calA, calB, cols)
+    parts.toArray
+  }
+}
+
+class IdeScan(path: String, mode: String, partitionBytes: Long,
+              chFilter: Option[Set[Int]], required: StructType) extends Scan with Batch {
   private lazy val files = IdeSource.resolveFiles(path)
   private lazy val meta = IdeSource.readMultiMeta(files)
 
   override def readSchema(): StructType =
-    if (mode == "channels") IdeSource.CHANNELS_SCHEMA else IdeSource.DATA_SCHEMA
+    if (mode == "channels") IdeSource.CHANNELS_SCHEMA else required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
+    new IdeMicroBatchStream(path, partitionBytes, chFilter, required)
 
   // surfaced in .explain so pruning is auditable in the plan
   override def description(): String = {
     if (mode == "channels") s"ide:$path channels"
     else {
-      val kept = prunedBlocks.length
+      val kept = chFilter match {
+        case Some(keep) => meta.blocks.count(b => keep(b.ch))
+        case None => meta.blocks.length
+      }
       s"ide:$path blocks=$kept/${meta.blocks.length}" +
         chFilter.map(s => s" ch=${s.toSeq.sorted.mkString(",")}").getOrElse("")
     }
   }
 
-  private def prunedBlocks: Seq[IdeSource.BlockMeta] = chFilter match {
-    case Some(keep) => meta.blocks.filter(b => keep(b.ch))
-    case None => meta.blocks
-  }
-
   override def planInputPartitions(): Array[InputPartition] = {
     if (mode == "channels") return Array(IdeChannelsPart(path))
-    val fmt = meta.channels.map(c => c.id -> c.fmt).toMap
-    val calA = meta.channels.map(c => c.id -> c.subs.map(_.calA).toArray).toMap
-    val calB = meta.channels.map(c => c.id -> c.subs.map(_.calB).toArray).toMap
-    val parts = ArrayBuffer.empty[InputPartition]
-    val cur = ArrayBuffer.empty[IdeSource.BlockMeta]
-    var bytes = 0L
-    for (b <- prunedBlocks) {
-      if (cur.nonEmpty && bytes + b.payloadLen > partitionBytes) {
-        parts += IdeBlockPart(files, cur.toSeq, fmt, calA, calB)
-        cur.clear(); bytes = 0L
+    IdePlanner.plan(files, meta, chFilter, partitionBytes, required)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new IdeReaderFactory
+}
+
+/** Structured Streaming over a growing directory of `.ide` files —
+  * the continuous-admission shape of recorder fleets: each device
+  * uploads finished rollover files; every micro-batch ingests the
+  * newly arrived ones. The offset is simply how many files of the
+  * name-sorted listing have been processed (files are immutable once
+  * written — the standard file-stream contract), so restart recovery
+  * is a count, and `t` stays on the FIRST file's clock across
+  * batches and restarts (the first name-sorted file never changes
+  * once the stream has data).
+  */
+class IdeMicroBatchStream(path: String, partitionBytes: Long,
+                          chFilter: Option[Set[Int]], required: StructType)
+    extends streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class FileCountOffset(n: Int) extends Offset {
+    override def json(): String = n.toString
+  }
+
+  private def listFiles(): Seq[String] = {
+    val f = new java.io.File(path)
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty)
+        .filter(x => x.isFile && x.getName.endsWith(".ide"))
+        .map(_.getAbsolutePath).sorted.toSeq
+    else if (f.isFile) Seq(path)
+    else Seq.empty // not created yet — a stream may start before data
+  }
+
+  override def initialOffset(): Offset = FileCountOffset(0)
+  override def latestOffset(): Offset = FileCountOffset(listFiles().length)
+  override def deserializeOffset(json: String): Offset = FileCountOffset(json.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[FileCountOffset].n, end.asInstanceOf[FileCountOffset].n)
+    val all = listFiles()
+    require(all.length >= e, s"$path: files disappeared under the stream (${all.length} < $e)")
+    val batch = all.slice(s, e)
+    if (batch.isEmpty)
+      return IdePlanner.plan(batch, IdeSource.IdeMeta(0L, Seq.empty, Seq.empty),
+        chFilter, partitionBytes, required).filter {
+        case p: IdeBlockPart => p.blocks.nonEmpty
+        case _ => true
       }
-      cur += b; bytes += b.payloadLen
+    // anchor on the first file's clock, not the batch's: t must be
+    // comparable across micro-batches and restarts
+    val origin = IdeSource.readMeta(all.head).timeBaseUs
+    val metas = batch.map(IdeSource.readMeta)
+    val chans = scala.collection.mutable.LinkedHashMap.empty[Int, IdeSource.ChMeta]
+    for ((m, f) <- metas.zip(batch); c <- m.channels) chans.get(c.id) match {
+      case None => chans(c.id) = c
+      case Some(prev) => require(prev == c,
+        s"$f: channel ${c.id} definition conflicts with an earlier file")
     }
-    if (cur.nonEmpty) parts += IdeBlockPart(files, cur.toSeq, fmt, calA, calB)
-    if (parts.isEmpty) parts += IdeBlockPart(files, Seq.empty, fmt, calA, calB)
-    parts.toArray
+    val blocks = metas.zipWithIndex.flatMap { case (m, i) =>
+      val shift = m.timeBaseUs - origin
+      m.blocks.map(b => b.copy(startUs = b.startUs + shift, endUs = b.endUs + shift,
+        fileIdx = i))
+    }
+    IdePlanner.plan(batch, IdeSource.IdeMeta(origin, chans.values.toSeq, blocks),
+      chFilter, partitionBytes, required)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new IdeReaderFactory
@@ -338,7 +432,11 @@ class IdeBlockReader(p: IdeBlockPart) extends PartitionReader[InternalRow] {
     }
     raf
   }
-  private val row = new GenericInternalRow(4)
+  // pruned projection: full holds (ch, sub, t, v); row carries only
+  // the requested ordinals in the requested order
+  private val full = new Array[Any](4)
+  private val cols = p.cols.toArray
+  private val row = new GenericInternalRow(cols.length)
   private var blockIdx = -1
   private var buf: ByteBuffer = _
   private var nFrames = 0
@@ -372,7 +470,7 @@ class IdeBlockReader(p: IdeBlockPart) extends PartitionReader[InternalRow] {
     stepUs = if (nFrames > 0 && spanUs % nFrames == 0) spanUs / nFrames else 0L
     frame = 0
     sub = -1
-    row.update(0, b.ch)
+    full(0) = b.ch
     nFrames > 0 || nextBlock()
   }
 
@@ -393,9 +491,11 @@ class IdeBlockReader(p: IdeBlockPart) extends PartitionReader[InternalRow] {
     val tUs: Double =
       if (stepUs > 0) (startUs + frame.toLong * stepUs).toDouble
       else startUs + frame.toDouble * spanUs / nFrames
-    row.update(1, sub)
-    row.update(2, tUs / 1e6)
-    row.update(3, calA(sub) * raw + calB(sub))
+    full(1) = sub
+    full(2) = tUs / 1e6
+    full(3) = calA(sub) * raw + calB(sub)
+    var i = 0
+    while (i < cols.length) { row.update(i, full(cols(i))); i += 1 }
     true
   }
 

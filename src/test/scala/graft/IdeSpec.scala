@@ -196,6 +196,48 @@ class IdeSpec extends AnyFunSuite {
     new File(s"$dir/rec_003.ide").delete()
   }
 
+  test("column pruning reaches the scan: projected reads carry only requested columns") {
+    val path = tmpIde("prune_cols")
+    IdeSink.write(path, 0L, Seq(
+      IdeSink.Ch(0, "a", 1000.0, MideSchema.FmtFloat64,
+        Seq(IdeSink.Sub("a0", "u")), sine(100, 2.0), blockFrames = 50)))
+    val df = Ide.read(spark, path).select("v", "t") // reversed order on purpose
+    assert(df.schema.fieldNames.toSeq === Seq("v", "t"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema") || df.collect().length == 100)
+    val got = df.orderBy("t").collect()
+    assert(got.map(_.getDouble(0)).sameElements(sine(100, 2.0).map(_(0))))
+    assert(got.head.schema.fieldNames.toSeq === Seq("v", "t"))
+  }
+
+  test("streaming: new rollover files arrive as micro-batches on one clock") {
+    val dir = Files.createTempDirectory("graft_ide_stream").toFile
+    dir.deleteOnExit()
+    val mk = (vals: Array[Array[Double]]) =>
+      IdeSink.Ch(0, "accel", 1000.0, MideSchema.FmtFloat64,
+        Seq(IdeSink.Sub("ax", "g")), vals, blockFrames = 64)
+    IdeSink.write(s"$dir/r_001.ide", 1700000000000000L,
+      Seq(mk(Array.tabulate(200)(i => Array(i * 1.0)))))
+
+    val q = Ide.readStream(spark, dir.getAbsolutePath)
+      .writeStream.format("memory").queryName("ide_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("ide_stream").count() === 200)
+      // device uploads its next rollover file mid-stream
+      IdeSink.write(s"$dir/r_002.ide", 1700000000200000L,
+        Seq(mk(Array.tabulate(100)(i => Array(1000.0 + i)))))
+      q.processAllAvailable()
+      val rows = spark.table("ide_stream").orderBy("t").collect()
+        .map(r => (r.getDouble(2), r.getDouble(3)))
+      assert(rows.length === 300)
+      // second batch continues the FIRST file's clock
+      assert(rows.map(_._1).sameElements((0 until 300).map(k => k * 1000L / 1e6)))
+      assert(rows(200) === ((0.2, 1000.0)))
+    } finally q.stop()
+  }
+
   test("a non-mide EBML file is rejected up front") {
     val p = tmpIde("bad")
     Files.write(new File(p).toPath,
