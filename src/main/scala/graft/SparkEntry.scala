@@ -74,6 +74,7 @@ object SparkEntry {
     // scalar-valued memos: no unpersist needed, but dropping them
     // releases the stopped session reference and guards against stale
     // counts/ranges if a fixture dir is regenerated mid-process
+    bpeMergeCache.keys.filter(_._1 eq s).foreach(bpeMergeCache.remove)
     lshCandDocsCache.keys.filter(_._1 eq s).foreach(lshCandDocsCache.remove)
     docCountCache.keys.filter(_._1 eq s).foreach(docCountCache.remove)
     quantRangesCache.keys.filter(_._1 eq s).foreach(quantRangesCache.remove)
@@ -222,6 +223,17 @@ object SparkEntry {
   private def pqBooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] =
     pqCache.getOrElseUpdate((s, dir),
       Similarity.pqCodebooks(emb(s, dir), m = PQ_M, k = PQ_K, iters = PQ_ITERS, dims = 64))
+
+  /** The trained BPE merge list, collected once per (session, dir):
+    * the encode and token-count queries both replay it, and training
+    * is the expensive sequential part (one driver top-1 per round).
+    */
+  private val bpeMergeCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[(String, String)]]
+  private def bpeMergeList(s: SparkSession, dir: String): Seq[(String, String)] =
+    bpeMergeCache.getOrElseUpdate((s, dir),
+      Bpe.merges(docTermCounts(s, dir), rounds = BPE_ROUNDS)
+        .orderBy("round").collect().map(r => (r.getString(1), r.getString(2))).toSeq)
 
   /** The PII-scrubbed corpus (benchmark holdout removed, synthetic
     * PII injected then redacted), cached per (session, dir): the
@@ -1497,6 +1509,18 @@ object SparkEntry {
       // shared docTermCounts aggregate)
       Bpe.merges(docTermCounts(s, dir), rounds = BPE_ROUNDS)),
 
+    // -- BPE encode: the trained merges applied to the vocabulary —
+    // the other half of the tokenizer loop. Vocabulary-sized work;
+    // the corpus reaches its encodings through a join, never
+    // re-segmenting per occurrence --
+    "q_bpe_encode" -> ((s, dir) =>
+      Bpe.encode(docTermCounts(s, dir).select(col("term").as("word")).distinct(),
+        bpeMergeList(s, dir))),
+    "q_bpe_tokens" -> ((s, dir) =>
+      // per-doc true-tokenizer counts (what packing budgets against):
+      // Σ tf·n_tokens over eligible terms + byte-fallback 1/token
+      Bpe.tokenCounts(docTermCounts(s, dir), bpeMergeList(s, dir))),
+
     // -- sequence packing (concat-and-chunk training batch assembly) --
     "q_pack" -> ((s, dir) =>
       // two-level form: blocks of 64 docs prefix-sum in parallel and
@@ -2190,6 +2214,8 @@ object SparkEntry {
          |ORDER BY n_tokens DESC, n_docs DESC, term ASC
          |LIMIT 100""".stripMargin,
     "q_bpe_merges" -> bpeMergesSql,
+    "q_bpe_encode" -> bpeEncodeSql,
+    "q_bpe_tokens" -> bpeTokensSql,
     "q_mix_resample" -> mixResampleSql,
     "q_curate_pipeline" -> curatePipelineSql,
     // bounded stream ≡ batch: the streaming admission pipeline shares
@@ -3225,7 +3251,15 @@ object SparkEntry {
     * predecessor twice and the winner once.
     */
   private val BPE_ROUNDS = 8
-  private def bpeMergesSql: String = {
+
+  /** The shared CTE chain `v0..v{BPE_ROUNDS}` replaying merge
+    * training; `b1..bN` are the per-round winners. Reused by the
+    * merges, encode and token-count oracles — encode's final
+    * segmentation IS `v{BPE_ROUNDS}.seg` for the training vocabulary,
+    * because encode applies the same merges in the same order with
+    * the same literal replace.
+    */
+  private def bpeCtePrefix: String = {
     def round(r: Int): String = {
       val prev = s"v${r - 1}"
       s"""p$r AS MATERIALIZED (
@@ -3245,17 +3279,39 @@ object SparkEntry {
          |)""".stripMargin
     }
     val rounds = (1 to BPE_ROUNDS).map(round).mkString(",\n")
-    val sel = (1 to BPE_ROUNDS)
-      .map(r => s"SELECT $r AS round, x, y, cnt FROM b$r").mkString("\nUNION ALL\n")
     s"""WITH $TERM_COUNTS,
        |v0 AS MATERIALIZED (
        |  SELECT term AS word, CAST(sum(tf) AS BIGINT) AS freq,
        |         regexp_replace(term, '(.)', '<\\1>', 'g') || '<$$>' AS seg
        |  FROM tc WHERE regexp_matches(term, '^[a-z0-9]+$$') GROUP BY term
        |),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def bpeMergesSql: String = {
+    val sel = (1 to BPE_ROUNDS)
+      .map(r => s"SELECT $r AS round, x, y, cnt FROM b$r").mkString("\nUNION ALL\n")
+    s"""$bpeCtePrefix
        |$sel""".stripMargin
   }
+
+  private def bpeEncodeSql: String =
+    s"""$bpeCtePrefix
+       |SELECT word, seg,
+       |       CAST(len(string_split(trim(seg, '<>'), '><')) AS INT) AS n_tokens
+       |FROM v$BPE_ROUNDS""".stripMargin
+
+  private def bpeTokensSql: String =
+    s"""$bpeCtePrefix,
+       |enc AS (
+       |  SELECT word AS term,
+       |         len(string_split(trim(seg, '<>'), '><')) AS n_tokens
+       |  FROM v$BPE_ROUNDS
+       |)
+       |SELECT doc_id,
+       |       CAST(sum(tf * coalesce(n_tokens, 1)) AS BIGINT) AS n_bpe_tokens
+       |FROM tc LEFT JOIN enc USING (term)
+       |GROUP BY doc_id""".stripMargin
 
   /** The multimodal decode-stub is byte-deterministic, so DuckDB can
     * replay it from hex(encode(text)): header fields from the first

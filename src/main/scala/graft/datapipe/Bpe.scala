@@ -81,7 +81,6 @@ object Bpe {
     // counts (tens of thousands). Re-materialize the segmentation
     // every REMAT rounds so the chain length — and with it analysis
     // time and task binary size — stays bounded by a constant.
-    val REMAT = 32
     var materialized = vocab
     val out = scala.collection.mutable.ArrayBuffer.empty[Row]
     var r = 0
@@ -121,4 +120,56 @@ object Bpe {
         StructField("y", StringType, nullable = false),
         StructField("cnt", LongType, nullable = false))))
   }
+
+  /** ENCODE with a trained merge list — the other half of the
+    * tokenizer loop (train → encode → count → pack). Applies the
+    * merges IN TRAINING ORDER to each word of `words` (a one-column
+    * `word` table) and returns (word, seg, n_tokens).
+    *
+    * Scale shape: this runs over DISTINCT WORDS — vocabulary-sized
+    * work (millions of rows), never corpus-sized (trillions of token
+    * positions); the corpus picks up its encodings through a join on
+    * `word` (see `tokenCounts`). Each merge is the same map-side
+    * literal `replace` training used, so encode(train-vocab) is
+    * bit-identical to the final training segmentation. The plan
+    * chains one projection per merge; the segmentation re-snapshots
+    * every [[REMAT]] merges so plan depth stays bounded when the
+    * merge list grows toward real tokenizer sizes.
+    *
+    * Ordering matters and is the standard BPE contract (Sennrich et
+    * al. 2016): earlier merges create the symbols later merges
+    * consume.
+    */
+  def encode(words: DataFrame, mergeList: Seq[(String, String)]): DataFrame = {
+    var df = words
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+      .withColumn("seg",
+        concat(regexp_replace(col("word"), "(.)", "<$1>"), lit("<$>")))
+    mergeList.zipWithIndex.foreach { case ((x, y), i) =>
+      if (i > 0 && i % REMAT == 0) df = df.localCheckpoint(eager = false)
+      df = df.withColumn("seg",
+        replace(col("seg"), lit(s"<$x><$y>"), lit(s"<$x$y>")))
+    }
+    df.select(col("word"), col("seg"),
+      size(split(trim(col("seg"), "<>"), "><")).as("n_tokens"))
+  }
+
+  /** Per-document BPE token counts from a (doc_id, term, tf)
+    * term-count table and a trained merge list: Σ tf·n_tokens(term)
+    * for BPE-eligible terms plus one token per occurrence of
+    * ineligible terms (the byte-fallback convention). The encode runs
+    * once over the distinct-term table and joins back — corpus rows
+    * never re-segment.
+    */
+  def tokenCounts(termCounts: DataFrame, mergeList: Seq[(String, String)]): DataFrame = {
+    val enc = encode(termCounts.select(col("term").as("word")).distinct(), mergeList)
+      .select(col("word").as("term"), col("n_tokens"))
+    termCounts
+      .join(enc, Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * coalesce(col("n_tokens"), lit(1))).cast("long")
+        .as("n_bpe_tokens"))
+  }
+
+  private val REMAT = 32
 }

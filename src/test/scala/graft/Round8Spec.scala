@@ -229,6 +229,34 @@ class Round8Spec extends AnyFunSuite {
     intercept[Exception](Similarity.pqEncode(bad, books).collect())
   }
 
+  test("BPE encode applies merges in training order and matches training segmentation") {
+    import spark.implicits._
+    import graft.datapipe.Bpe
+    // merge 2 consumes the symbol merge 1 creates: wrong order would
+    // leave "<ab><c>" unfused
+    val words = Seq("abc", "ab", "zq").toDF("word")
+    val got = Bpe.encode(words, Seq(("a", "b"), ("ab", "c")))
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(got("abc") === (("<abc><$>", 2)))
+    assert(got("ab") === (("<ab><$>", 2)))
+    assert(got("zq") === (("<z><q><$>", 3)))
+    // encode over the TRAINING vocabulary reproduces training's final
+    // segmentation: same merges, same order, same replace
+    val tc = Seq((0L, "lower", 2L), (0L, "lowest", 1L), (1L, "low", 3L))
+      .toDF("doc_id", "term", "tf")
+    val merges = Bpe.merges(tc, rounds = 4).orderBy("round")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val e2 = Bpe.encode(tc.select(col("term").as("word")).distinct(), merges)
+    assert(e2.count() === 3)
+    // token counts: eligible terms at their encoded length, weighted
+    // by tf (all three words share the trained "low" prefix merges)
+    val counts = Bpe.tokenCounts(tc, merges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lens = e2.collect().map(r => r.getString(0) -> r.getInt(2)).toMap
+    assert(counts(0L) === 2L * lens("lower") + 1L * lens("lowest"))
+    assert(counts(1L) === 3L * lens("low"))
+  }
+
   test("loaders no longer mutate session config") {
     val clean = spark.newSession()
     // unset in the clone: reading through the loaders must not set it
