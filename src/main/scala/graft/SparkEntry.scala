@@ -316,6 +316,15 @@ object SparkEntry {
       Dedup.connectedComponents(lshCands(s, dir), maxIters = CC_ORACLE_ROUNDS,
         verbose = ccVerbose).cache())
 
+  /** Test hook: run connected components FRESH on this dir's real
+    * candidate graph and return (labels, rounds-to-converge). Unlike
+    * reading `Dedup.lastCcRounds` after a memoized query, the round
+    * count is tied to THIS run — immune to whichever CC run a
+    * sibling suite happened to execute last.
+    */
+  private[graft] def ccConvergence(s: SparkSession, dir: String): (DataFrame, Int) =
+    Dedup.connectedComponentsCounted(lshCands(s, dir), maxIters = CC_ORACLE_ROUNDS)
+
   /** Trained IVF quantizer (k=16, 2 Lloyd iterations over the
     * embedding table), memoized per (session, dir): the trained
     * search, the occupancy diagnostic, and the probe sweep all

@@ -289,14 +289,16 @@ class PipelineSpec extends AnyFunSuite {
     // within the default maxIters — covered distance must grow ~4x
     // per round (the chained label^4 jump + the neighbor-side jump)
     val pairs = (0L until 99L).map(i => (i, i + 1)).toDF("a", "b")
-    val out = Dedup.connectedComponents(pairs)
+    // the counted variant ties the round assertion to THIS run, not
+    // whichever CC run a sibling suite happened to execute last
+    val (labels, rounds) = Dedup.connectedComponentsCounted(pairs)
+    val out = labels
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(out.size == 100)
     assert((0L to 99L).forall(out(_) == (0L, 100L)))
     // round count includes the final no-change round that detects the
     // fixpoint; the simulation of the recurrence gives exactly 6
-    assert(Dedup.lastCcRounds.get() <= 6,
-      s"expected <= 6 rounds, took ${Dedup.lastCcRounds.get()}")
+    assert(rounds <= 6, s"expected <= 6 rounds, took $rounds")
   }
 
   test("lshCandidates/bandedPairs: oversized buckets emit star edges, not m^2 pairs") {

@@ -70,13 +70,15 @@ class Round7Spec extends AnyFunSuite {
   }
 
   test("connectedComponents: converges strictly under the cap on the real candidate graph") {
-    val comps = SparkEntry.queries("q_dedup_components")(spark, sf)
-    assert(comps.count() > 0)
     // a run that exits at maxIters ships under-merged labels — the
     // exact green-but-wrong state round 6 benched at sf0.1; strict
-    // convergence (a changed==0 round before the bound) is the gate
-    assert(Dedup.lastCcRounds.get() < SparkEntry.CC_ORACLE_ROUNDS,
-      s"CC hit the iteration cap un-converged: ${Dedup.lastCcRounds.get()} rounds")
+    // convergence (a changed==0 round before the bound) is the gate.
+    // The counted hook ties the round count to THIS run, not to
+    // whichever CC run a sibling suite executed last.
+    val (labels, rounds) = SparkEntry.ccConvergence(spark, sf)
+    assert(labels.count() > 0)
+    assert(rounds < SparkEntry.CC_ORACLE_ROUNDS,
+      s"CC hit the iteration cap un-converged: $rounds rounds")
   }
 
   test("connectedComponents: 500-node path converges under default maxIters") {
@@ -219,11 +221,13 @@ class Round7Spec extends AnyFunSuite {
     val keep = SparkEntry.queries("q_dedup_keep")(spark, dir)
       .filter(col("doc_id") % 7 === 0)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
-    // the components behind both sides were built fresh for this dir:
-    // they must have CONVERGED, not hit the iteration cap (round 6
-    // shipped a green-but-under-merged sf0.1 table exactly this way)
-    assert(Dedup.lastCcRounds.get() < SparkEntry.CC_ORACLE_ROUNDS,
-      s"sf0.1 CC hit the cap un-converged: ${Dedup.lastCcRounds.get()} rounds")
+    // the components behind both sides must have CONVERGED, not hit
+    // the iteration cap (round 6 shipped a green-but-under-merged
+    // sf0.1 table exactly this way); assert on a counted fresh run
+    // over the same sf0.1 candidate graph, not the shared global
+    val (_, rounds) = SparkEntry.ccConvergence(spark, dir)
+    assert(rounds < SparkEntry.CC_ORACLE_ROUNDS,
+      s"sf0.1 CC hit the cap un-converged: $rounds rounds")
     assert(admit == keep)
     assert(admit.nonEmpty)
     assert(admit.values.exists(_._2) && admit.values.exists(!_._2))
