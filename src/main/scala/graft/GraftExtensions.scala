@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{CountOccurrencesSum, FloatDot, SortedIntersectCount}
+import graft.functions.{BloomMightContain, CountOccurrencesSum, FloatDot, SortedIntersectCount}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * expressions for SQL use. Install with
@@ -33,6 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "count_occurrences_sum(text, needle, ...) requires at least one needle")
         CountOccurrencesSum(exprs.head, GraftExtensions.literalNeedles(exprs.tail))
       }))
+    e.injectFunction((
+      new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo("graft.functions.BloomMightContain", "bloom_might_contain"),
+      (exprs: Seq[Expression]) => BloomMightContain(exprs(0), exprs(1))))
   }
 }
 
@@ -60,5 +64,8 @@ object GraftExtensions {
           "count_occurrences_sum(text, needle, ...) requires at least one needle")
         CountOccurrencesSum(exprs.head, literalNeedles(exprs.tail))
       }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_might_contain",
+      exprs => BloomMightContain(exprs(0), exprs(1)), "scala_udf")
   }
 }

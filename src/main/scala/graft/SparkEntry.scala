@@ -737,6 +737,17 @@ object SparkEntry {
         sh.filter(col("doc_id") % 97 =!= 0),
         sh.filter(col("doc_id") % 97 === 0))
     }),
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      // the SAME decontamination table via the Bloom-prefilter path —
+      // the scale shape for blocklists too big to broadcast-join: a
+      // distributed OR-merge build, a codegen'd bit-probe filter, and
+      // an exact semi-join over the survivors (no false negatives, so
+      // the output hash-matches the exact broadcast path / its oracle)
+      val sh = docShingles(s, dir)
+      Dedup.benchmarkOverlapBloom(
+        sh.filter(col("doc_id") % 97 =!= 0),
+        sh.filter(col("doc_id") % 97 === 0))
+    }),
     "q_containment" -> ((s, dir) =>
       // asymmetric dup detection over the shared LSH candidates:
       // containment |A∩B|/|A| flags subset duplication (short doc
@@ -764,6 +775,12 @@ object SparkEntry {
       // (catches a hot paragraph pasted into otherwise-unique pages,
       // which document-level MinHash structurally misses)
       Dedup.duplicateSpanStats(docs(s, dir), w = 10)),
+    "q_chunk_dedup" -> ((s, dir) =>
+      // the REWRITE stage the span statistics motivate: line-level
+      // dedup at 20-token chunk grain — drop every repeated chunk's
+      // non-first occurrence corpus-wide, return each doc's surviving
+      // text re-joined in order (CCNet/RefinedWeb line dedup)
+      Dedup.chunkDedup(docs(s, dir), w = 20)),
     "q_span_sweep" -> ((s, dir) =>
       // the Lee-et-al window-length sweep (10/20/50 tokens) in ONE
       // corpus pass: one tokenize, one generator, one explode — the
@@ -2082,6 +2099,9 @@ object SparkEntry {
         |       CAST(sum(tokens) AS BIGINT) AS n_tokens
         |FROM t GROUP BY (tokens // 64) * 64""".stripMargin,
     "q_decontaminate" -> decontaminateSql,
+    // Bloom-prefilter path: exact by construction (no-false-negative
+    // probe + exact semi-join on survivors) — same oracle table
+    "q_decontaminate_bloom" -> decontaminateSql,
     // admission-time twin: bounded stream ≡ the same batch table
     "q_stream_decontaminate" -> decontaminateSql,
     "q_dedup_exact" ->
@@ -2139,6 +2159,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> ngramJaccardSql,
     "q_containment" -> containmentSql,
     "q_dup_spans" -> dupSpansSql,
+    "q_chunk_dedup" -> chunkDedupSql,
     "q_span_sweep" -> spanSweepSql,
     "q_dup_span_top" -> dupSpanTopSql,
     "q_pii_redact" -> piiRedactSql,
@@ -3586,6 +3607,37 @@ object SparkEntry {
        |       round(count(d.h) * 1.0 / count(*), 6) AS dup_ratio
        |FROM hs s LEFT JOIN dup d ON d.h = s.h
        |GROUP BY s.doc_id""".stripMargin
+
+  /** Chunk-dedup replay: same normalize/tokenize, non-overlapping
+    * 20-token chunks (inclusive DuckDB slices), keep-first decided on
+    * the chunk STRING (the engine-portable stand-in for the 52-bit
+    * hash; a collision would surface as a hash mismatch here), ordered
+    * string_agg for the rewrite. FILTER leaves NULL when every chunk
+    * dropped — mirrored by the Spark side's when(n_kept > 0, ...).
+    */
+  private def chunkDedupSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS t
+       |  FROM documents WHERE text IS NOT NULL
+       |),
+       |chunks AS (
+       |  SELECT doc_id, idx,
+       |         array_to_string(t[(idx-1)*20+1:idx*20], ' ') AS chunk
+       |  FROM (SELECT doc_id, t,
+       |               unnest(generate_series(1, 1 + (len(t)-1)//20)) AS idx
+       |        FROM toks)
+       |),
+       |marked AS (
+       |  SELECT doc_id, idx, chunk,
+       |         count(*) OVER (PARTITION BY chunk) AS n_occ,
+       |         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+       |  FROM chunks
+       |)
+       |SELECT doc_id, count(*) AS n_chunks,
+       |       CAST(sum(CASE WHEN n_occ = 1 OR rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       string_agg(chunk, ' ' ORDER BY idx)
+       |         FILTER (WHERE n_occ = 1 OR rn = 1) AS clean_text
+       |FROM marked GROUP BY doc_id""".stripMargin
 
   /** Mirrors the two-phase Spark plan: winners chosen on the 52-bit
     * hash (count desc, hash asc — the engine-portable tie-break),

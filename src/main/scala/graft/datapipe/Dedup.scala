@@ -418,6 +418,49 @@ object Dedup {
         when(col("hits") * 10 >= col("n_shingles"), 1).otherwise(0).as("contaminated"))
   }
 
+  /** `benchmarkOverlap` for benchmark sets TOO BIG TO BROADCAST — the
+    * 100 TB shape when the contamination blocklist is itself billions
+    * of n-grams (a full eval-suite union, or a copyright blocklist). A
+    * broadcast hash-join build side at that size is 30-60 GB; its
+    * 1%-FPR Bloom filter is ~1.2 GB and rides the plan as one binary.
+    *
+    * Exactness is preserved by construction: the Bloom probe has no
+    * false negatives, and its false positives are removed by an exact
+    * semi-join over only the SURVIVORS — so the output hash-matches
+    * `benchmarkOverlap` row for row while the semi-join shuffles
+    * ~(true hits + FPR·corpus) rows instead of every corpus shingle.
+    * Build is a distributed OR-merge aggregate (keys never leave the
+    * executors); probe is a codegen'd bit test
+    * ([[graft.functions.BloomMightContain]]).
+    *
+    * The per-doc shingle counts and the hit counts come from two
+    * passes over the distinct corpus table — callers feed it the
+    * shared cached shingle table, so the second pass is an
+    * InMemoryTableScan, not a re-read (and at 100 TB the counts pass
+    * is a cheap map-side partial aggregate either way).
+    */
+  def benchmarkOverlapBloom(corpusHashes: DataFrame, benchHashes: DataFrame,
+                            mBits: Int = 0, k: Int = 7): DataFrame = {
+    import graft.functions.Bloom
+    val bench = benchHashes.select(col("h1")).distinct()
+    val m = if (mBits > 0) mBits else Bloom.sizeFor(bench.count())
+    val bloomBytes: Array[Byte] = bench
+      .agg(Bloom.buildAgg(m, k)(col("h1")).as("bloom"))
+      .head().getAs[Array[Byte]]("bloom")
+    val dist = corpusHashes.select(col("doc_id"), col("h1")).distinct()
+    val counts = dist.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val hits = dist
+      .filter(Bloom.bloomMightContain(lit(bloomBytes), col("h1")))
+      .join(bench, Seq("h1"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+    counts.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .select(col("doc_id"), col("n_shingles"), col("hits"),
+        round(col("hits") / col("n_shingles"), 6).as("overlap"),
+        when(col("hits") * 10 >= col("n_shingles"), 1).otherwise(0).as("contaminated"))
+  }
+
   /** Full MinHash-LSH near-dup pipeline: shingle → sign → band →
     * candidate join → Jaccard verify at `threshold`.
     */
@@ -615,6 +658,65 @@ object Dedup {
           s"i -> struct(i AS pos, concat_ws(' ', slice(toks, i, $w)) AS span))")).as("p"))
       .select(col("doc_id"), col("p.pos").as("pos"), col("p.span").as("span"),
         TextAnalysis.hash52(col("p.span")).as("h"))
+
+  /** Chunk-level exact dedup with document REWRITE — the CCNet /
+    * RefinedWeb "line-level dedup" stage generalized to fixed w-token
+    * chunks (this corpus has no newline structure; with newline-split
+    * chunks the shape is identical). Each exact chunk keeps only its
+    * lexicographically-first occurrence (doc_id, idx) corpus-wide;
+    * every document is returned with its surviving chunks re-joined
+    * in order, plus kept/total counts.
+    *
+    * Scale shape (the dup-span-top discipline — chunk STRINGS never
+    * shuffle on the hash key): ownership is decided on a narrow
+    * (doc_id, idx, h) projection — one h-keyed aggregate
+    * (min-first + count, partial-agg'd) and one h-keyed join whose
+    * rows are 24 bytes of integers, so a corpus-universal boilerplate
+    * chunk bounds its hot partition at |occurrences| × 24 B (AQE
+    * skew-split rebalances; same argument as `duplicateSpanStats`).
+    * The join emits ONLY the dropped (doc_id, idx) pairs — at real
+    * dup density a small table — which anti-mark the string-bearing
+    * chunk rows via a doc-keyed left join (uniformly distributed,
+    * broadcast when small). Reassembly is one per-doc aggregate:
+    * collect_list(kept struct) → array_sort by idx → join. The corpus
+    * text is scanned twice (once narrow, once with strings) — at
+    * 100 TB the second scan is map-side CPU against a cached/columnar
+    * source, cheaper than shuffling every chunk string on a skewable
+    * key.
+    */
+  def chunkDedup(docs: DataFrame, w: Int = 20): DataFrame = {
+    def chunkTable(withStrings: Boolean): DataFrame = {
+      val base = docs.filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          split(TextAnalysis.normalized(col("text")), " ").as("toks"))
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, 1 + int((size(toks) - 1) / $w)), " +
+            s"i -> struct(i AS idx, concat_ws(' ', slice(toks, (i - 1) * $w + 1, $w)) AS chunk))"))
+          .as("p"))
+      val cols = Seq(col("doc_id"), col("p.idx").as("idx"),
+        TextAnalysis.hash52(col("p.chunk")).as("h")) ++
+        (if (withStrings) Seq(col("p.chunk").as("chunk")) else Nil)
+      base.select(cols: _*)
+    }
+    val narrow = chunkTable(withStrings = false)
+    val own = narrow.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("first"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+    val drops = narrow.join(own, Seq("h"))
+      .filter(col("first.doc_id") =!= col("doc_id") || col("first.idx") =!= col("idx"))
+      .select(col("doc_id"), col("idx"), lit(1).as("dropped"))
+    chunkTable(withStrings = true)
+      .join(drops, Seq("doc_id", "idx"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("dropped").isNull, 1L).otherwise(0L)).as("n_kept"),
+        array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN dropped IS NULL " +
+            "THEN struct(idx, chunk) END)), x -> x.chunk)"), " ").as("joined"))
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+        when(col("n_kept") > 0, col("joined")).as("clean_text"))
+  }
 
   /** Per-document duplicate-span statistics: of a document's
     * n_windows rolling w-token windows, n_dup appear verbatim in at

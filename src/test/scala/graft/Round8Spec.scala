@@ -268,4 +268,83 @@ class Round8Spec extends AnyFunSuite {
     val after = clean.conf.getAll.filter(_._1.startsWith("spark.sql.legacy"))
     assert(before === after)
   }
+
+  test("chunkDedup keeps first occurrences only and rewrites documents in order") {
+    import spark.implicits._
+    import graft.datapipe.Dedup
+    val a = "one two three four five"   // w=2 chunks: "one two","three four","five"
+    val b = "three four six seven"      // shares chunk "three four" with a
+    val docs = Seq((0L, a), (1L, b), (2L, a)).toDF("doc_id", "text") // 2 = exact clone of 0
+    val out = Dedup.chunkDedup(docs, w = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.getString(3))))).toMap
+    // doc 0 owns every one of its chunks (first occurrence)
+    assert(out(0L) === ((3L, 3L, Some(a))))
+    // doc 1 loses "three four" to doc 0, keeps the rest in order
+    assert(out(1L) === ((2L, 1L, Some("six seven"))))
+    // the clone loses everything: NULL rewrite, zero kept
+    assert(out(2L) === ((3L, 0L, None)))
+    // global invariant: kept chunks == distinct chunks
+    val kept = out.values.map(_._2).sum
+    assert(kept === 4L) // one two / three four / five / six seven
+  }
+
+  test("Bloom build is partitioning-invariant and has no false negatives") {
+    import spark.implicits._
+    import graft.functions.Bloom
+    val keys = (0L until 5000L).map(i => i * 0x9e3779b97f4a7c15L + i)
+    val m = Bloom.sizeFor(keys.size)
+    def build(parts: Int): Array[Byte] =
+      keys.toDF("h1").repartition(parts)
+        .agg(Bloom.buildAgg(m, 7)(col("h1"))).head().getAs[Array[Byte]](0)
+    val b1 = build(1)
+    val b8 = build(8)
+    // OR-merge is associative/commutative: bytes identical however the
+    // rows were partitioned (the property that makes the sketch safe
+    // to build distributed)
+    assert(java.util.Arrays.equals(b1, b8))
+    assert(keys.forall(Bloom.mightContain(b1, _)), "bloom false negative")
+    // FPR sanity at m ~ 10n bits, k=7: ~1%; allow generous slack
+    val probes = (1L to 20000L).map(i => -i * 0x632be59bd9b4e019L - i)
+      .filterNot(keys.contains)
+    val fp = probes.count(Bloom.mightContain(b1, _))
+    assert(fp.toDouble / probes.size < 0.05, s"FPR ${fp.toDouble / probes.size}")
+  }
+
+  test("bloom_might_contain codegen path agrees with the Scala probe") {
+    import spark.implicits._
+    import graft.functions.Bloom
+    val keys = (0L until 2000L).map(Bloom.mix)
+    val bloom = keys.toDF("h1").agg(Bloom.buildAgg(Bloom.sizeFor(2000), 7)(col("h1")))
+      .head().getAs[Array[Byte]](0)
+    val univ = (0L until 4000L).map(Bloom.mix)
+    // df.filter runs the expression inside whole-stage codegen; the
+    // reference set runs the same probe through the interpreter
+    val viaSql = univ.toDF("h1")
+      .filter(Bloom.bloomMightContain(lit(bloom), col("h1")))
+      .as[Long].collect().toSet
+    val viaScala = univ.filter(Bloom.mightContain(bloom, _)).toSet
+    assert(viaSql === viaScala)
+    assert(keys.toSet.subsetOf(viaSql))
+  }
+
+  test("benchmarkOverlapBloom hash-matches the exact broadcast path") {
+    import graft.datapipe.Dedup
+    val sh = Dedup.shingleHashes(Dedup.shingles(
+      spark.read.parquet(s"$sf/documents.parquet"), distinct = false))
+    val corpus = sh.filter(col("doc_id") % 97 =!= 0)
+    val bench = sh.filter(col("doc_id") % 97 === 0)
+    val exact = Dedup.benchmarkOverlap(corpus, bench)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val bloomed = Dedup.benchmarkOverlapBloom(corpus, bench)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(bloomed === exact)
+    assert(exact.nonEmpty)
+    // the probe must sit BELOW the exact semi-join: survivors-only
+    // rows reach the shuffle/broadcast verify
+    val plan = Dedup.benchmarkOverlapBloom(corpus, bench)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"))
+    assert(plan.toLowerCase.contains("leftsemi"))
+  }
 }
