@@ -1154,6 +1154,13 @@ object SparkEntry {
       // Endaq.get_channel by display name (io.py:208-239); the pushed
       // ch filter prunes every other channel's blocks at planning
       graft.signal.Ide.getChannel(s, ideFixture(s, dir), "click")),
+    "q_ide_window" -> ((s, dir) =>
+      // seek-to-window: the t-range predicate prunes whole blocks by
+      // their [startUs, endUs] header interval at planning (the
+      // row-group-statistics pattern) — on a 100 GB recording a
+      // 1-minute window reads only that minute's blocks
+      graft.signal.Ide.getChannel(s, ideFixture(s, dir), "click")
+        .filter(col("t") >= 0.001 && col("t") < 0.35)),
     "q_stream_sessions" -> ((s, dir) => {
       // streaming sessionization: native session_window state merged
       // across micro-batches; complete mode emits every closed-and-open
@@ -1178,6 +1185,28 @@ object SparkEntry {
       import graft.streaming.StreamingOps._
       runToMemorySink(streamFingerprintDedup(documentsStream(s, dir)),
         "stream_fingerprint", "complete")
+    }),
+    "q_stream_tokens" -> ((s, dir) => {
+      // token-count metering ON THE STREAM: arriving documents are
+      // tokenized and stream-static joined against the word→length
+      // table encoded ONCE from the merges trained on the static
+      // corpus (models are batch artifacts; streams consume them).
+      // Byte-fallback for unseen words is the same left-join +
+      // coalesce(1) as the batch path, so the bounded stream equals
+      // q_bpe_tokens and shares its oracle
+      import graft.streaming.StreamingOps._
+      val enc = Bpe.encode(
+          docTermCounts(s, dir).select(col("term").as("word")).distinct(),
+          bpeMergeList(s, dir))
+        .select(col("word").as("term"), col("n_tokens"))
+      val st = documentsStream(s, dir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokensOf(col("text"))).as("term"))
+        .join(enc, Seq("term"), "left")
+        .groupBy("doc_id")
+        .agg(sum(coalesce(col("n_tokens"), lit(1))).cast("long").as("n_bpe_tokens"))
+      runToMemorySink(st, "stream_tokens", "complete")
     }),
     "q_stream_redact" -> ((s, dir) => {
       // admission-time PII scrub ON THE STREAM: the same injection +
@@ -1423,6 +1452,12 @@ object SparkEntry {
     // -- repetition / n-gram quality signals (Gopher-style) --
     "q_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(docs(s, dir), tc = Some(docTermCounts(s, dir)))),
+
+    "q_lm_score" -> ((s, dir) =>
+      // CCNet-style LM quality filter: corpus-trained add-one bigram
+      // model, per-doc mean conditional log-probability — the model is
+      // an aggregate of the same job, no external artifacts
+      TextAnalysis.lmScore(docs(s, dir))),
 
     // -- corpus vocabulary (top-K terms — tokenizer/BPE seeding) --
     "q_vocab" -> ((s, dir) =>
@@ -2019,6 +2054,14 @@ object SparkEntry {
          |SELECT 'click' AS name, 'click_u' AS unit,
          |       CAST(row_number() OVER (ORDER BY t) - 1 AS DOUBLE) / 1000 AS t, v
          |FROM u WHERE channel = 'click'""".stripMargin,
+    "q_ide_window" ->
+      s"""WITH ${uniformSql(3600.0)},
+         |g AS (
+         |  SELECT 'click' AS name, 'click_u' AS unit,
+         |         CAST(row_number() OVER (ORDER BY t) - 1 AS DOUBLE) / 1000 AS t, v
+         |  FROM u WHERE channel = 'click'
+         |)
+         |SELECT * FROM g WHERE t >= 0.001 AND t < 0.35""".stripMargin,
 
     // -- rainflow: the full cycle extraction replayed as a DuckDB
     // stack machine (bit-exact), then the ndigits/nbins/binsize
@@ -2233,6 +2276,30 @@ object SparkEntry {
         |       CAST(top_bigram_n AS DOUBLE) / n_bigrams AS top_bigram_frac
         |FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id""".stripMargin,
 
+    // bigram-LM replay: same tokenize as q_repetition, model counts
+    // rebuilt in CTEs, ln of integer-valued arguments on both engines
+    // (sum-order float drift is ~1e-14 against a 1e-6 rounding grain)
+    "q_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS a
+        |  FROM documents WHERE text IS NOT NULL
+        |),
+        |db AS (
+        |  SELECT doc_id, g, count(*) AS n
+        |  FROM (SELECT doc_id,
+        |               unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i + 1])) AS g
+        |        FROM toks WHERE len(a) >= 2) GROUP BY doc_id, g
+        |),
+        |cb AS (SELECT g, CAST(sum(n) AS BIGINT) AS cb FROM db GROUP BY g),
+        |cw AS (SELECT split_part(g, ' ', 1) AS w1, CAST(sum(cb) AS BIGINT) AS cw
+        |       FROM cb GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(a) AS w FROM toks))
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+        |       round(sum(n * (ln(cb + 1) - ln(cw + v))) / sum(n), 6) AS lm_score
+        |FROM db JOIN cb USING (g)
+        |JOIN cw ON split_part(g, ' ', 1) = cw.w1 CROSS JOIN v
+        |GROUP BY doc_id""".stripMargin,
+
     // -- lexical ranking: rank keys are integers/strings (tf desc, df
     // asc, term asc) so the selected rows are engine-exact; only the
     // displayed ln()-scores are rounded --
@@ -2246,6 +2313,8 @@ object SparkEntry {
     "q_bpe_merges" -> bpeMergesSql,
     "q_bpe_encode" -> bpeEncodeSql,
     "q_bpe_tokens" -> bpeTokensSql,
+    // metering twin: bounded stream ≡ the batch token counts
+    "q_stream_tokens" -> bpeTokensSql,
     "q_mix_resample" -> mixResampleSql,
     "q_curate_pipeline" -> curatePipelineSql,
     // bounded stream ≡ batch: the streaming admission pipeline shares

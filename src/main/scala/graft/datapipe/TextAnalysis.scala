@@ -159,6 +159,45 @@ object TextAnalysis {
         (col("top_bigram_n").cast("double") / col("n_bigrams")).as("top_bigram_frac"))
   }
 
+  /** Word-bigram language-model score per document — the CCNet-style
+    * "LM filter" quality signal (CCNet uses KenLM perplexity; the
+    * distributed analog is a corpus-trained bigram model, which needs
+    * no external artifacts and trains in the same job). Score =
+    * mean over the doc's adjacent-token bigrams of
+    * ln((c(w1,w2)+1) / (c(w1,·)+V)) — add-one-smoothed conditional
+    * log-probability; V = corpus vocabulary size. Boilerplate-heavy
+    * or formulaic text scores high, lexically incoherent text low;
+    * threshold either tail for curation.
+    *
+    * Scale shape: the model IS an aggregate of the corpus — bigram
+    * counts (one (doc,gram)-partial-agg'd exchange, the `repetition`
+    * discipline) and predecessor totals derived from the bigram table
+    * (no second text scan). Scoring joins the per-(doc, bigram)
+    * multiplicity table against the model on the bigram key; Catalyst
+    * broadcasts the model when it fits (vocab², KBs on fixtures, and
+    * even web-scale bigram vocabularies are ~GBs next to the corpus),
+    * else it's a narrow-key shuffle join. V is the one collected
+    * scalar (a count), folded as a literal.
+    */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val toks = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), tokensOf(col("text")).as("toks"))
+    val docBig = toks.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(bigramsOf(col("toks"))).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
+    val cb = docBig.groupBy("g").agg(sum("n").as("cb"))
+    val cw = cb.select(substring_index(col("g"), " ", 1).as("w1"), col("cb"))
+      .groupBy("w1").agg(sum("cb").as("cw"))
+    val v = toks.select(explode(col("toks")).as("w")).distinct().count()
+    docBig.join(cb, Seq("g"))
+      .join(cw, substring_index(col("g"), " ", 1) === col("w1"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_bigrams"),
+        sum(col("n") * (log(col("cb") + 1) - log(col("cw") + v))).as("ll"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("ll") / col("n_bigrams"), 6).as("lm_score"))
+  }
+
   /** PII redaction patterns — deliberately the common subset of Java
     * regex and RE2 (ASCII classes, bounded quantifiers, no
     * backreferences/lookaround) so the redaction replays exactly in

@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -233,11 +233,17 @@ class IdeTable(path: String, mode: String) extends Table with SupportsRead {
 class IdeScanBuilder(path: String, mode: String, partitionBytes: Long)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var chFilter: Option[Set[Int]] = None
+  private var tRange: (Double, Double) = (Double.NegativeInfinity, Double.PositiveInfinity)
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = IdeSource.DATA_SCHEMA
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     if (mode != "channels") required = requiredSchema
+
+  private def asSec(v: Any): Option[Double] = v match {
+    case n: Number => Some(n.doubleValue())
+    case _ => None
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     if (mode == "channels") return filters
@@ -252,14 +258,26 @@ class IdeScanBuilder(path: String, mode: String, partitionBytes: Long)
       case f => throw new IllegalStateException(s"unreachable: $f")
     }
     if (sets.nonEmpty) chFilter = Some(sets.reduce(_ intersect _))
-    pushed = accepted
+    // time-range bounds prune whole blocks via their [startUs, endUs]
+    // header interval — the parquet row-group-statistics pattern. The
+    // pruning is COARSE (a kept block still holds out-of-range rows),
+    // so these filters stay in the residual for Spark to re-apply;
+    // they are still reported pushed for plan auditability.
+    val tPushed = filters.filter {
+      case GreaterThan("t", v) => asSec(v).exists { lo => tRange = (math.max(tRange._1, lo), tRange._2); true }
+      case GreaterThanOrEqual("t", v) => asSec(v).exists { lo => tRange = (math.max(tRange._1, lo), tRange._2); true }
+      case LessThan("t", v) => asSec(v).exists { hi => tRange = (tRange._1, math.min(tRange._2, hi)); true }
+      case LessThanOrEqual("t", v) => asSec(v).exists { hi => tRange = (tRange._1, math.min(tRange._2, hi)); true }
+      case _ => false
+    }
+    pushed = accepted ++ tPushed
     residual
   }
 
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new IdeScan(path, mode, partitionBytes, chFilter, required)
+    new IdeScan(path, mode, partitionBytes, chFilter, required, tRange)
 }
 
 /** Per-partition work unit: a run of data blocks plus the per-block
@@ -282,16 +300,25 @@ final case class IdeChannelsPart(path: String) extends InputPartition
   * micro-batch stream (each new file's blocks).
   */
 object IdePlanner {
+  /** Keep a block iff its [startUs, endUs] header interval intersects
+    * the pushed t-range (seconds) — endUs bounds the last sample from
+    * above, so dropping non-intersecting blocks loses no rows.
+    */
+  def inRange(b: IdeSource.BlockMeta, tRange: (Double, Double)): Boolean =
+    b.endUs / 1e6 >= tRange._1 && b.startUs / 1e6 <= tRange._2
+
   def plan(files: Seq[String], meta: IdeSource.IdeMeta, chFilter: Option[Set[Int]],
-           partitionBytes: Long, required: StructType): Array[InputPartition] = {
+           partitionBytes: Long, required: StructType,
+           tRange: (Double, Double) = (Double.NegativeInfinity, Double.PositiveInfinity))
+      : Array[InputPartition] = {
     val fmt = meta.channels.map(c => c.id -> c.fmt).toMap
     val calA = meta.channels.map(c => c.id -> c.subs.map(_.calA).toArray).toMap
     val calB = meta.channels.map(c => c.id -> c.subs.map(_.calB).toArray).toMap
     val cols = required.fieldNames.map(IdeSource.DATA_SCHEMA.fieldIndex).toSeq
-    val pruned = chFilter match {
+    val pruned = (chFilter match {
       case Some(keep) => meta.blocks.filter(b => keep(b.ch))
       case None => meta.blocks
-    }
+    }).filter(inRange(_, tRange))
     val parts = ArrayBuffer.empty[InputPartition]
     val cur = ArrayBuffer.empty[IdeSource.BlockMeta]
     var bytes = 0L
@@ -309,7 +336,9 @@ object IdePlanner {
 }
 
 class IdeScan(path: String, mode: String, partitionBytes: Long,
-              chFilter: Option[Set[Int]], required: StructType) extends Scan with Batch {
+              chFilter: Option[Set[Int]], required: StructType,
+              tRange: (Double, Double) = (Double.NegativeInfinity, Double.PositiveInfinity))
+    extends Scan with Batch {
   private lazy val files = IdeSource.resolveFiles(path)
   private lazy val meta = IdeSource.readMultiMeta(files)
 
@@ -317,24 +346,24 @@ class IdeScan(path: String, mode: String, partitionBytes: Long,
     if (mode == "channels") IdeSource.CHANNELS_SCHEMA else required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
-    new IdeMicroBatchStream(path, partitionBytes, chFilter, required)
+    new IdeMicroBatchStream(path, partitionBytes, chFilter, required, tRange)
 
   // surfaced in .explain so pruning is auditable in the plan
   override def description(): String = {
     if (mode == "channels") s"ide:$path channels"
     else {
-      val kept = chFilter match {
-        case Some(keep) => meta.blocks.count(b => keep(b.ch))
-        case None => meta.blocks.length
-      }
+      val kept = meta.blocks.count(b =>
+        chFilter.forall(_(b.ch)) && IdePlanner.inRange(b, tRange))
       s"ide:$path blocks=$kept/${meta.blocks.length}" +
-        chFilter.map(s => s" ch=${s.toSeq.sorted.mkString(",")}").getOrElse("")
+        chFilter.map(s => s" ch=${s.toSeq.sorted.mkString(",")}").getOrElse("") +
+        (if (tRange._1 != Double.NegativeInfinity || tRange._2 != Double.PositiveInfinity)
+          s" t=[${tRange._1},${tRange._2}]" else "")
     }
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
     if (mode == "channels") return Array(IdeChannelsPart(path))
-    IdePlanner.plan(files, meta, chFilter, partitionBytes, required)
+    IdePlanner.plan(files, meta, chFilter, partitionBytes, required, tRange)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new IdeReaderFactory
@@ -351,7 +380,8 @@ class IdeScan(path: String, mode: String, partitionBytes: Long,
   * once the stream has data).
   */
 class IdeMicroBatchStream(path: String, partitionBytes: Long,
-                          chFilter: Option[Set[Int]], required: StructType)
+                          chFilter: Option[Set[Int]], required: StructType,
+                          tRange: (Double, Double) = (Double.NegativeInfinity, Double.PositiveInfinity))
     extends streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -382,7 +412,7 @@ class IdeMicroBatchStream(path: String, partitionBytes: Long,
     val batch = all.slice(s, e)
     if (batch.isEmpty)
       return IdePlanner.plan(batch, IdeSource.IdeMeta(0L, Seq.empty, Seq.empty),
-        chFilter, partitionBytes, required).filter {
+        chFilter, partitionBytes, required, tRange).filter {
         case p: IdeBlockPart => p.blocks.nonEmpty
         case _ => true
       }
@@ -402,7 +432,7 @@ class IdeMicroBatchStream(path: String, partitionBytes: Long,
         fileIdx = i))
     }
     IdePlanner.plan(batch, IdeSource.IdeMeta(origin, chans.values.toSeq, blocks),
-      chFilter, partitionBytes, required)
+      chFilter, partitionBytes, required, tRange)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new IdeReaderFactory

@@ -116,6 +116,27 @@ class IdeSpec extends AnyFunSuite {
     assert(full === 300)
   }
 
+  test("time-range predicates prune blocks by header interval, rows unchanged") {
+    val path = tmpIde("tprune")
+    // 1000 samples at 1 kHz = 1 s of data in 10 blocks of 0.1 s
+    IdeSink.write(path, 0L, Seq(
+      IdeSink.Ch(0, "a", 1000.0, MideSchema.FmtFloat64,
+        Seq(IdeSink.Sub("a0", "u")), sine(1000, 2.0), blockFrames = 100)))
+    val df = Ide.read(spark, path).filter(col("t") >= 0.35 && col("t") < 0.62)
+    val plan = df.queryExecution.executedPlan.toString
+    // blocks [0.3,0.4) [0.4,0.5) [0.5,0.6) [0.6,0.7) intersect the
+    // range (header intervals are inclusive, so 4 of 10 survive —
+    // coarse pruning; the residual Filter drops the block-edge rows)
+    assert(plan.contains("blocks=4/10"), s"expected t-pruned block count in plan:\n$plan")
+    assert(plan.contains("t=["), s"expected t-range in scan description:\n$plan")
+    // pruning is exact: same rows as the unpruned scan post-filtered
+    val got = df.select("t").collect().map(_.getDouble(0)).sorted
+    val want = Ide.read(spark, path).collect().map(_.getDouble(2))
+      .filter(t => t >= 0.35 && t < 0.62).sorted
+    assert(got.length === want.length)
+    assert(got.zip(want).forall { case (a, b) => a == b })
+  }
+
   test("partitionBytes splits a scan into block groups") {
     val path = tmpIde("split")
     IdeSink.write(path, 0L, Seq(
