@@ -938,6 +938,20 @@ object SparkEntry {
       Similarity.ivfTopK(e, e.filter(col("vec_id") % 25 === 0),
         k = 10, nlist = 16, nprobe = 4, dims = 64)
     }),
+    "q_stream_ann" -> ((s, dir) => {
+      // ANN admission ON THE STREAM: arriving query vectors probe the
+      // statically bucketed corpus under the SAME trained centroids
+      // as q_ivf_trained (models are batch artifacts; streams consume
+      // them); grouped struct-max ≡ the batch rank-1 tie-break, so
+      // the bounded stream equals the batch top-1 and the oracle is
+      // q_ivf_trained's chain filtered to rank = 1
+      import graft.streaming.StreamingOps._
+      val st = embeddingsStream(s, dir).filter(col("vec_id") % 25 === 0)
+      runToMemorySink(
+        Similarity.streamIvfBest(emb(s, dir), st, trainedCents(s, dir),
+          nprobe = 4, dims = 64),
+        "stream_ann", "complete")
+    }),
     "q_ivf_trained" -> ((s, dir) => {
       // IVF with k-means-TRAINED coarse quantizer: the centroids come
       // from Clustering.kmeansCentroids (k=16, 2 Lloyd rounds) instead
@@ -2191,6 +2205,12 @@ object SparkEntry {
     "q_simhash_neardups" -> simhashNearDupsSql,
     "q_ivf_topk" -> ivfTopkSql,
     "q_ivf_trained" -> ivfTrainedSql,
+    // streaming twin: the trained-IVF chain filtered to its rank-1
+    // row per query (the struct-max the stream aggregates)
+    "q_stream_ann" ->
+      s"""SELECT query_id, neighbor_id, cos FROM (
+         |$ivfTrainedSql
+         |) t WHERE rank = 1""".stripMargin,
     "q_ivf_list_sizes" -> ivfListSizesSql,
     "q_ann_recall" -> annRecallSql,
     "q_ann_int8_recall" -> annInt8RecallSql,

@@ -317,6 +317,53 @@ object Similarity {
         col("pr"))
   }
 
+  /** Streaming ANN admission probe: each ARRIVING query vector is
+    * assigned its nprobe IVF lists map-side (centroids are plan
+    * literals — the trained model is a batch artifact the stream
+    * consumes, like the BPE merges in the token-metering stream) and
+    * stream-static joined against the statically bucketed corpus;
+    * the grouped max picks the rank-1 match. Ordering matches the
+    * batch `ivfSearch` tie-break exactly — struct-max on
+    * (round(cos, 6) desc, neighbor_id asc) — so the bounded stream
+    * equals the batch top-1 row for row.
+    *
+    * Scale shape: no stream-stream join, no watermark state beyond
+    * the final per-query aggregate; the static side is the bucketed
+    * corpus (persist it for a long-lived admission service) and only
+    * the arriving micro-batch fans out ×nprobe.
+    */
+  def streamIvfBest(corpus: DataFrame, queryStream: DataFrame,
+                    centroids: Array[Array[Double]], nprobe: Int = 4,
+                    dims: Int = -1): DataFrame = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    require(nprobe >= 1 && nprobe <= centroids.length, "nprobe must be in [1, nlist]")
+    val d0 = if (dims >= 0) dims else centroids.head.length
+    require(centroids.forall(_.length == d0), s"centroid dims must all be $d0")
+    val scores = ivfScoresFor(centroids)
+    val best = when(size(emb(col("embedding"))) === d0,
+        element_at(reverse(array_sort(scores)), 1).getField("list"))
+      .otherwise(raise_error(concat(
+        lit(s"streamIvfBest: embedding dims != $d0 for vec_id="), col("vec_id"))).cast("int"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      emb(col("embedding")).as("ce"), normFloat(emb(col("embedding"))).as("cn"),
+      best.as("list"))
+    val q = queryStream.select(col("vec_id").as("query_id"),
+        emb(col("embedding")).as("qe"), normFloat(emb(col("embedding"))).as("qn"),
+        explode(slice(reverse(array_sort(scores)), 1, nprobe)).as("probe"))
+      .select(col("query_id"), col("qe"), col("qn"),
+        when(size(col("qe")) === d0, col("probe.list"))
+          .otherwise(raise_error(concat(
+            lit(s"streamIvfBest: embedding dims != $d0 for vec_id="),
+            col("query_id"))).cast("int")).as("list"))
+    q.join(c, Seq("list"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosineN(col("qe"), col("ce"), col("qn"), col("cn")), 6).as("cos"))
+      .groupBy("query_id")
+      .agg(max(struct(col("cos"), (-col("neighbor_id")).as("neg_id"))).as("m"))
+      .select(col("query_id"), (-col("m.neg_id")).as("neighbor_id"), col("m.cos").as("cos"))
+  }
+
   /** Recall@k per nprobe setting vs the exact brute-force truth — the
     * tuning dial that turns the nlist/nprobe knobs into measured
     * numbers. ONE corpus join at the LARGEST nprobe: every smaller

@@ -86,6 +86,18 @@ object StreamingOps {
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
   }
 
+  /** The embeddings fixture as a bounded file stream (vec_id,
+    * embedding, label) — the input shape of streaming ANN admission.
+    */
+  def embeddingsStream(root: SparkSession, sfDir: String): DataFrame = {
+    val spark = streamSession(root)
+    val schema = spark.read.parquet(s"$sfDir/embeddings.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(sfDir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+  }
+
   /** Streaming exact-dedup on the normalized-text fingerprint — the
     * streaming twin of `Dedup.exact`: `dropDuplicates` keeps one row
     * per (source, fingerprint) across micro-batches (state = one

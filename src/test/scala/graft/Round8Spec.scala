@@ -289,6 +289,29 @@ class Round8Spec extends AnyFunSuite {
     assert(kept === 4L) // one two / three four / five / six seven
   }
 
+  test("chunkDedup survives a universal boilerplate chunk (50-clone fixture)") {
+    import graft.datapipe.Dedup
+    // 10 real docs + 50 clones of doc 0: every clone's every chunk is
+    // owned by doc 0 — the degenerate hot-h fixture for the h-keyed
+    // ownership join (narrow 24-byte rows by construction)
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val fixture = d.filter(col("doc_id") < 10).select(col("doc_id"), col("text"))
+      .unionAll(d.filter(col("doc_id") === 0)
+        .select(explode(sequence(lit(1000L), lit(1049L))).as("doc_id"), col("text")))
+    val out = Dedup.chunkDedup(fixture, w = 20)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.size === 60)
+    // doc 0 keeps everything; every clone keeps nothing
+    assert(out(0L)._1 === out(0L)._2)
+    (1000L to 1049L).foreach { id =>
+      assert(out(id)._1 === out(0L)._1)
+      assert(out(id)._2 === 0L, s"clone $id kept chunks")
+    }
+    // the 10 real docs keep at least one chunk each (word-soup texts
+    // are not mutual exact-chunk duplicates at w=20)
+    (1L until 10L).foreach(id => assert(out(id)._2 >= 1L))
+  }
+
   test("Bloom build is partitioning-invariant and has no false negatives") {
     import spark.implicits._
     import graft.functions.Bloom
