@@ -1576,6 +1576,37 @@ object SparkEntry {
           (cleanC && keepC && qOk && rOk && col("mix_admitted")).as("admitted"))
     }),
 
+    "q_curate_rewrite" -> ((s, dir) => {
+      // the REWRITE composition — the stage chain that ALTERS text
+      // rather than only gating it: chunk-dedup rewrites the corpus,
+      // the PII scrub runs on the rewritten text, and the quality +
+      // LM gates score the text that would actually enter training.
+      // The LM model trains on the RAW corpus (a batch artifact the
+      // pipeline consumes — the centroids/merges pattern); masks and
+      // chunk-boundary bigrams unseen by the model take the smoothed
+      // floor via lmScoreAgainst's left joins
+      val rewritten = Dedup.chunkDedup(docs(s, dir), w = 20)
+        .filter(col("n_kept") > 0)
+        .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+          col("clean_text").as("text"))
+      val injected = rewritten.select(col("doc_id"), col("n_chunks"),
+        col("n_kept"), piiInjectExpr.as("text"))
+      val red = TextAnalysis.redactPii(injected, keep = Seq("n_chunks", "n_kept"))
+      val lm = TextAnalysis.lmScoreAgainst(
+          red.select(col("doc_id"), col("redacted").as("text")), docs(s, dir))
+        .select(col("doc_id"), col("lm_score"))
+      val qual = round(TextAnalysis.qualityScore(col("redacted")) + 1e-7, 4)
+      val dedupOk = col("n_kept") * 2 >= col("n_chunks")
+      val qualOk = qual >= 0.5
+      val lmOk = coalesce(col("lm_score") >= CURATE_LM_BAR, lit(false))
+      red.join(lm, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+          (col("n_email") + col("n_ip") + col("n_num")).as("n_pii"),
+          qual.as("quality"), col("lm_score"),
+          dedupOk.as("dedup_ok"), qualOk.as("quality_ok"), lmOk.as("lm_ok"),
+          (dedupOk && qualOk && lmOk).as("admitted"))
+    }),
+
     // -- BPE merge training (tokenizer seeding over the corpus vocab) --
     "q_bpe_merges" -> ((s, dir) =>
       // each round: adjacent-pair counts over the vocabulary-sized
@@ -2337,6 +2368,7 @@ object SparkEntry {
     "q_stream_tokens" -> bpeTokensSql,
     "q_mix_resample" -> mixResampleSql,
     "q_curate_pipeline" -> curatePipelineSql,
+    "q_curate_rewrite" -> curateRewriteSql,
     // bounded stream ≡ batch: the streaming admission pipeline shares
     // the batch composition's oracle
     "q_stream_curate" -> curatePipelineSql,
@@ -3697,6 +3729,14 @@ object SparkEntry {
        |FROM hs s LEFT JOIN dup d ON d.h = s.h
        |GROUP BY s.doc_id""".stripMargin
 
+  /** LM-admission bar for the rewrite pipeline: deliberately inside
+    * the fixture's score range so the gate binds in both directions
+    * (an always-true/false gate would make the composition vacuous —
+    * Round8Spec asserts it binds). Compared against the ROUNDED
+    * lm_score on both engines, so the decision is boundary-exact.
+    */
+  private[graft] val CURATE_LM_BAR = -3.42
+
   /** Chunk-dedup replay: same normalize/tokenize, non-overlapping
     * 20-token chunks (inclusive DuckDB slices), keep-first decided on
     * the chunk STRING (the engine-portable stand-in for the 52-bit
@@ -3727,6 +3767,88 @@ object SparkEntry {
        |       string_agg(chunk, ' ' ORDER BY idx)
        |         FILTER (WHERE n_occ = 1 OR rn = 1) AS clean_text
        |FROM marked GROUP BY doc_id""".stripMargin
+
+  /** Rewrite-pipeline replay: the chunk-dedup CTEs feed the same
+    * inject/redact stages as piiRedactSql, quality on the redacted
+    * text, and the raw-corpus bigram model scores it with LEFT joins
+    * (unseen bigrams at the smoothed floor — the lmScoreAgainst
+    * contract). Gates compare rounded values, so every boundary is
+    * engine-exact.
+    */
+  private def curateRewriteSql: String = {
+    val em = TextAnalysis.emailPattern
+    val ip = TextAnalysis.ipv4Pattern
+    val num = TextAnalysis.digitRunPattern
+    s"""WITH rw0 AS MATERIALIZED ($chunkDedupSql),
+       |rw AS (SELECT doc_id, n_chunks, n_kept, clean_text AS text
+       |       FROM rw0 WHERE n_kept > 0),
+       |injected AS (
+       |  SELECT doc_id, n_chunks, n_kept,
+       |         CASE WHEN doc_id % 10 = 0 THEN
+       |           text || ' reach user' || CAST(doc_id AS VARCHAR)
+       |                || '@example.com or 10.20.'
+       |                || CAST(doc_id % 200 + 1 AS VARCHAR)
+       |                || '.7 acct 90210' || CAST(doc_id AS VARCHAR) || '1 done'
+       |         ELSE text END AS text
+       |  FROM rw
+       |),
+       |s1 AS (SELECT doc_id, n_chunks, n_kept, text AS t0,
+       |              regexp_replace(text, '$em', '<EMAIL>', 'g') AS t1 FROM injected),
+       |s2 AS (SELECT doc_id, n_chunks, n_kept, t0, t1,
+       |              regexp_replace(t1, '$ip', '<IP>', 'g') AS t2 FROM s1),
+       |red AS MATERIALIZED (
+       |  SELECT doc_id, n_chunks, n_kept,
+       |         len(regexp_extract_all(t0, '$em'))
+       |           + len(regexp_extract_all(t1, '$ip'))
+       |           + len(regexp_extract_all(t2, '$num')) AS n_pii,
+       |         regexp_replace(t2, '$num', '<NUM>', 'g') AS redacted
+       |  FROM s2
+       |),
+       |qm AS (
+       |  SELECT doc_id, CAST(length(redacted) AS DOUBLE) AS n,
+       |         CAST(length(redacted) - length(regexp_replace(redacted, '[0-9]', '', 'g')) AS DOUBLE) AS digits,
+       |         CAST(length(redacted) - length(regexp_replace(redacted, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) AS punct,
+       |         CAST(length(redacted) - length(regexp_replace(redacted, '[A-Z]', '', 'g')) AS DOUBLE) AS uppr
+       |  FROM red
+       |),
+       |qual AS (
+       |  SELECT doc_id, round(greatest(0.0, least(n / 200.0, 1.0) *
+       |           (1.0 - least(digits / n * 4.0, 1.0) * 0.4
+       |                - least(punct / n * 3.0, 1.0) * 0.3
+       |                - least(uppr / n * 2.0, 1.0) * 0.3)) + 1e-7, 4) AS quality
+       |  FROM qm
+       |),
+       |mtoks AS (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+       |          FROM documents WHERE text IS NOT NULL),
+       |cb AS (SELECT g, CAST(count(*) AS BIGINT) AS cb
+       |       FROM (SELECT unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i + 1])) AS g
+       |             FROM mtoks WHERE len(a) >= 2) GROUP BY g),
+       |cw AS (SELECT split_part(g, ' ', 1) AS w1, CAST(sum(cb) AS BIGINT) AS cw
+       |       FROM cb GROUP BY 1),
+       |v AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(a) AS w FROM mtoks)),
+       |db AS (
+       |  SELECT doc_id, g, count(*) AS n
+       |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i + 1])) AS g
+       |        FROM (SELECT doc_id, regexp_split_to_array(trim(lower(redacted)), '\\s+') AS a FROM red)
+       |        WHERE len(a) >= 2)
+       |  GROUP BY doc_id, g
+       |),
+       |lm AS (
+       |  SELECT db.doc_id,
+       |         round(sum(n * (ln(coalesce(cb.cb, 0) + 1) - ln(coalesce(cw.cw, 0) + v.v)))
+       |               / sum(n), 6) AS lm_score
+       |  FROM db LEFT JOIN cb USING (g)
+       |  LEFT JOIN cw ON split_part(db.g, ' ', 1) = cw.w1 CROSS JOIN v
+       |  GROUP BY db.doc_id
+       |)
+       |SELECT r.doc_id, r.n_chunks, r.n_kept, r.n_pii, q.quality, lm.lm_score,
+       |       r.n_kept * 2 >= r.n_chunks AS dedup_ok,
+       |       q.quality >= 0.5 AS quality_ok,
+       |       coalesce(lm.lm_score >= $CURATE_LM_BAR, FALSE) AS lm_ok,
+       |       (r.n_kept * 2 >= r.n_chunks) AND q.quality >= 0.5
+       |         AND coalesce(lm.lm_score >= $CURATE_LM_BAR, FALSE) AS admitted
+       |FROM red r JOIN qual q USING (doc_id) LEFT JOIN lm USING (doc_id)""".stripMargin
+  }
 
   /** Mirrors the two-phase Spark plan: winners chosen on the 52-bit
     * hash (count desc, hash asc — the engine-portable tie-break),

@@ -198,6 +198,41 @@ object TextAnalysis {
         round(col("ll") / col("n_bigrams"), 6).as("lm_score"))
   }
 
+  /** `lmScore` against an EXTERNALLY supplied model corpus — the
+    * composition form: the model trains on the raw corpus (a batch
+    * artifact, like trained centroids or BPE merges) and scores any
+    * downstream representation of the text (rewritten, scrubbed).
+    * Bigrams or predecessors absent from the model fall back to the
+    * smoothed floor (count 0 via left join + coalesce) — exactly what
+    * add-one smoothing is for; with `modelDocs eq docs` this reduces
+    * to `lmScore` (every bigram is then in the model).
+    */
+  def lmScoreAgainst(docs: DataFrame, modelDocs: DataFrame): DataFrame = {
+    val mToks = modelDocs.filter(col("text").isNotNull)
+      .select(tokensOf(col("text")).as("toks"))
+    val cb = mToks.filter(size(col("toks")) >= 2)
+      .select(explode(bigramsOf(col("toks"))).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("cb"))
+    val cw = cb.select(substring_index(col("g"), " ", 1).as("w1"), col("cb"))
+      .groupBy("w1").agg(sum("cb").as("cw"))
+    val v = mToks.select(explode(col("toks")).as("w")).distinct().count()
+    val docBig = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), tokensOf(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(bigramsOf(col("toks"))).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
+    docBig
+      .join(cb, Seq("g"), "left")
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+      .join(cw, Seq("w1"), "left")
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_bigrams"),
+        sum(col("n") * (log(coalesce(col("cb"), lit(0L)) + 1) -
+          log(coalesce(col("cw"), lit(0L)) + v))).as("ll"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("ll") / col("n_bigrams"), 6).as("lm_score"))
+  }
+
   /** PII redaction patterns — deliberately the common subset of Java
     * regex and RE2 (ASCII classes, bounded quantifiers, no
     * backreferences/lookaround) so the redaction replays exactly in

@@ -312,6 +312,20 @@ class Round8Spec extends AnyFunSuite {
     (1L until 10L).foreach(id => assert(out(id)._2 >= 1L))
   }
 
+  test("rewrite pipeline: every gate binds in both directions on the fixture") {
+    // an always-true or always-false gate would make the composition
+    // vacuous (the q_curate_pipeline discipline, applied to the
+    // rewrite chain)
+    val out = SparkEntry.queries("q_curate_rewrite")(spark, sf)
+      .select(col("dedup_ok"), col("quality_ok"), col("lm_ok"), col("admitted"))
+      .collect()
+    for ((name, i) <- Seq("dedup_ok" -> 0, "quality_ok" -> 1, "lm_ok" -> 2,
+        "admitted" -> 3)) {
+      assert(out.exists(_.getBoolean(i)), s"$name never true")
+      assert(out.exists(!_.getBoolean(i)), s"$name never false")
+    }
+  }
+
   test("Bloom build is partitioning-invariant and has no false negatives") {
     import spark.implicits._
     import graft.functions.Bloom
