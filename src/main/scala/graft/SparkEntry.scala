@@ -1471,7 +1471,7 @@ object SparkEntry {
       // CCNet-style LM quality filter: corpus-trained add-one bigram
       // model, per-doc mean conditional log-probability — the model is
       // an aggregate of the same job, no external artifacts
-      TextAnalysis.lmScore(docs(s, dir))),
+      TextAnalysis.lmScore(docs(s, dir), tc = Some(docTermCounts(s, dir)))),
 
     // -- corpus vocabulary (top-K terms — tokenizer/BPE seeding) --
     "q_vocab" -> ((s, dir) =>
@@ -1593,7 +1593,8 @@ object SparkEntry {
         col("n_kept"), piiInjectExpr.as("text"))
       val red = TextAnalysis.redactPii(injected, keep = Seq("n_chunks", "n_kept"))
       val lm = TextAnalysis.lmScoreAgainst(
-          red.select(col("doc_id"), col("redacted").as("text")), docs(s, dir))
+          red.select(col("doc_id"), col("redacted").as("text")), docs(s, dir),
+          modelTc = Some(docTermCounts(s, dir)))
         .select(col("doc_id"), col("lm_score"))
       val qual = round(TextAnalysis.qualityScore(col("redacted")) + 1e-7, 4)
       val dedupOk = col("n_kept") * 2 >= col("n_chunks")

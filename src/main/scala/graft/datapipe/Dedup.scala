@@ -447,10 +447,17 @@ object Dedup {
     val bloomBytes: Array[Byte] = bench
       .agg(Bloom.buildAgg(m, k)(col("h1")).as("bloom"))
       .head().getAs[Array[Byte]]("bloom")
+    // small filters fold as plan literals (codegen constant); big ones
+    // ship once per executor as a torrent broadcast so task binaries
+    // and plan strings stay bounded
+    val probe =
+      if (bloomBytes.length <= (4 << 20)) Bloom.bloomMightContain(lit(bloomBytes), col("h1"))
+      else Bloom.bloomMightContainBc(
+        corpusHashes.sparkSession.sparkContext.broadcast(bloomBytes), col("h1"))
     val dist = corpusHashes.select(col("doc_id"), col("h1")).distinct()
     val counts = dist.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val hits = dist
-      .filter(Bloom.bloomMightContain(lit(bloomBytes), col("h1")))
+      .filter(probe)
       .join(bench, Seq("h1"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("hits"))
     counts.join(hits, Seq("doc_id"), "left")

@@ -179,7 +179,7 @@ object TextAnalysis {
     * else it's a narrow-key shuffle join. V is the one collected
     * scalar (a count), folded as a literal.
     */
-  def lmScore(docs: DataFrame): DataFrame = {
+  def lmScore(docs: DataFrame, tc: Option[DataFrame] = None): DataFrame = {
     val toks = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), tokensOf(col("text")).as("toks"))
     val docBig = toks.filter(size(col("toks")) >= 2)
@@ -188,7 +188,12 @@ object TextAnalysis {
     val cb = docBig.groupBy("g").agg(sum("n").as("cb"))
     val cw = cb.select(substring_index(col("g"), " ", 1).as("w1"), col("cb"))
       .groupBy("w1").agg(sum("cb").as("cw"))
-    val v = toks.select(explode(col("toks")).as("w")).distinct().count()
+    // V from the shared (doc, term) table when the caller has one
+    // materialized — saves a corpus-wide tokenize + distinct exchange
+    val v = tc match {
+      case Some(t) => t.select(col("term")).distinct().count()
+      case None => toks.select(explode(col("toks")).as("w")).distinct().count()
+    }
     docBig.join(cb, Seq("g"))
       .join(cw, substring_index(col("g"), " ", 1) === col("w1"))
       .groupBy("doc_id")
@@ -207,7 +212,8 @@ object TextAnalysis {
     * add-one smoothing is for; with `modelDocs eq docs` this reduces
     * to `lmScore` (every bigram is then in the model).
     */
-  def lmScoreAgainst(docs: DataFrame, modelDocs: DataFrame): DataFrame = {
+  def lmScoreAgainst(docs: DataFrame, modelDocs: DataFrame,
+                     modelTc: Option[DataFrame] = None): DataFrame = {
     val mToks = modelDocs.filter(col("text").isNotNull)
       .select(tokensOf(col("text")).as("toks"))
     val cb = mToks.filter(size(col("toks")) >= 2)
@@ -215,7 +221,10 @@ object TextAnalysis {
       .groupBy("g").agg(count(lit(1)).as("cb"))
     val cw = cb.select(substring_index(col("g"), " ", 1).as("w1"), col("cb"))
       .groupBy("w1").agg(sum("cb").as("cw"))
-    val v = mToks.select(explode(col("toks")).as("w")).distinct().count()
+    val v = modelTc match {
+      case Some(t) => t.select(col("term")).distinct().count()
+      case None => mToks.select(explode(col("toks")).as("w")).distinct().count()
+    }
     val docBig = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), tokensOf(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2)

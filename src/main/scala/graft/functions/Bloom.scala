@@ -104,6 +104,20 @@ object Bloom {
       GraftSqlBridge.expression(bloom), GraftSqlBridge.expression(value)))
   }
 
+  /** Probe against a BROADCAST filter — the shape for blooms too big
+    * to fold as a plan literal (a literal rides in every task binary
+    * and in every plan string; a Broadcast ships once per executor
+    * via torrent and the expression carries only the handle). Above
+    * ~a few MB this is the right call; `Dedup.benchmarkOverlapBloom`
+    * switches automatically.
+    */
+  def bloomMightContainBc(bloom: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+                          value: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(BloomMightContainBc(bloom,
+      GraftSqlBridge.expression(value)))
+  }
+
   /** Distributed build: partial buffers OR-merge associatively, so the
     * result is identical under any partitioning — each executor sets
     * bits for its rows, the driver never sees the raw keys. This is a
@@ -162,4 +176,38 @@ case class BloomMightContain(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): BloomMightContain =
     copy(left = newLeft, right = newRight)
+}
+
+/** `bloom_might_contain` over a torrent-broadcast filter: the
+  * expression serializes only the Broadcast HANDLE; executors fetch
+  * the bytes once and the generated code probes them via a plan
+  * reference object — zero per-row deserialization, task binaries
+  * stay small however big the filter is.
+  */
+case class BloomMightContainBc(
+    bloom: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+    child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def prettyName: String = "bloom_might_contain_bc"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bloom_might_contain_bc requires a bigint key, got ${child.dataType}")
+
+  override def dataType: DataType = BooleanType
+
+  override def nullSafeEval(v: Any): Any =
+    Bloom.mightContain(bloom.value, v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bc = ctx.addReferenceObj("bloomBc", bloom,
+      classOf[org.apache.spark.broadcast.Broadcast[Array[Byte]]].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.Bloom.mightContain((byte[]) $bc.value(), $v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContainBc =
+    copy(child = newChild)
 }

@@ -365,6 +365,24 @@ class Round8Spec extends AnyFunSuite {
     assert(keys.toSet.subsetOf(viaSql))
   }
 
+  test("broadcast-backed bloom probe agrees with the literal fold") {
+    import spark.implicits._
+    import graft.functions.Bloom
+    val keys = (0L until 2000L).map(Bloom.mix)
+    val bloom = keys.toDF("h1").agg(Bloom.buildAgg(Bloom.sizeFor(2000), 7)(col("h1")))
+      .head().getAs[Array[Byte]](0)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val univ = (0L until 4000L).map(Bloom.mix).toDF("h1")
+    // the Bc expression ships only the handle; the generated code
+    // probes the torrent-fetched bytes — same bits, same verdicts
+    val viaBc = univ.filter(Bloom.bloomMightContainBc(bc, col("h1")))
+      .as[Long].collect().toSet
+    val viaLit = univ.filter(Bloom.bloomMightContain(lit(bloom), col("h1")))
+      .as[Long].collect().toSet
+    assert(viaBc === viaLit)
+    assert(keys.toSet.subsetOf(viaBc))
+  }
+
   test("benchmarkOverlapBloom hash-matches the exact broadcast path") {
     import graft.datapipe.Dedup
     val sh = Dedup.shingleHashes(Dedup.shingles(
