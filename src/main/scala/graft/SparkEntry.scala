@@ -1106,6 +1106,22 @@ object SparkEntry {
         Dedup.minhashSignatures(cloneFixture(s, dir), k = 16), rowsPerBand = 4, maxBucket = 8)
         .select(col("band").cast("long").as("band"), col("representative"),
           col("n_members"), col("n_starred"))),
+    "q_media_phash" -> ((s, dir) =>
+      // average-hash (aHash) perceptual fingerprint over the decoded
+      // byte stream — the image near-dup signature, with the stub
+      // decode being the identity on bytes
+      Multimodal.perceptualHash(Multimodal.syntheticMedia(docs(s, dir)))),
+    "q_media_neardups" -> ((s, dir) => {
+      // media near-dup detection: perceptual hashes through the SAME
+      // banded-hamming machinery as SimHash (the near-dup tail is
+      // signature-agnostic) — exact duplicate payloads land identical
+      // phashes, so the fixture's duplicate docs make the counts bind
+      val ph = Multimodal.perceptualHash(Multimodal.syntheticMedia(docs(s, dir)))
+        .select(col("media_id").as("doc_id"), col("phash").as("simhash"))
+      Dedup.hammingNearDups(ph, docs(s, dir).select(col("doc_id")),
+          maxHamming = 6)
+        .select(col("doc_id").as("media_id"), col("n_cand"), col("n_dup"))
+    }),
     "q_multimodal_features" -> ((s, dir) => {
       // flatten the feature vector (the comparator can't sort ndarray
       // cells); every value — header metadata and byte-histogram — is
@@ -2235,6 +2251,8 @@ object SparkEntry {
         |)""".stripMargin,
     "q_simhash" -> simhashSql,
     "q_simhash_neardups" -> simhashNearDupsSql,
+    "q_media_phash" -> mediaPhashSql,
+    "q_media_neardups" -> mediaNearDupsSql,
     "q_ivf_topk" -> ivfTopkSql,
     "q_ivf_trained" -> ivfTrainedSql,
     // streaming twin: the trained-IVF chain filtered to its rank-1
@@ -3534,6 +3552,77 @@ object SparkEntry {
 
   private def simhashSql: String =
     s"WITH $SIMHASH_CTE SELECT doc_id, simhash FROM sim"
+
+  /** aHash replay: per-byte values from the hex dump, segment ↦
+    * floor((pos−1)·52/n), bit decided by exact cross-multiplied
+    * integer comparison, bits folded as exact power-of-two sums
+    * (each term a distinct power < 2^52 — exact in doubles on both
+    * engines, the SIMHASH_CTE precedent).
+    */
+  private val PHASH_CTE =
+    """m AS (
+      |  SELECT doc_id AS media_id, encode(text) AS b FROM documents
+      |  WHERE text IS NOT NULL AND octet_length(encode(text)) > 0
+      |),
+      |pb AS (
+      |  SELECT media_id, ((pos - 1) * 52) // octet_length(b) AS seg,
+      |         ('0x' || substr(hex(b), pos * 2 - 1, 2))::BIGINT AS v
+      |  FROM (SELECT media_id, b,
+      |               unnest(generate_series(1, octet_length(b))) AS pos
+      |        FROM m)
+      |),
+      |sg AS (
+      |  SELECT media_id, seg, CAST(sum(v) AS BIGINT) AS s, count(*) AS c
+      |  FROM pb GROUP BY media_id, seg
+      |),
+      |tt AS (
+      |  SELECT media_id, CAST(sum(s) AS BIGINT) AS ts, CAST(sum(c) AS BIGINT) AS tc
+      |  FROM sg GROUP BY media_id
+      |),
+      |ph AS (
+      |  SELECT sg.media_id,
+      |         CAST(sum(CASE WHEN s * tc > ts * c THEN pow(2.0, seg) ELSE 0.0 END) AS BIGINT) AS phash
+      |  FROM sg JOIN tt USING (media_id) GROUP BY sg.media_id
+      |)""".stripMargin
+
+  private def mediaPhashSql: String =
+    s"WITH $PHASH_CTE SELECT media_id, phash FROM ph"
+
+  /** Banded-hamming near-dups over the perceptual hashes — the
+    * simhashNearDupsSql machinery verbatim, keyed on phash.
+    */
+  private def mediaNearDupsSql: String =
+    s"""WITH $PHASH_CTE,
+       |bands AS (
+       |  SELECT media_id, phash, bnd AS band,
+       |         CAST(floor(phash / pow(2.0, bnd * 13)) AS BIGINT) % 8192 AS key,
+       |         row_number() OVER (PARTITION BY bnd,
+       |           CAST(floor(phash / pow(2.0, bnd * 13)) AS BIGINT) % 8192
+       |           ORDER BY media_id) AS r
+       |  FROM ph, (SELECT unnest(generate_series(0, 3)) AS bnd)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a, b, sa, sb FROM (
+       |    SELECT x.media_id AS a, y.media_id AS b, x.phash AS sa, y.phash AS sb
+       |    FROM bands x JOIN bands y
+       |      ON x.band = y.band AND x.key = y.key
+       |     AND x.r <= 256 AND y.r <= 256 AND x.media_id < y.media_id
+       |    UNION ALL
+       |    SELECT x.media_id AS a, y.media_id AS b, x.phash AS sa, y.phash AS sb
+       |    FROM bands x JOIN bands y
+       |      ON x.band = y.band AND x.key = y.key AND x.r = 1 AND y.r > 256
+       |  )
+       |),
+       |ver AS (SELECT a, b, bit_count(xor(sa, sb)) AS hd FROM cand),
+       |perdoc AS (
+       |  SELECT media_id, count(*) AS n_cand,
+       |         CAST(sum(CASE WHEN hd <= 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+       |  FROM (SELECT a AS media_id, hd FROM ver UNION ALL SELECT b AS media_id, hd FROM ver)
+       |  GROUP BY media_id
+       |)
+       |SELECT d.doc_id AS media_id, coalesce(p.n_cand, 0) AS n_cand,
+       |       coalesce(p.n_dup, 0) AS n_dup
+       |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.media_id""".stripMargin
 
   /** Banded SimHash near-dup oracle: 4x13-bit band keys, candidate
     * pairs by band equi-join, hamming verification, per-doc counts.

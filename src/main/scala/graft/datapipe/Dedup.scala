@@ -875,9 +875,19 @@ object Dedup {
     * bounding per-bucket output at C(K,2) + (m - K).
     */
   def simhashNearDups(docs: DataFrame, maxHamming: Int = 6, bands: Int = 4,
-                      maxBucket: Int = 256): DataFrame = {
+                      maxBucket: Int = 256): DataFrame =
+    hammingNearDups(simhash(docs), docs.select("doc_id"), maxHamming, bands, maxBucket)
+
+  /** Hamming-banded near-dup counts over ANY 52-bit signature table
+    * (doc_id, simhash) — the shared tail of `simhashNearDups`, also
+    * consumed by the media perceptual-hash path
+    * ([[Multimodal.perceptualHash]]): band keys → capped bucket pairs
+    * → exact hamming verify → per-id counts, with `ids` re-attaching
+    * the rows that drew no candidates.
+    */
+  def hammingNearDups(sig: DataFrame, ids: DataFrame, maxHamming: Int = 6,
+                      bands: Int = 4, maxBucket: Int = 256): DataFrame = {
     val bandBits = 52 / bands
-    val sig = simhash(docs)
     val banded = sig.select(col("doc_id"), col("simhash"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"),
@@ -894,7 +904,7 @@ object Dedup {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_cand"),
         sum(when(col("hd") <= maxHamming, 1L).otherwise(0L)).as("n_dup"))
-    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+    ids.join(perDoc, Seq("doc_id"), "left")
       .na.fill(0, Seq("n_cand", "n_dup"))
   }
 }

@@ -81,6 +81,44 @@ object Multimodal {
     hist
   }
 
+  /** aHash-style perceptual hash over the decoded byte stream: the
+    * payload is cut into `bits` equal segments and bit j is set iff
+    * segment j's mean byte value exceeds the whole-payload mean —
+    * the average-hash construction every image near-dup pipeline
+    * uses, with the stub decode being the identity on bytes (swap in
+    * a real decode → grayscale-resize and the same expression tree
+    * applies to the pixel stream). All comparisons are exact cross-
+    * multiplied integers (seg_sum·n_total > total_sum·n_seg) — no
+    * float boundary, engine-portable.
+    *
+    * Scale shape: one explode over payload positions (map-side), one
+    * (media_id, seg) partial-agg'd exchange, totals derived from the
+    * segment table (no second pass), bits folded back with exact
+    * power-of-two sums. Pairs then go through the SAME banded-
+    * hamming path as SimHash (`Dedup.hammingNearDups`) — the near-
+    * dup machinery is signature-agnostic.
+    */
+  def perceptualHash(media: DataFrame, bits: Int = 52): DataFrame = {
+    val seg = media
+      .select(col("media_id"), hex(col("bytes")).as("hx"),
+        length(col("bytes")).as("n"))
+      .filter(col("n") > 0)
+      .select(col("media_id"), col("hx"), col("n"),
+        explode(expr("sequence(1, n)")).as("pos"))
+      .select(col("media_id"),
+        expr(s"((pos - 1) * $bits) div n").as("seg"),
+        conv(expr("substring(hx, pos * 2 - 1, 2)"), 16, 10).cast("long").as("v"))
+      .groupBy("media_id", "seg")
+      .agg(sum("v").as("s"), count(lit(1)).as("c"))
+    val tot = seg.groupBy("media_id")
+      .agg(sum("s").as("ts"), sum("c").as("tc"))
+    seg.join(tot, Seq("media_id"))
+      .groupBy("media_id")
+      .agg(sum(when(col("s") * col("tc") > col("ts") * col("c"),
+          pow(lit(2.0), col("seg"))).otherwise(lit(0.0)))
+        .cast("long").as("phash"))
+  }
+
   /** Parse a RIFF/WAVE byte payload: Some((sampleRate, nChannels,
     * nFrames)) when the bytes really are a WAV stream.
     */

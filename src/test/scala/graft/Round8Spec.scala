@@ -312,6 +312,31 @@ class Round8Spec extends AnyFunSuite {
     (1L until 10L).foreach(id => assert(out(id)._2 >= 1L))
   }
 
+  test("perceptualHash: clones collide, perturbations stay near, distinct texts differ") {
+    import spark.implicits._
+    import graft.datapipe.{Dedup, Multimodal}
+    val base = "the quick brown fox jumps over the lazy dog " * 8
+    val media = Seq(
+      (0L, base), (1L, base),                      // exact clone pair
+      (2L, base.replace("quick", "quack")),        // small perturbation
+      (3L, base.reverse + "zzzzqqqq0123"))         // different profile
+      .toDF("media_id", "text")
+      .select(col("media_id"), lit("image").as("kind"),
+        to_binary(col("text"), lit("utf-8")).as("bytes"))
+    val ph = Multimodal.perceptualHash(media)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ph(0L) === ph(1L), "identical payloads must collide")
+    assert(java.lang.Long.bitCount(ph(0L) ^ ph(2L)) <= 10,
+      s"perturbed payload drifted ${java.lang.Long.bitCount(ph(0L) ^ ph(2L))} bits")
+    // near-dup counts ride the shared banded-hamming tail
+    val nd = Dedup.hammingNearDups(
+        Multimodal.perceptualHash(media)
+          .select(col("media_id").as("doc_id"), col("phash").as("simhash")),
+        media.select(col("media_id").as("doc_id")), maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(nd(0L) >= 1L && nd(1L) >= 1L, "clone pair must count as near-dups")
+  }
+
   test("rewrite pipeline: every gate binds in both directions on the fixture") {
     // an always-true or always-false gate would make the composition
     // vacuous (the q_curate_pipeline discipline, applied to the
