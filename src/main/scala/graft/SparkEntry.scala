@@ -106,6 +106,36 @@ object SparkEntry {
     * ids are assigned in sorted-name order; units derive from the
     * name so the DuckDB oracle can reproduce them.
     */
+  /** The DSv2-WRITTEN fixture: the uniform channels, renumbered to
+    * integer ids in sorted-name order, written through
+    * `Ide.write` (cluster-by-ch + (ch, t, sub) sort inserted by the
+    * engine, one rollover file per partition) — what
+    * k_ide_write_roundtrip reads back. Channel names become the
+    * writer's inferred `ch<k>`, which the oracle reproduces with a
+    * dense_rank over the sorted channel names.
+    */
+  private val ideWriteDirCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def ideWriteFixture(s: SparkSession, dir: String): String =
+    ideWriteDirCache.getOrElseUpdate((s, dir), {
+      val names = evUniform(s, dir).select("channel").distinct()
+        .collect().map(_.getString(0)).sorted
+      import s.implicits._
+      val ids = names.zipWithIndex.map { case (n, i) => (n, i) }
+        .toSeq.toDF("channel", "ch")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("channel").orderBy("t")
+      val df = evUniform(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .join(broadcast(ids), Seq("channel"))
+        .select(col("ch"), lit(0).as("sub"),
+          ((col("rn") - 1) / lit(1000.0)).as("t"), col("v").cast("double").as("v"))
+      val d = java.nio.file.Files.createTempDirectory("graft_ide_w").toFile
+      d.deleteOnExit()
+      graft.signal.Ide.write(df, d.getAbsolutePath, timeBaseUs = 1700000000000000L)
+      d.getAbsolutePath
+    })
+
   private val ideFixtureCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private def ideFixture(s: SparkSession, dir: String): String =
@@ -1168,6 +1198,17 @@ object SparkEntry {
       s.read.format(graft.sources.WavSource.NAME).option("partitionFrames", 4096L)
         .load(tmp.getAbsolutePath).filter(col("ch") === 0)
     }),
+    "k_ide_write_roundtrip" -> ((s, dir) => {
+      // the DISTRIBUTED write path: the uniform channels leave as a
+      // plain (ch, sub, t, v) DataFrame through the DSv2 writer (one
+      // rollover file per partition; Spark inserts the cluster/sort
+      // the writer declares) and come back through the directory
+      // reader — bit-exact, same oracle family as k_ide_roundtrip
+      val path = ideWriteFixture(s, dir)
+      graft.signal.Ide.read(s, path, partitionBytes = 8192)
+        .join(broadcast(graft.signal.Ide.channels(s, path)), Seq("ch", "sub"))
+        .select(col("name"), col("t"), col("v"))
+    }),
     "k_ide_roundtrip" -> ((s, dir) => {
       // sink every uniform channel to a native .ide recording, read
       // it back through the DSv2 source with block-group partition
@@ -2106,6 +2147,14 @@ object SparkEntry {
     "k_ide_roundtrip" ->
       s"""WITH ${uniformSql(3600.0)}
          |SELECT channel AS name,
+         |       CAST(row_number() OVER (PARTITION BY channel ORDER BY t) - 1 AS DOUBLE)
+         |         / 1000 AS t, v
+         |FROM u""".stripMargin,
+    // the writer infers names as ch<k> with k assigned in sorted
+    // channel-name order — dense_rank reproduces the numbering
+    "k_ide_write_roundtrip" ->
+      s"""WITH ${uniformSql(3600.0)}
+         |SELECT 'ch' || CAST(dense_rank() OVER (ORDER BY channel) - 1 AS VARCHAR) AS name,
          |       CAST(row_number() OVER (PARTITION BY channel ORDER BY t) - 1 AS DOUBLE)
          |         / 1000 AS t, v
          |FROM u""".stripMargin,

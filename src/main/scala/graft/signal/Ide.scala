@@ -45,6 +45,20 @@ object Ide {
     spark.readStream.format(IdeSource.NAME)
       .option("partitionBytes", partitionBytes).load(path)
 
+  /** Distributed write: one rollover `.ide` file per partition into
+    * `path` — the fleet-upload layout `read`/`readStream` consume.
+    * Spark inserts the cluster-by-channel exchange and (ch, t, sub)
+    * sort the writer declares via `RequiresDistributionAndOrdering`;
+    * the input needs columns (ch, sub, t, v).
+    */
+  def write(df: DataFrame, path: String, timeBaseUs: Long = 0L,
+            blockFrames: Int = 256): Unit =
+    df.write.format(IdeSource.NAME)
+      .option("timeBaseUs", timeBaseUs)
+      .option("blockFrames", blockFrames)
+      .mode("append")
+      .save(path)
+
   /** Header as a table: one row per (channel, subchannel). */
   def channels(spark: SparkSession, path: String): DataFrame =
     spark.read.format(IdeSource.NAME).option("mode", "channels").load(path)

@@ -215,15 +215,23 @@ object IdeSource {
   }
 }
 
-class IdeTable(path: String, mode: String) extends Table with SupportsRead {
+class IdeTable(path: String, mode: String) extends Table
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"ide:$path"
   override def schema(): StructType =
     if (mode == "channels") IdeSource.CHANNELS_SCHEMA else IdeSource.DATA_SCHEMA
   override def capabilities(): java.util.Set[TableCapability] =
     (if (mode == "channels") Set(TableCapability.BATCH_READ)
-     else Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)).asJava
+     else Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+       TableCapability.BATCH_WRITE)).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new IdeScanBuilder(path, mode, options.getLong("partitionBytes", 128L << 20))
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(mode != "channels", "the channels metadata view is read-only")
+    new IdeWriteBuilder(path, info)
+  }
 }
 
 /** Channel-equality predicates prune whole data blocks at planning —

@@ -1,0 +1,148 @@
+package graft.sources
+
+import java.io.File
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.types.StructType
+
+/** Distributed `.ide` writer: `df.write.format("graft.sources.IdeSource")
+  * .mode("append").save(dir)` writes one rollover file per input
+  * partition into `dir` — the recorder-fleet layout the multi-file
+  * reader and the micro-batch stream already consume. The inverse of
+  * the reference's driver-side single-file export.
+  *
+  * Spark plans the physical layout FOR the writer via
+  * `RequiresDistributionAndOrdering`: rows are clustered by channel
+  * and sorted (ch, t, sub), so each task receives whole channels in
+  * frame order and the exchange/sort is inserted by the engine — the
+  * DSv2 analog of parquet's dynamic-partition sort, not hand-rolled
+  * in user code.
+  *
+  * Channel metadata is inferred from the data: the sample period from
+  * the first→last frame span (exact for the uniform-rate series the
+  * layout represents — non-uniform time is not expressible in a
+  * timecoded block format, true of the real format too), subchannel
+  * count from the first frame's width, float64 payloads so the write
+  * → read round trip is bit-exact. Each task buffers its partition's
+  * channels (the per-task analog of the reference's per-channel
+  * arrays); task commit is write-temp + atomic rename, so retries and
+  * speculation never publish partial files.
+  */
+class IdeWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuilder {
+  override def build(): Write =
+    new IdeWrite(path, info.schema(), info.options())
+}
+
+class IdeWrite(path: String, schema: StructType,
+               options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+    extends Write with RequiresDistributionAndOrdering {
+
+  override def requiredDistribution(): Distribution =
+    Distributions.clustered(Array(Expressions.identity("ch")))
+
+  override def requiredOrdering(): Array[SortOrder] = Array(
+    Expressions.sort(Expressions.column("ch"), SortDirection.ASCENDING),
+    Expressions.sort(Expressions.column("t"), SortDirection.ASCENDING),
+    Expressions.sort(Expressions.column("sub"), SortDirection.ASCENDING))
+
+  override def toBatch: BatchWrite =
+    new IdeBatchWrite(path, schema,
+      options.getLong("timeBaseUs", 0L),
+      options.getInt("blockFrames", 256))
+}
+
+class IdeBatchWrite(path: String, schema: StructType, timeBaseUs: Long,
+                    blockFrames: Int) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val dir = new File(path)
+    require(dir.isDirectory || dir.mkdirs(), s"cannot create directory $path")
+    val idx = Array("ch", "sub", "t", "v").map { n =>
+      val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(n))
+      require(i >= 0, s"ide write requires column '$n'; got ${schema.fieldNames.mkString(", ")}")
+      i
+    }
+    new IdeWriterFactory(path, idx, timeBaseUs, blockFrames)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class IdeWriterFactory(path: String, idx: Array[Int], timeBaseUs: Long,
+                       blockFrames: Int) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new IdeDataWriter(path, partitionId, taskId, idx, timeBaseUs, blockFrames)
+}
+
+private final case class IdeCommit(file: String) extends WriterCommitMessage
+
+class IdeDataWriter(path: String, partitionId: Int, taskId: Long,
+                    idx: Array[Int], timeBaseUs: Long, blockFrames: Int)
+    extends DataWriter[InternalRow] {
+
+  private val channels = ArrayBuffer.empty[IdeSink.Ch]
+  private var curCh = Int.MinValue
+  private var curT = Double.NaN
+  private var t0 = 0.0
+  private var lastT = 0.0
+  private val frames = ArrayBuffer.empty[ArrayBuffer[Double]]
+
+  private def flushChannel(): Unit = {
+    if (frames.isEmpty) return
+    val n = frames.length
+    val startUs = math.round(t0 * 1e6)
+    // period from the full span — exact for uniform series, the only
+    // kind a timecoded block layout can represent
+    val periodUs =
+      if (n >= 2) math.max(1L, math.round((lastT - t0) * 1e6 / (n - 1)))
+      else 1000000L
+    val nSubs = frames.head.length
+    require(frames.forall(_.length == nSubs),
+      s"channel $curCh: ragged frames (expected $nSubs subchannel rows per timestamp)")
+    channels += IdeSink.Ch(curCh, s"ch$curCh", 1e6 / periodUs,
+      MideSchema.FmtFloat64,
+      (0 until nSubs).map(i => IdeSink.Sub(s"ch${curCh}_$i", "u")),
+      frames.map(_.toArray).toArray, blockFrames, startUs)
+    frames.clear()
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val ch = row.getInt(idx(0))
+    val t = row.getDouble(idx(2))
+    val v = row.getDouble(idx(3))
+    if (ch != curCh) {
+      flushChannel()
+      curCh = ch
+      curT = Double.NaN
+      t0 = t
+    }
+    if (frames.isEmpty || t != curT) {
+      frames += ArrayBuffer.empty[Double]
+      curT = t
+      lastT = t
+    }
+    frames.last += v
+  }
+
+  override def commit(): WriterCommitMessage = {
+    flushChannel()
+    if (channels.isEmpty) return IdeCommit("")
+    val tmp = new File(path, s".part-$partitionId-$taskId.ide.tmp")
+    IdeSink.write(tmp.getAbsolutePath, timeBaseUs, channels.toSeq)
+    val dst = new File(path, f"part-$partitionId%05d.ide")
+    if (dst.exists()) dst.delete()
+    require(tmp.renameTo(dst), s"rename ${tmp.getName} -> ${dst.getName} failed")
+    IdeCommit(dst.getAbsolutePath)
+  }
+
+  override def abort(): Unit = {
+    val tmp = new File(path, s".part-$partitionId-$taskId.ide.tmp")
+    if (tmp.exists()) tmp.delete()
+  }
+
+  override def close(): Unit = ()
+}

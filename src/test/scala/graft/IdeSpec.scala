@@ -116,6 +116,34 @@ class IdeSpec extends AnyFunSuite {
     assert(full === 300)
   }
 
+  test("DSv2 distributed write round-trips bit-exactly through the directory reader") {
+    import spark.implicits._
+    // two channels, one of them 3-subchannel interleaved; deliberately
+    // shuffled input — the writer's RequiresDistributionAndOrdering
+    // must make Spark restore (ch, t, sub) order before any row
+    // reaches a task
+    val rows =
+      (0 until 300).flatMap(i => Seq((0, 0, i / 1000.0, math.sin(i * 0.1)))) ++
+      (0 until 100).flatMap(i => (0 until 3).map(s =>
+        (1, s, i / 500.0, math.cos(i * 0.2 + s))))
+    val df = rows.toDF("ch", "sub", "t", "v").repartition(7)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ide_w").toFile
+    dir.deleteOnExit()
+    graft.signal.Ide.write(df, dir.getAbsolutePath, timeBaseUs = 1700000000000000L)
+    val parts = dir.listFiles().filter(_.getName.endsWith(".ide"))
+    assert(parts.nonEmpty)
+    assert(parts.forall(!_.getName.contains("tmp")))
+    val back = Ide.read(spark, dir.getAbsolutePath)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+      .toSet
+    assert(back === rows.toSet, "write -> read must be bit-exact")
+    // metadata inference: channel 1 carries 3 subchannels at 500 Hz
+    val meta = Ide.channels(spark, dir.getAbsolutePath)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(5)))
+    assert(meta.count(_._1 == 1) === 3)
+    assert(meta.filter(_._1 == 1).forall(_._3 == 500.0))
+  }
+
   test("time-range predicates prune blocks by header interval, rows unchanged") {
     val path = tmpIde("tprune")
     // 1000 samples at 1 kHz = 1 s of data in 10 blocks of 0.1 s
