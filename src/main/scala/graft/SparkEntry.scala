@@ -1198,6 +1198,20 @@ object SparkEntry {
       s.read.format(graft.sources.WavSource.NAME).option("partitionFrames", 4096L)
         .load(tmp.getAbsolutePath).filter(col("ch") === 0)
     }),
+    "q_stream_ide" -> ((s, dir) => {
+      // native-format ingestion ON THE STREAM through the oracle
+      // gate: micro-batches of rollover files (the DSv2-written
+      // fixture directory) aggregate per (ch, sub) in complete mode —
+      // the bounded stream must equal the batch directory read
+      import graft.streaming.StreamingOps._
+      val st = graft.signal.Ide.readStream(s, ideWriteFixture(s, dir))
+        .groupBy(col("ch"), col("sub"))
+        .agg(count(lit(1)).as("n"), sum("v").as("sum_raw"),
+          min("t").as("t_min"), max("t").as("t_max"))
+        .select(col("ch"), col("sub"), col("n"),
+          round(col("sum_raw"), 6).as("sum_v"), col("t_min"), col("t_max"))
+      runToMemorySink(st, "stream_ide", "complete")
+    }),
     "k_ide_write_roundtrip" -> ((s, dir) => {
       // the DISTRIBUTED write path: the uniform channels leave as a
       // plain (ch, sub, t, v) DataFrame through the DSv2 writer (one
@@ -2150,6 +2164,19 @@ object SparkEntry {
          |       CAST(row_number() OVER (PARTITION BY channel ORDER BY t) - 1 AS DOUBLE)
          |         / 1000 AS t, v
          |FROM u""".stripMargin,
+    // bounded-stream ≡ batch over the written rollover directory;
+    // ch ids are the writer fixture's sorted-name numbering
+    "q_stream_ide" ->
+      s"""WITH ${uniformSql(3600.0)},
+         |names AS (SELECT DISTINCT channel FROM u),
+         |ranked AS (SELECT channel,
+         |                  CAST(row_number() OVER (ORDER BY channel) - 1 AS INT) AS ch
+         |           FROM names),
+         |agg AS (SELECT channel, count(*) AS n, round(sum(v), 6) AS sum_v
+         |        FROM u GROUP BY channel)
+         |SELECT r.ch, 0 AS sub, a.n, a.sum_v,
+         |       0.0 AS t_min, CAST(a.n - 1 AS DOUBLE) / 1000 AS t_max
+         |FROM agg a JOIN ranked r USING (channel)""".stripMargin,
     // the writer infers names as ch<k> with k assigned in sorted
     // channel-name order — dense_rank reproduces the numbering
     "k_ide_write_roundtrip" ->
