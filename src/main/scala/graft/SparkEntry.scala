@@ -805,6 +805,13 @@ object SparkEntry {
       // (catches a hot paragraph pasted into otherwise-unique pages,
       // which document-level MinHash structurally misses)
       Dedup.duplicateSpanStats(docs(s, dir), w = 10)),
+    "q_substr_rewrite" -> ((s, dir) =>
+      // ExactSubstr dedup (Lee et al 2022), window-approximated with
+      // REWRITE: any duplicated passage of >= 10 tokens has its every
+      // window duplicated, so its non-first occurrences are excised
+      // token-exactly while unique bordering text survives — the
+      // span-granular big sibling of q_chunk_dedup
+      Dedup.substrDedup(docs(s, dir), w = 10)),
     "q_chunk_dedup" -> ((s, dir) =>
       // the REWRITE stage the span statistics motivate: line-level
       // dedup at 20-token chunk grain — drop every repeated chunk's
@@ -2348,6 +2355,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> ngramJaccardSql,
     "q_containment" -> containmentSql,
     "q_dup_spans" -> dupSpansSql,
+    "q_substr_rewrite" -> substrRewriteSql,
     "q_chunk_dedup" -> chunkDedupSql,
     "q_span_sweep" -> spanSweepSql,
     "q_dup_span_top" -> dupSpanTopSql,
@@ -3902,6 +3910,40 @@ object SparkEntry {
     * lm_score on both engines, so the decision is boundary-exact.
     */
   private[graft] val CURATE_LM_BAR = -3.42
+
+  /** ExactSubstr-rewrite replay: the spans CTE (w = 10, 1-based
+    * positions), non-first occurrences per span hash via row_number,
+    * covered token slots from the ×w series fan-out, and an ordered
+    * FILTERed string_agg for the rewrite — keep decisions ride the
+    * same 52-bit hash stand-in (the span STRING partition) as every
+    * span oracle.
+    */
+  private def substrRewriteSql: String =
+    s"""WITH ${spansSqlFrom("documents")},
+       |hs AS (SELECT doc_id, pos,
+       |              ('0x' || substr(md5(span), 1, 13))::BIGINT AS h
+       |       FROM spans),
+       |dr AS (
+       |  SELECT doc_id, pos FROM (
+       |    SELECT doc_id, pos,
+       |           row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+       |    FROM hs)
+       |  WHERE rn > 1
+       |),
+       |cov AS (
+       |  SELECT DISTINCT doc_id, pos FROM (
+       |    SELECT doc_id, unnest(generate_series(pos, pos + 9)) AS pos FROM dr)
+       |),
+       |tq AS (
+       |  SELECT doc_id, pos, t[pos] AS tok
+       |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS pos FROM toks)
+       |)
+       |SELECT q.doc_id, count(*) AS n_tokens,
+       |       CAST(sum(CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       string_agg(tok, ' ' ORDER BY q.pos)
+       |         FILTER (WHERE c.doc_id IS NULL) AS clean_text
+       |FROM tq q LEFT JOIN cov c ON q.doc_id = c.doc_id AND q.pos = c.pos
+       |GROUP BY q.doc_id""".stripMargin
 
   /** Chunk-dedup replay: same normalize/tokenize, non-overlapping
     * 20-token chunks (inclusive DuckDB slices), keep-first decided on

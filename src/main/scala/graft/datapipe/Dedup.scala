@@ -725,6 +725,53 @@ object Dedup {
         when(col("n_kept") > 0, col("joined")).as("clean_text"))
   }
 
+  /** Exact-substring dedup with document REWRITE — the span-granular
+    * big sibling of `chunkDedup` (Lee et al 2022's ExactSubstr
+    * policy, window-approximated): every w-token window that appears
+    * verbatim in another document is a duplicated REGION; the first
+    * occurrence (lexicographic (doc_id, pos) per window hash) keeps
+    * its region, every other occurrence has its covered tokens
+    * removed, and documents are re-joined from the surviving tokens.
+    * Unlike chunk grain, overlapping windows mean a duplicated
+    * PASSAGE of any length ≥ w is excised exactly (its every window
+    * is duplicated), while unique text bordering it survives.
+    *
+    * Scale shape: ownership rides the (w-token) span-hash aggregate
+    * from `spanTable` — min-first + count per h, narrow integer rows,
+    * the `duplicateSpanStats` exchange discipline. Dropped spans
+    * fan out ×w into covered (doc_id, pos) slots — integers only,
+    * distinct-collapsed before the anti-join — and the token table
+    * anti-joins on (doc_id, pos), a uniformly distributed key (never
+    * the skewable h). Reassembly is the chunkDedup collect/sort
+    * aggregate. Corpus text is scanned twice (spans + tokens), the
+    * strings-never-shuffle-on-h trade every span operator here makes.
+    */
+  def substrDedup(docs: DataFrame, w: Int = 10): DataFrame = {
+    val spans = spanTable(docs, w).select(col("doc_id"), col("pos"), col("h"))
+    val own = spans.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+    val covered = spans.join(own, Seq("h"))
+      .filter(col("first.doc_id") =!= col("doc_id") || col("first.pos") =!= col("pos"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + ${w - 1})")).as("pos"))
+      .distinct()
+    val toks = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(split(TextAnalysis.normalized(col("text")), " ")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
+    toks.join(covered.withColumn("cov", lit(1)), Seq("doc_id", "pos"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("cov").isNull, 1L).otherwise(0L)).as("n_kept"),
+        array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN cov IS NULL " +
+            "THEN struct(pos, tok) END)), x -> x.tok)"), " ").as("joined"))
+      .select(col("doc_id"), col("n_tokens"), col("n_kept"),
+        when(col("n_kept") > 0, col("joined")).as("clean_text"))
+  }
+
   /** Per-document duplicate-span statistics: of a document's
     * n_windows rolling w-token windows, n_dup appear verbatim in at
     * least one OTHER document; dup_ratio = n_dup / n_windows is the

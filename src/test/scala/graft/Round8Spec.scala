@@ -269,6 +269,27 @@ class Round8Spec extends AnyFunSuite {
     assert(before === after)
   }
 
+  test("substrDedup excises copied passages token-exactly, keeps unique borders") {
+    import spark.implicits._
+    import graft.datapipe.Dedup
+    // doc 1 copies a 12-token passage from doc 0 between unique
+    // intro/outro; with w=10 every window inside the passage is
+    // duplicated, nothing straddling the unique borders is
+    val passage = (1 to 12).map(i => s"p$i").mkString(" ")
+    val a = s"alpha beta $passage gamma delta"
+    val b = s"uno dos tres $passage quatro"
+    val docs = Seq((0L, a), (1L, b), (2L, "tiny doc")).toDF("doc_id", "text")
+    val out = Dedup.substrDedup(docs, w = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.getString(3))))).toMap
+    // doc 0 owns the passage (first occurrence) — fully intact
+    assert(out(0L) === ((16L, 16L, Some(a))))
+    // doc 1 loses exactly the 12 copied tokens, keeps its borders
+    assert(out(1L) === ((16L, 4L, Some("uno dos tres quatro"))))
+    // docs shorter than w have no windows and are untouched
+    assert(out(2L) === ((2L, 2L, Some("tiny doc"))))
+  }
+
   test("chunkDedup keeps first occurrences only and rewrites documents in order") {
     import spark.implicits._
     import graft.datapipe.Dedup
