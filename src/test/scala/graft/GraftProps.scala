@@ -99,4 +99,30 @@ object GraftProps extends Properties("graft") {
           case _ => true
         }
     }
+
+  import graft.functions.Bloom
+
+  property("bloom: inserted keys are always found (no false negatives)") =
+    forAll(Gen.nonEmptyListOf(Gen.long), Gen.choose(1, 12)) { (keys, k) =>
+      val buf = Bloom.emptyWords(Bloom.sizeFor(keys.size))
+      keys.foreach(Bloom.add(buf, _, k))
+      val ser = Bloom.serialize(buf, k)
+      keys.forall(Bloom.mightContain(ser, _))
+    }
+
+  property("bloom: merge order never changes the bits (OR associativity)") =
+    forAll(Gen.listOfN(64, Gen.long)) { keys =>
+      val k = 7
+      val m = 4096
+      val all = Bloom.emptyWords(m)
+      keys.foreach(Bloom.add(all, _, k))
+      // two halves built separately, OR-merged — same bits
+      val (l, r) = keys.splitAt(keys.size / 2)
+      val bl = Bloom.emptyWords(m)
+      val br = Bloom.emptyWords(m)
+      l.foreach(Bloom.add(bl, _, k))
+      r.foreach(Bloom.add(br, _, k))
+      val merged = bl.zip(br).map { case (x, y) => x | y }
+      java.util.Arrays.equals(all, merged)
+    }
 }

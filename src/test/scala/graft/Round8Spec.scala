@@ -411,6 +411,23 @@ class Round8Spec extends AnyFunSuite {
     assert(keys.toSet.subsetOf(viaSql))
   }
 
+  test("bloom_might_contain is callable from SQL after registration") {
+    import spark.implicits._
+    import graft.functions.Bloom
+    GraftExtensions.register(spark)
+    val keys = (0L until 500L).map(Bloom.mix)
+    val bloom = keys.toDF("h1").agg(Bloom.buildAgg(Bloom.sizeFor(500), 7)(col("h1")))
+      .head().getAs[Array[Byte]](0)
+    val univ = (0L until 1000L).map(Bloom.mix)
+    univ.toDF("h1").createOrReplaceTempView("bloom_univ")
+    val hx = bloom.map("%02X".format(_)).mkString
+    val viaSql = spark.sql(
+      s"SELECT h1 FROM bloom_univ WHERE bloom_might_contain(X'$hx', h1)")
+      .as[Long].collect().toSet
+    val viaScala = univ.filter(Bloom.mightContain(bloom, _)).toSet
+    assert(viaSql === viaScala)
+  }
+
   test("broadcast-backed bloom probe agrees with the literal fold") {
     import spark.implicits._
     import graft.functions.Bloom
