@@ -1077,6 +1077,11 @@ object SparkEntry {
       recallPerQuery(truth, Similarity.pqTopK(codes, q, books, k = 10), "pq")
         .unionAll(recallPerQuery(truth,
           Similarity.ivfTopKPq(codes, q, cents, books, k = 10, nprobe = 4), "ivf_pq"))
+        // two-stage refine: ADC candidates at 50, exact-float rerank
+        // to 10 — the FAISS refine shape; rerank recall must close
+        // most of the ADC gap (the measured claim of this leg)
+        .unionAll(recallPerQuery(truth,
+          Similarity.pqRerank(e, codes, q, books, kCand = 50, k = 10), "pq_rerank"))
     }),
     "q_simhash_neardups" -> ((s, dir) =>
       Dedup.simhashNearDups(docs(s, dir))),
@@ -4567,11 +4572,30 @@ object SparkEntry {
        |  FROM scored
        |),
        |pq AS (SELECT query_id, neighbor_id FROM rk WHERE rank <= 10),
+       |cand50 AS (SELECT query_id, neighbor_id FROM rk WHERE rank <= 50),
+       |fl AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS fe,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS fn
+       |  FROM embeddings
+       |),
+       |rr AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT cd.query_id, cd.neighbor_id,
+       |           row_number() OVER (PARTITION BY cd.query_id
+       |             ORDER BY round(list_dot_product(q.qe, f.fe) / (q.qn * f.fn), 6) DESC,
+       |                      cd.neighbor_id ASC) AS rank
+       |    FROM cand50 cd
+       |    JOIN fl f ON f.vec_id = cd.neighbor_id
+       |    JOIN qq q ON q.query_id = cd.query_id)
+       |  WHERE rank <= 10
+       |),
        |$ivfPqLegSql,
        |truth AS (SELECT query_id, neighbor_id FROM ($cosineTopkSql))
        |${recallLegSql("pq", "pq")}
        |UNION ALL
-       |${recallLegSql("ivf_pq", "ivf_pq")}""".stripMargin
+       |${recallLegSql("ivf_pq", "ivf_pq")}
+       |UNION ALL
+       |${recallLegSql("rr", "pq_rerank")}""".stripMargin
   }
 
   /** The IVF-routed leg of the PQ recall oracle (appended to the
