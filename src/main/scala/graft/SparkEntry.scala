@@ -1583,6 +1583,22 @@ object SparkEntry {
       Sampling.hashSplit(docs(s, dir), col("doc_id"), "split1",
           Seq("train" -> 80, "val" -> 10, "test" -> 10))
         .select(col("doc_id"), col("lang"), col("split"))),
+    "q_split_leakfree" -> ((s, dir) => {
+      // leakage-free split: the split key is the doc's near-dup
+      // COMPONENT representative, so a train/test boundary can never
+      // separate two near-duplicates — the eval-leak a doc_id-keyed
+      // split structurally allows (Round8Spec demonstrates the leak
+      // in q_hash_split that this closes). Components come from the
+      // memoized table (compute once, consume many)
+      val comp = dedupComponents(s, dir).select(col("doc_id"), col("component"))
+      val d = docs(s, dir).select(col("doc_id"), col("lang"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("component"), col("doc_id")).as("rep"))
+      Sampling.hashSplit(d, col("rep"), "split1",
+          Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .select(col("doc_id"), col("rep"), col("split"))
+    }),
     "q_stratified_sample" -> ((s, dir) =>
       Sampling.stratifiedSample(docs(s, dir), col("lang"), col("doc_id"), "strat1",
           Map("en" -> 0.25, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.5, "zh" -> 0.1))
@@ -2522,6 +2538,18 @@ object SparkEntry {
         |FROM (SELECT doc_id, lang,
         |             ('0x' || substr(md5('split1:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT % 100 AS b
         |      FROM documents)""".stripMargin,
+    // the component chain replayed, split decided on the rep key
+    "q_split_leakfree" ->
+      s"""WITH comp AS MATERIALIZED ($dedupComponentsSql),
+         |d AS (
+         |  SELECT doc_id, coalesce(c.component, doc_id) AS rep
+         |  FROM documents LEFT JOIN comp c USING (doc_id)
+         |)
+         |SELECT doc_id, rep,
+         |       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM (SELECT doc_id, rep,
+         |             ('0x' || substr(md5('split1:' || CAST(rep AS VARCHAR)), 1, 13))::BIGINT % 100 AS b
+         |      FROM d)""".stripMargin,
     "q_stratified_sample" ->
       """SELECT doc_id, lang
         |FROM (SELECT doc_id, lang,

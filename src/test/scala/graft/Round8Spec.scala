@@ -358,6 +358,38 @@ class Round8Spec extends AnyFunSuite {
     assert(nd(0L) >= 1L && nd(1L) >= 1L, "clone pair must count as near-dups")
   }
 
+  test("leak-free split co-assigns near-dup clusters; the doc_id split does not") {
+    import graft.datapipe.{Dedup, Sampling}
+    // a clone cluster spread over doc_ids that a doc_id-keyed split
+    // scatters: the component-keyed split must keep it together
+    val fixture = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") < 10).select(col("doc_id"), col("text"))
+      .unionAll(spark.read.parquet(s"$sf/documents.parquet")
+        .filter(col("doc_id") === 0)
+        .select(explode(sequence(lit(1000L), lit(1049L))).as("doc_id"), col("text")))
+    val comps = Dedup.connectedComponents(
+      Dedup.lshCandidates(Dedup.minhashSignatures(fixture), rowsPerBand = 4))
+      .select(col("doc_id"), col("component"))
+    val d = fixture.join(comps, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("rep"))
+    val leakfree = Sampling.hashSplit(d, col("rep"), "split1",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .select(col("doc_id"), col("rep"), col("split")).collect()
+    val byRep = leakfree.groupBy(_.getLong(1)).values
+    // every cluster lands whole in exactly one split
+    assert(byRep.forall(_.map(_.getString(2)).toSet.size == 1))
+    // the clone cluster is non-trivial (doc 0 + its 50 clones)
+    val cluster0 = leakfree.filter(_.getLong(1) == 0L)
+    assert(cluster0.length >= 51)
+    // the doc_id-keyed split DOES scatter that same cluster — the
+    // leak this operator exists to close
+    val naive = Sampling.hashSplit(d, col("doc_id"), "split1",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .filter(col("rep") === 0L).select("split").collect().map(_.getString(0)).toSet
+    assert(naive.size > 1, "expected the naive split to scatter the clone cluster")
+  }
+
   test("rewrite pipeline: every gate binds in both directions on the fixture") {
     // an always-true or always-false gate would make the composition
     // vacuous (the q_curate_pipeline discipline, applied to the
