@@ -287,6 +287,46 @@ class IdeSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming: checkpoint restart resumes at the committed offset on one clock") {
+    val dir = Files.createTempDirectory("graft_ide_restart").toFile
+    val ckpt = Files.createTempDirectory("graft_ide_ckpt").toFile
+    dir.deleteOnExit(); ckpt.deleteOnExit()
+    val mk = (base: Double, n: Int) =>
+      IdeSink.Ch(0, "accel", 1000.0, MideSchema.FmtFloat64,
+        Seq(IdeSink.Sub("ax", "g")),
+        Array.tabulate(n)(i => Array(base + i)), blockFrames = 64)
+    IdeSink.write(s"$dir/r_001.ide", 1700000000000000L, Seq(mk(0.0, 150)))
+
+    // memory sinks cannot recover; a parquet sink + checkpoint is the
+    // durable shape a real ingestion job runs
+    val out = Files.createTempDirectory("graft_ide_out").toFile
+    out.deleteOnExit()
+    def start() = Ide.readStream(spark, dir.getAbsolutePath)
+      .writeStream.format("parquet")
+      .option("path", out.getAbsolutePath)
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .outputMode("append").start()
+
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(spark.read.parquet(out.getAbsolutePath).count() === 150)
+
+    // files arrive while the stream is DOWN; the restarted query must
+    // deserialize the committed file-count offset and ingest ONLY the
+    // new file — with t still anchored on the FIRST file's clock
+    IdeSink.write(s"$dir/r_002.ide", 1700000000150000L, Seq(mk(500.0, 50)))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(out.getAbsolutePath).orderBy("t").collect()
+        .map(r => (r.getDouble(2), r.getDouble(3)))
+      // no re-ingestion of the first file, no gap
+      assert(rows.length === 200)
+      assert(rows(150) === ((0.15, 500.0)), s"got ${rows(150)}")
+      assert(rows.map(_._1).sameElements((0 until 200).map(k => k * 1000L / 1e6)))
+    } finally q2.stop()
+  }
+
   test("a non-mide EBML file is rejected up front") {
     val p = tmpIde("bad")
     Files.write(new File(p).toPath,
