@@ -50,14 +50,23 @@ class IdeWrite(path: String, schema: StructType,
     Expressions.sort(Expressions.column("t"), SortDirection.ASCENDING),
     Expressions.sort(Expressions.column("sub"), SortDirection.ASCENDING))
 
-  override def toBatch: BatchWrite =
+  override def toBatch: BatchWrite = {
+    val fmt = options.getOrDefault("fmt", "float64") match {
+      case "float64" => MideSchema.FmtFloat64
+      case "float32" => MideSchema.FmtFloat32
+      case "int16" => MideSchema.FmtInt16
+      case other => throw new IllegalArgumentException(
+        s"ide write fmt must be float64|float32|int16, got $other")
+    }
     new IdeBatchWrite(path, schema,
       options.getLong("timeBaseUs", 0L),
-      options.getInt("blockFrames", 256))
+      options.getInt("blockFrames", 256), fmt)
+  }
 }
 
 class IdeBatchWrite(path: String, schema: StructType, timeBaseUs: Long,
-                    blockFrames: Int) extends BatchWrite {
+                    blockFrames: Int, fmt: Int = MideSchema.FmtFloat64)
+    extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val dir = new File(path)
     require(dir.isDirectory || dir.mkdirs(), s"cannot create directory $path")
@@ -66,22 +75,23 @@ class IdeBatchWrite(path: String, schema: StructType, timeBaseUs: Long,
       require(i >= 0, s"ide write requires column '$n'; got ${schema.fieldNames.mkString(", ")}")
       i
     }
-    new IdeWriterFactory(path, idx, timeBaseUs, blockFrames)
+    new IdeWriterFactory(path, idx, timeBaseUs, blockFrames, fmt)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 class IdeWriterFactory(path: String, idx: Array[Int], timeBaseUs: Long,
-                       blockFrames: Int) extends DataWriterFactory {
+                       blockFrames: Int, fmt: Int) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new IdeDataWriter(path, partitionId, taskId, idx, timeBaseUs, blockFrames)
+    new IdeDataWriter(path, partitionId, taskId, idx, timeBaseUs, blockFrames, fmt)
 }
 
 private final case class IdeCommit(file: String) extends WriterCommitMessage
 
 class IdeDataWriter(path: String, partitionId: Int, taskId: Long,
-                    idx: Array[Int], timeBaseUs: Long, blockFrames: Int)
+                    idx: Array[Int], timeBaseUs: Long, blockFrames: Int,
+                    fmt: Int = MideSchema.FmtFloat64)
     extends DataWriter[InternalRow] {
 
   private val channels = ArrayBuffer.empty[IdeSink.Ch]
@@ -103,9 +113,21 @@ class IdeDataWriter(path: String, partitionId: Int, taskId: Long,
     val nSubs = frames.head.length
     require(frames.forall(_.length == nSubs),
       s"channel $curCh: ragged frames (expected $nSubs subchannel rows per timestamp)")
-    channels += IdeSink.Ch(curCh, s"ch$curCh", 1e6 / periodUs,
-      MideSchema.FmtFloat64,
-      (0 until nSubs).map(i => IdeSink.Sub(s"ch${curCh}_$i", "u")),
+    // int16 derives a per-subchannel linear calibration from the
+    // task's data (full scale over the observed range — the quantized
+    // export real recorders store; max error calA/2); float formats
+    // keep the identity calibration
+    val subs = (0 until nSubs).map { i =>
+      if (fmt != MideSchema.FmtInt16) IdeSink.Sub(s"ch${curCh}_$i", "u")
+      else {
+        var lo = Double.MaxValue
+        var hi = Double.MinValue
+        frames.foreach { f => val v = f(i); if (v < lo) lo = v; if (v > hi) hi = v }
+        val a = if (hi > lo) (hi - lo) / 65534.0 else 1.0
+        IdeSink.Sub(s"ch${curCh}_$i", "u", calA = a, calB = (hi + lo) / 2.0)
+      }
+    }
+    channels += IdeSink.Ch(curCh, s"ch$curCh", 1e6 / periodUs, fmt, subs,
       frames.map(_.toArray).toArray, blockFrames, startUs)
     frames.clear()
   }

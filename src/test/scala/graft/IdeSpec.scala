@@ -287,6 +287,34 @@ class IdeSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("int16 quantized write derives calibration; error bounded by calA/2") {
+    import spark.implicits._
+    val vals = Array.tabulate(512)(i => -3.7 + 0.013 * i + math.sin(i * 0.3))
+    val df = vals.zipWithIndex
+      .map { case (v, i) => (5, 0, i / 1000.0, v) }.toSeq
+      .toDF("ch", "sub", "t", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ide_i16").toFile
+    dir.deleteOnExit()
+    df.write.format(graft.sources.IdeSource.NAME)
+      .option("fmt", "int16").mode("append").save(dir.getAbsolutePath)
+    val back = Ide.read(spark, dir.getAbsolutePath)
+      .orderBy("t").collect().map(_.getDouble(3))
+    assert(back.length === vals.length)
+    val calA = (vals.max - vals.min) / 65534.0
+    vals.zip(back).foreach { case (orig, got) =>
+      assert(math.abs(orig - got) <= calA / 2 + 1e-12,
+        s"quantization error ${math.abs(orig - got)} exceeds ${calA / 2}")
+    }
+    // the payload really is 2 bytes/sample: the int16 file is ~4x
+    // smaller than the float64 form of the same data
+    val f64 = java.nio.file.Files.createTempDirectory("graft_ide_f64").toFile
+    f64.deleteOnExit()
+    df.write.format(graft.sources.IdeSource.NAME).mode("append").save(f64.getAbsolutePath)
+    def bytes(d: java.io.File) = d.listFiles().filter(_.getName.endsWith(".ide")).map(_.length()).sum
+    assert(bytes(dir) * 3 < bytes(f64),
+      s"int16 ${bytes(dir)} B not ~4x under float64 ${bytes(f64)} B")
+  }
+
   test("streaming: checkpoint restart resumes at the committed offset on one clock") {
     val dir = Files.createTempDirectory("graft_ide_restart").toFile
     val ckpt = Files.createTempDirectory("graft_ide_ckpt").toFile
