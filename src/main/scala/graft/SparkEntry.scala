@@ -724,6 +724,33 @@ object SparkEntry {
         round(TextAnalysis.qualityScore(col("text")) + 1e-7, 4).as("quality"))),
     "q_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
+    "q_data_card" -> ((s, dir) => {
+      // the one-table corpus report a pipeline run publishes (the
+      // "data card" numbers): volume, diversity, duplication at
+      // every grain, contamination, token budget, mean quality —
+      // every leg an aggregate over a table another query already
+      // materializes (shared-cache reuse), unioned to (metric, value)
+      val d = docs(s, dir)
+      def row(name: String, df: DataFrame, v: org.apache.spark.sql.Column) =
+        df.agg(v.cast("double").as("value"))
+          .select(lit(name).as("metric"), col("value"))
+      val sh = docShingles(s, dir)
+      val decon = Dedup.benchmarkOverlap(
+        sh.filter(col("doc_id") % 97 =!= 0), sh.filter(col("doc_id") % 97 === 0))
+      val qi = round((TextAnalysis.qualityScore(col("text")) + 1e-7) * 10000).cast("long")
+      row("n_docs", d, count(lit(1)))
+        .unionAll(row("n_langs", d, countDistinct(col("lang"))))
+        .unionAll(row("n_sources", d, countDistinct(col("source"))))
+        .unionAll(row("ws_tokens", d, sum(TextAnalysis.wsTokenCount(col("text")))))
+        .unionAll(row("exact_dup_docs",
+          Dedup.exact(d).filter(col("group_size") > 1), count(lit(1))))
+        .unionAll(row("neardup_member_docs",
+          dedupComponents(s, dir), countDistinct(col("doc_id"))))
+        .unionAll(row("contaminated_docs", decon, sum(col("contaminated"))))
+        .unionAll(d.agg(round(sum(qi) / (count(lit(1)) * 10000.0), 6)
+            .cast("double").as("value"))
+          .select(lit("avg_quality").as("metric"), col("value")))
+    }),
     "q_source_mix" -> ((s, dir) => {
       // training-mix report: per-(source, lang) document/token counts
       // and mean quality — the table a data-mixture weighting step
@@ -1282,6 +1309,24 @@ object SparkEntry {
       import graft.streaming.StreamingOps._
       runToMemorySink(streamFingerprintDedup(documentsStream(s, dir)),
         "stream_fingerprint", "complete")
+    }),
+    "q_stream_split" -> ((s, dir) => {
+      // leakage-free split ROUTING per arriving document: stream-
+      // static join to the memoized components table, split decided
+      // on the cluster representative — admission-time routing ≡ the
+      // batch q_split_leakfree assignment, same oracle. Stateless
+      // append: no watermark, no store
+      import graft.streaming.StreamingOps._
+      val comp = dedupComponents(s, dir).select(col("doc_id"), col("component"))
+      val st = documentsStream(s, dir)
+        .select(col("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("rep"))
+      runToMemorySink(
+        Sampling.hashSplit(st, col("rep"), "split1",
+            Seq("train" -> 80, "val" -> 10, "test" -> 10))
+          .select(col("doc_id"), col("rep"), col("split")),
+        "stream_split", "append")
     }),
     "q_stream_tokens" -> ((s, dir) => {
       // token-count metering ON THE STREAM: arriving documents are
@@ -2300,6 +2345,7 @@ object SparkEntry {
         |       md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
     "q_source_mix" -> sourceMixSql,
+    "q_data_card" -> dataCardSql,
     "q_length_hist" ->
       """WITH t AS (
         |  SELECT len(regexp_split_to_array(trim(text), '\s+')) AS tokens FROM documents
@@ -2540,6 +2586,18 @@ object SparkEntry {
         |      FROM documents)""".stripMargin,
     // the component chain replayed, split decided on the rep key
     "q_split_leakfree" ->
+      s"""WITH comp AS MATERIALIZED ($dedupComponentsSql),
+         |d AS (
+         |  SELECT doc_id, coalesce(c.component, doc_id) AS rep
+         |  FROM documents LEFT JOIN comp c USING (doc_id)
+         |)
+         |SELECT doc_id, rep,
+         |       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM (SELECT doc_id, rep,
+         |             ('0x' || substr(md5('split1:' || CAST(rep AS VARCHAR)), 1, 13))::BIGINT % 100 AS b
+         |      FROM d)""".stripMargin,
+    // routing twin: bounded stream ≡ the batch leak-free assignment
+    "q_stream_split" ->
       s"""WITH comp AS MATERIALIZED ($dedupComponentsSql),
          |d AS (
          |  SELECT doc_id, coalesce(c.component, doc_id) AS rep
@@ -3082,6 +3140,31 @@ object SparkEntry {
       |                - least(uppr / n * 2.0, 1.0) * 0.3)) AS qual
       |  FROM qm
       |)""".stripMargin
+
+  /** Data-card replay: each leg re-derives its number from the same
+    * CTE chains the per-operator oracles use; quality averaged in the
+    * quantized-long discipline of sourceMixSql.
+    */
+  private def dataCardSql: String =
+    s"""WITH comp AS MATERIALIZED ($dedupComponentsSql),
+       |decon AS MATERIALIZED ($decontaminateSql),
+       |$qualDocsSql,
+       |fp AS (
+       |  SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS f,
+       |         count(*) AS c
+       |  FROM documents GROUP BY 1
+       |)
+       |SELECT 'n_docs' AS metric, CAST(count(*) AS DOUBLE) AS value FROM documents
+       |UNION ALL SELECT 'n_langs', CAST(count(DISTINCT lang) AS DOUBLE) FROM documents
+       |UNION ALL SELECT 'n_sources', CAST(count(DISTINCT source) AS DOUBLE) FROM documents
+       |UNION ALL SELECT 'ws_tokens',
+       |  CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS DOUBLE) FROM documents
+       |UNION ALL SELECT 'exact_dup_docs', CAST(coalesce(sum(c), 0) AS DOUBLE) FROM fp WHERE c > 1
+       |UNION ALL SELECT 'neardup_member_docs', CAST(count(DISTINCT doc_id) AS DOUBLE) FROM comp
+       |UNION ALL SELECT 'contaminated_docs', CAST(sum(contaminated) AS DOUBLE) FROM decon
+       |UNION ALL SELECT 'avg_quality',
+       |  round(CAST(sum(CAST(round((qual + 1e-7) * 10000) AS BIGINT)) AS BIGINT)
+       |        / (count(*) * 10000.0), 6) FROM qual""".stripMargin
 
   private def qualitySql: String =
     s"""WITH $qualDocsSql
