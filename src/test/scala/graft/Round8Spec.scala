@@ -290,6 +290,41 @@ class Round8Spec extends AnyFunSuite {
     assert(out(2L) === ((2L, 2L, Some("tiny doc"))))
   }
 
+  test("chunkDedup: no string column rides an h-keyed exchange (plan-asserted)") {
+    import graft.datapipe.Dedup
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = Dedup.chunkDedup(d, w = 20).queryExecution.executedPlan
+    // every Exchange hash-partitioned on the span hash must carry
+    // only integer columns — the chunk STRINGS may only shuffle on
+    // doc-keyed or final-aggregate exchanges
+    val offenders = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains("h#") &&
+            e.child.output.exists(_.dataType ==
+              org.apache.spark.sql.types.StringType) => e
+    }
+    assert(offenders.isEmpty,
+      s"chunk strings shuffled on the h key:\n${offenders.mkString("\n")}")
+  }
+
+  test("chunkDedup: 5000-clone hot hash completes with exact counts") {
+    import graft.datapipe.Dedup
+    // two orders of magnitude past the 50-clone fixture: 15-ish hot
+    // hashes carried by 5001 documents each — the degenerate
+    // boilerplate shape the narrow join-back exists for
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val fixture = d.filter(col("doc_id") === 0).select(col("doc_id"), col("text"))
+      .unionAll(d.filter(col("doc_id") === 0)
+        .select(explode(sequence(lit(10000L), lit(14999L))).as("doc_id"), col("text")))
+    val out = Dedup.chunkDedup(fixture, w = 20)
+      .agg(count(lit(1)), sum(when(col("n_kept") > 0, 1L).otherwise(0L)),
+        sum("n_kept"), sum("n_chunks")).collect()(0)
+    val perDoc = out.getLong(3) / 5001L
+    assert(out.getLong(0) === 5001L)      // every doc present
+    assert(out.getLong(1) === 1L)         // only doc 0 keeps anything
+    assert(out.getLong(2) === perDoc)     // it keeps exactly one copy
+  }
+
   test("chunkDedup keeps first occurrences only and rewrites documents in order") {
     import spark.implicits._
     import graft.datapipe.Dedup
