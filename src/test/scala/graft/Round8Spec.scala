@@ -269,6 +269,30 @@ class Round8Spec extends AnyFunSuite {
     assert(before === after)
   }
 
+  test("substrDedup: h-keyed exchanges are string-free; 5000-clone hot span completes") {
+    import graft.datapipe.Dedup
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = Dedup.substrDedup(d, w = 10).queryExecution.executedPlan
+    val offenders = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains("h#") &&
+            e.child.output.exists(_.dataType ==
+              org.apache.spark.sql.types.StringType) => e
+    }
+    assert(offenders.isEmpty,
+      s"span strings shuffled on the h key:\n${offenders.mkString("\n")}")
+    // hot-span stress: every window of 5000 clones collides
+    val fixture = d.filter(col("doc_id") === 0).select(col("doc_id"), col("text"))
+      .unionAll(d.filter(col("doc_id") === 0)
+        .select(explode(sequence(lit(10000L), lit(14999L))).as("doc_id"), col("text")))
+    val out = Dedup.substrDedup(fixture, w = 10)
+      .agg(count(lit(1)), sum(when(col("n_kept") > 0, 1L).otherwise(0L)),
+        sum("n_kept"), max("n_tokens")).collect()(0)
+    assert(out.getLong(0) === 5001L)
+    assert(out.getLong(1) === 1L, "only the first occurrence keeps tokens")
+    assert(out.getLong(2) === out.getLong(3), "doc 0 keeps every token")
+  }
+
   test("substrDedup excises copied passages token-exactly, keeps unique borders") {
     import spark.implicits._
     import graft.datapipe.Dedup
