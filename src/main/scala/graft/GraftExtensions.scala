@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{BloomMightContain, CountOccurrencesSum, FloatDot, SortedIntersectCount}
+import graft.functions.{BloomMightContain, CountOccurrencesSum, FloatDot, PerceptualHash64, SortedIntersectCount}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * expressions for SQL use. Install with
@@ -37,6 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo("graft.functions.BloomMightContain", "bloom_might_contain"),
       (exprs: Seq[Expression]) => BloomMightContain(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("perceptual_hash64"),
+      new ExpressionInfo("graft.functions.PerceptualHash64", "perceptual_hash64"),
+      (exprs: Seq[Expression]) => PerceptualHash64(exprs(0))))
   }
 }
 
@@ -67,5 +71,8 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_might_contain",
       exprs => BloomMightContain(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "perceptual_hash64",
+      exprs => PerceptualHash64(exprs(0)), "scala_udf")
   }
 }

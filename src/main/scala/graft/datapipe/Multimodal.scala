@@ -91,14 +91,25 @@ object Multimodal {
     * multiplied integers (seg_sum·n_total > total_sum·n_seg) — no
     * float boundary, engine-portable.
     *
-    * Scale shape: one explode over payload positions (map-side), one
-    * (media_id, seg) partial-agg'd exchange, totals derived from the
-    * segment table (no second pass), bits folded back with exact
-    * power-of-two sums. Pairs then go through the SAME banded-
-    * hamming path as SimHash (`Dedup.hammingNearDups`) — the near-
-    * dup machinery is signature-agnostic.
+    * Scale shape: ONE fused per-row loop inside whole-stage codegen
+    * ([[graft.functions.PerceptualHash64]]) — no per-byte explode, no
+    * shuffle, composes under readStream unchanged. Pairs then go
+    * through the SAME banded-hamming path as SimHash
+    * (`Dedup.hammingNearDups`) — the near-dup machinery is
+    * signature-agnostic.
     */
-  def perceptualHash(media: DataFrame, bits: Int = 52): DataFrame = {
+  def perceptualHash(media: DataFrame): DataFrame =
+    media.filter(length(col("bytes")) > 0)
+      .select(col("media_id"),
+        graft.functions.PerceptualHash.perceptualHash64(col("bytes")).as("phash"))
+
+  /** The distributed-aggregate formulation of the same hash —
+    * identical bits (equality test-asserted). Kept as the reference
+    * implementation and for payloads that arrive pre-exploded; the
+    * expression form above is the production path (no ×n_bytes row
+    * blowup, no shuffle, streams unchanged).
+    */
+  def perceptualHashExploded(media: DataFrame, bits: Int = 52): DataFrame = {
     val seg = media
       .select(col("media_id"), hex(col("bytes")).as("hx"),
         length(col("bytes")).as("n"))

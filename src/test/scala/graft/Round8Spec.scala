@@ -392,6 +392,21 @@ class Round8Spec extends AnyFunSuite {
     (1L until 10L).foreach(id => assert(out(id)._2 >= 1L))
   }
 
+  test("perceptual_hash64 expression equals the exploded-aggregate formulation") {
+    import graft.datapipe.Multimodal
+    // the fused per-row expression (production path) and the
+    // explode/aggregate reference must emit identical bits on the
+    // whole fixture corpus
+    val media = Multimodal.syntheticMedia(
+      spark.read.parquet(s"$sf/documents.parquet"))
+    val viaExpr = Multimodal.perceptualHash(media)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaAgg = Multimodal.perceptualHashExploded(media)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExpr === viaAgg)
+    assert(viaExpr.nonEmpty)
+  }
+
   test("perceptualHash: clones collide, perturbations stay near, distinct texts differ") {
     import spark.implicits._
     import graft.datapipe.{Dedup, Multimodal}
