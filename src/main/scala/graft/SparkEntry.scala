@@ -1310,6 +1310,53 @@ object SparkEntry {
       runToMemorySink(streamFingerprintDedup(documentsStream(s, dir)),
         "stream_fingerprint", "complete")
     }),
+    "q_stream_phash" -> ((s, dir) => {
+      // multimodal admission ON THE STREAM: each arriving payload is
+      // perceptual-hashed by the fused expression (stateless, no
+      // explode), its 4 band keys probe the static ranked band table
+      // with the EXACT bandedPairs cap semantics (full pairing to
+      // rank 256, star edges beyond — r_self comes from the same
+      // static table, since the bounded stream's universe IS the
+      // corpus), hamming verify, per-doc counts ≡ batch
+      // q_media_neardups on the non-empty-text universe
+      import graft.streaming.StreamingOps._
+      val sigStatic = Multimodal.perceptualHash(
+          Multimodal.syntheticMedia(docs(s, dir)))
+        .select(col("media_id").as("doc_id"), col("phash").as("simhash"))
+      val bandStatic = Dedup.hammingBandTable(sigStatic)
+      val selfR = bandStatic.select(col("band"), col("key"),
+        col("doc_id").as("media_id"), col("r").as("r_self"))
+      val partners = bandStatic.select(col("band").as("pband"),
+        col("key").as("pkey"), col("doc_id").as("partner"),
+        col("simhash").as("psig"), col("r").as("r_p"))
+      val stMedia = documentsStream(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+        .select(col("doc_id").as("media_id"), lit("image").as("kind"),
+          to_binary(col("text"), lit("utf-8")).as("bytes"))
+      val bandBits = 13
+      val probe = Multimodal.perceptualHash(stMedia)
+        .select(col("media_id"), col("phash"),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band"),
+              pmod(floor(col("phash") / pow(lit(2.0), lit(b * bandBits))).cast("long"),
+                lit(1L << bandBits)).as("key"))): _*)).as("bk"))
+        .select(col("media_id"), col("phash"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+        .join(selfR, Seq("band", "key", "media_id"))
+      val capOk = (col("r_self") <= 256 && col("r_p") <= 256) ||
+        (col("r_self") === 1 && col("r_p") > 256) ||
+        (col("r_self") > 256 && col("r_p") === 1)
+      val out = probe.join(partners,
+          col("band") === col("pband") && col("key") === col("pkey") &&
+            col("partner") =!= col("media_id") && capOk, "left")
+        .dropDuplicates("media_id", "partner")
+        .groupBy("media_id")
+        .agg(count(col("partner")).as("n_cand"),
+          sum(when(col("partner").isNotNull &&
+            Dedup.hamming(col("phash"), col("psig")) <= 6, 1L)
+            .otherwise(0L)).as("n_dup"))
+      runToMemorySink(out, "stream_phash", "complete")
+    }),
     "q_stream_split" -> ((s, dir) => {
       // leakage-free split ROUTING per arriving document: stream-
       // static join to the memoized components table, split decided
@@ -2403,6 +2450,8 @@ object SparkEntry {
     "q_simhash_neardups" -> simhashNearDupsSql,
     "q_media_phash" -> mediaPhashSql,
     "q_media_neardups" -> mediaNearDupsSql,
+    // admission twin: bounded stream ≡ batch on the hashable universe
+    "q_stream_phash" -> mediaNearDupsStreamSql,
     "q_ivf_topk" -> ivfTopkSql,
     "q_ivf_trained" -> ivfTrainedSql,
     // streaming twin: the trained-IVF chain filtered to its rank-1
@@ -3823,6 +3872,17 @@ object SparkEntry {
        |SELECT d.doc_id AS media_id, coalesce(p.n_cand, 0) AS n_cand,
        |       coalesce(p.n_dup, 0) AS n_dup
        |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.media_id""".stripMargin
+
+  /** Streaming-twin variant: the stream can only hash payloads that
+    * exist, so its universe is the non-empty-text documents — the
+    * oracle restricts the driving table the same way (fixtures today
+    * carry no null/empty text, but regenerations may).
+    */
+  private def mediaNearDupsStreamSql: String =
+    mediaNearDupsSql.replace(
+      "FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.media_id",
+      "FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL AND length(text) > 0) d\n" +
+        "LEFT JOIN perdoc p ON d.doc_id = p.media_id")
 
   /** Banded SimHash near-dup oracle: 4x13-bit band keys, candidate
     * pairs by band equi-join, hamming verification, per-doc counts.

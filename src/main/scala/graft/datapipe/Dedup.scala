@@ -925,6 +925,24 @@ object Dedup {
                       maxBucket: Int = 256): DataFrame =
     hammingNearDups(simhash(docs), docs.select("doc_id"), maxHamming, bands, maxBucket)
 
+  /** Ranked band table for a 52-bit signature — the static side of a
+    * streaming hamming-admission probe: (doc_id, simhash, band, key,
+    * r) where r is the in-bucket rank by doc_id, the SAME ordering
+    * `bandedPairs` caps on, so a probe can replicate the batch
+    * full-pairing-to-rank-`maxBucket` + star-edge semantics exactly.
+    */
+  def hammingBandTable(sig: DataFrame, bands: Int = 4): DataFrame = {
+    val bandBits = 52 / bands
+    sig.select(col("doc_id"), col("simhash"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            pmod(floor(col("simhash") / pow(lit(2.0), lit(b * bandBits))).cast("long"),
+              lit(1L << bandBits)).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("band", "key").orderBy("doc_id")))
+  }
+
   /** Hamming-banded near-dup counts over ANY 52-bit signature table
     * (doc_id, simhash) — the shared tail of `simhashNearDups`, also
     * consumed by the media perceptual-hash path
