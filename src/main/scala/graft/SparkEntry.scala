@@ -1782,7 +1782,14 @@ object SparkEntry {
           col("clean_text").as("text"))
       val injected = rewritten.select(col("doc_id"), col("n_chunks"),
         col("n_kept"), piiInjectExpr.as("text"))
+      // materialize the scrubbed rewrite ONCE: three consumers (the
+      // final projection, the quality gate, the LM scorer's bigram
+      // table) would otherwise each replay the whole chunk-dedup
+      // chain — 6 corpus scans instead of 3 (plan-audited). At
+      // production scale this intermediate persists to storage; here
+      // a lazy local checkpoint bounds the plan the same way
       val red = TextAnalysis.redactPii(injected, keep = Seq("n_chunks", "n_kept"))
+        .localCheckpoint(false)
       val lm = TextAnalysis.lmScoreAgainst(
           red.select(col("doc_id"), col("redacted").as("text")), docs(s, dir),
           modelTc = Some(docTermCounts(s, dir)))
