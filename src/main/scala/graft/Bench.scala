@@ -105,6 +105,12 @@ object Bench {
     val line = s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","timing":"warm_min","run1_total":${num(run1Total, 2)},"n_queries":${results.size},"n_err":${errors.size},"err":$errJson,"queries":$qs,"sf":"$sfDir"}"""
     if (line.length > 1900)
       System.err.println(s"[bench] WARNING metric line ${line.length} chars (driver window 2000)")
+    // sidecar copy for humans / tooling; stdout (now unprefixed via
+    // run/outputStrategy) remains the driver's channel
+    try {
+      val w = new java.io.PrintWriter("BENCH_LAST.json")
+      try w.println(line) finally w.close()
+    } catch { case _: Throwable => () }
     println(line)
     spark.stop()
   }

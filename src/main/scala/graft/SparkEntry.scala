@@ -427,6 +427,38 @@ object SparkEntry {
       name
     })
 
+  /** Persisted state for the INCREMENTAL admission loop
+    * (q_stream_admit_incr): band table + cluster assignment of the
+    * "already ingested" corpus slice (doc_id % 10 == 0 — chosen so
+    * the streamed remainder contains whole near-dup clusters with NO
+    * persisted member, the exact case the stream-static admit misses).
+    * Both live in the session catalog so the streaming clone session
+    * reads them by name inside foreachBatch.
+    */
+  private val incrStateTables = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.SparkContext, String), (String, String)]
+  private[graft] def persistedIncrTables(s: SparkSession, dir: String): (String, String) =
+    incrStateTables.getOrElseUpdate((s.sparkContext, dir), {
+      val bName = s"graft_incr_bands_${tableSuffix(dir)}"
+      val cName = s"graft_incr_comps_${tableSuffix(dir)}"
+      dropStaleTable(s, bName); dropStaleTable(s, cName)
+      val pers = docs(s, dir).filter(col("doc_id") % 10 === 0)
+      val sigs = Dedup.minhashSignaturesFromHashes(
+        Dedup.shingleHashes(Dedup.shingles(pers, distinct = false)), k = 16).cache()
+      Dedup.lshBands(sigs)
+        .repartition(8, col("band"), col("sig"))
+        .write.mode("overwrite").bucketBy(8, "band", "sig").sortBy("band", "sig")
+        .saveAsTable(bName)
+      val comp = Dedup.connectedComponents(
+        Dedup.lshCandidates(sigs), maxIters = CC_ORACLE_ROUNDS)
+      pers.select(col("doc_id"))
+        .join(comp.select(col("doc_id"), col("component")), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("cluster"))
+        .write.mode("overwrite").saveAsTable(cName)
+      sigs.unpersist(blocking = false)
+      (bName, cName)
+    })
+
   /** Per-(doc, term) frequency table, cached per (session, dir): the
     * TF-IDF and BM25 queries both branch from it several times (tf
     * side, docFreq side, doc-length side), and Spark won't share the
@@ -1473,6 +1505,24 @@ object SparkEntry {
         .groupBy("doc_id").agg(min("pcluster").as("cluster"))
         .withColumn("admitted", col("doc_id") === col("cluster"))
       runToMemorySink(st, "stream_admit", "complete")
+    }),
+    "q_stream_admit_incr" -> ((s, dir) => {
+      // STREAM-STREAM dedup closure: unlike q_stream_admit (whose
+      // stream-static joins see only the PERSISTED corpus), every
+      // micro-batch here also bands its arrivals against each other
+      // and against all prior arrivals, merging clusters incrementally
+      // via foreachBatch (Dedup.admitIncrementalBatch) — so N arriving
+      // clones of each other, persisted nowhere, admit exactly one.
+      // The streamed slice (doc_id % 10 != 0) is DISJOINT from the
+      // persisted slice (% 10 == 0) by construction; the oracle
+      // replays the decision from the full-corpus component fixpoint:
+      // admitted = no persisted member in the cluster AND min streamed
+      // member (connectivity is star-cap-invariant, so the capped
+      // batch components equal the incremental uncapped merge).
+      import graft.streaming.StreamingOps._
+      val (bandsT, compsT) = persistedIncrTables(s, dir)
+      val st = documentsStream(s, dir).filter(col("doc_id") % 10 =!= 0)
+      runIncrementalAdmit(st, sc => (sc.table(bandsT), sc.table(compsT)))
     }),
     "q_stream_decontaminate" -> ((s, dir) => {
       // admission-time decontamination: every arriving non-benchmark
@@ -2790,6 +2840,7 @@ object SparkEntry {
     // subset: band-mates are always same-component (star cap), so
     // min-over-partner-clusters is the probe's own cluster
     "q_stream_admit" -> streamAdmitSql,
+    "q_stream_admit_incr" -> streamAdmitIncrSql,
     // time-window mov_rms on the uniform 1/3600 Hz grid: n = round(
     // 7200 * sr) = 2 samples, t shifted back by window/2, warm-up row
     // and final row trimmed (extension.py:684,695-697)
@@ -3522,6 +3573,30 @@ object SparkEntry {
        |       d.doc_id = coalesce(c.component, d.doc_id) AS admitted
        |FROM documents d LEFT JOIN comp c USING (doc_id)
        |WHERE d.doc_id % 7 = 0""".stripMargin
+
+  /** Incremental-admission replay: the full-corpus component fixpoint
+    * (labels = component minima, star-cap-invariant connectivity)
+    * restricted to the streamed slice. A streamed doc is admitted iff
+    * its cluster holds no persisted (% 10 == 0) member and the doc is
+    * the cluster's min STREAMED member — which is exactly what the
+    * foreachBatch incremental merge decides when the bounded stream
+    * delivers the slice: same-batch clone pairs keep only their min,
+    * anything touching a persisted cluster is rejected.
+    */
+  private def streamAdmitIncrSql: String =
+    s"""WITH comp AS MATERIALIZED ($dedupComponentsSql),
+       |fulltab AS (
+       |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster
+       |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+       |agg AS (
+       |  SELECT cluster,
+       |         min(CASE WHEN doc_id % 10 <> 0 THEN doc_id END) AS min_s,
+       |         max(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS has_p
+       |  FROM fulltab GROUP BY cluster)
+       |SELECT f.doc_id, f.cluster,
+       |       (a.has_p = 0 AND f.doc_id = a.min_s) AS admitted
+       |FROM fulltab f JOIN agg a USING (cluster)
+       |WHERE f.doc_id % 10 <> 0""".stripMargin
 
   /** Mixture re-weighting replay (Sampling.mixResample): the argmin
     * group is selected by exact cross-multiplication (HUGEINT — never

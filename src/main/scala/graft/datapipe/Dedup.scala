@@ -440,7 +440,7 @@ object Dedup {
     * is a cheap map-side partial aggregate either way).
     */
   def benchmarkOverlapBloom(corpusHashes: DataFrame, benchHashes: DataFrame,
-                            mBits: Int = 0, k: Int = 7): DataFrame = {
+                            mBits: Long = 0L, k: Int = 7): DataFrame = {
     import graft.functions.Bloom
     val bench = benchHashes.select(col("h1")).distinct()
     val m = if (mBits > 0) mBits else Bloom.sizeFor(bench.count())
@@ -971,5 +971,80 @@ object Dedup {
         sum(when(col("hd") <= maxHamming, 1L).otherwise(0L)).as("n_dup"))
     ids.join(perDoc, Seq("doc_id"), "left")
       .na.fill(0, Seq("n_cand", "n_dup"))
+  }
+
+  /** One micro-batch of INCREMENTAL near-dup admission — the missing
+    * half of the stream-static admit loop (`q_stream_admit`): that
+    * design probes only the PERSISTED band/components tables, so two
+    * arriving near-duplicates of each other (but of nothing
+    * persisted) were both admitted. This closes the gap by also
+    * banding arrivals against EACH OTHER and against every previous
+    * arrival, then merging the touched clusters.
+    *
+    * Inputs: `arrivals` (doc_id, text) — this batch's documents;
+    * `stateBands` (doc_id, band, sig) and `stateComp` (doc_id,
+    * cluster) — the accumulated band table and cluster assignment of
+    * every document seen so far (persisted corpus + prior batches;
+    * cluster = the component's min doc_id).
+    *
+    * Scale shape: the fixpoint never touches the full state — edges
+    * are CONTRACTED to (arrival, prior-cluster-label) before the CC
+    * runs, so the per-batch graph is |arrivals| + |touched clusters|
+    * nodes regardless of corpus size; the state update is one
+    * label-remap join over the rows of merged clusters plus an
+    * append. The state tables themselves are corpus-sized — at
+    * production scale they live as the bucketed warehouse tables the
+    * stream-static path already persists, updated per batch.
+    *
+    * Returns (result, newBands, newComp): result = (doc_id, cluster,
+    * admitted) for every arrival — admitted iff the arrival's merged
+    * cluster contains no previously-seen document and the arrival is
+    * the cluster's min doc_id (so N same-batch clones admit EXACTLY
+    * one); null-text arrivals have no shingles, stay singletons, and
+    * are admitted — identical to the batch dedup semantics.
+    */
+  def admitIncrementalBatch(arrivals: DataFrame, stateBands: DataFrame,
+                            stateComp: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val abands = lshBands(minhashSignaturesFromHashes(
+      shingleHashes(shingles(arrivals, distinct = false)), k = 16))
+    // arrival ↔ previously-seen collisions, contracted to the prior
+    // doc's cluster label (a doc id — CC treats it as a plain node)
+    val hitPrior = abands
+      .join(stateBands.select(col("band"), col("sig"), col("doc_id").as("pdoc")),
+        Seq("band", "sig"))
+      .select(col("doc_id").as("a"), col("pdoc")).distinct()
+      .join(stateComp.select(col("doc_id").as("pdoc"), col("cluster").as("b")), Seq("pdoc"))
+      .select(col("a"), col("b")).distinct()
+    // arrival ↔ arrival collisions within the batch — the case the
+    // stream-static join could not see
+    val hitSelf = abands.select(col("band"), col("sig"), col("doc_id").as("a"))
+      .join(abands.select(col("band"), col("sig"), col("doc_id").as("b")), Seq("band", "sig"))
+      .filter(col("a") < col("b")).select(col("a"), col("b")).distinct()
+    val labels = connectedComponents(hitPrior.unionAll(hitSelf))
+      .select(col("doc_id"), col("component"))
+    // components that absorbed a prior cluster: nothing in them is
+    // admissible (their representative already exists)
+    val priorComps = labels
+      .join(hitPrior.select(col("b").as("doc_id")).distinct(), Seq("doc_id"))
+      .select(col("component").as("cluster")).distinct()
+      .withColumn("has_prior", lit(true))
+    val result = arrivals.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("cluster"))
+      .join(priorComps, Seq("cluster"), "left")
+      .select(col("doc_id"), col("cluster"),
+        (col("has_prior").isNull && col("doc_id") === col("cluster")).as("admitted"))
+    // prior clusters merged this batch get their rows relabeled to
+    // the merged minimum; arrivals append with their new labels
+    val relabel = labels
+      .join(hitPrior.select(col("b").as("doc_id")).distinct(), Seq("doc_id"))
+      .select(col("doc_id").as("oldc"), col("component").as("newc"))
+      .filter(col("oldc") =!= col("newc"))
+    val newComp = stateComp
+      .join(relabel, col("cluster") === col("oldc"), "left")
+      .select(col("doc_id"), coalesce(col("newc"), col("cluster")).as("cluster"))
+      .unionAll(result.select(col("doc_id"), col("cluster")))
+    val newBands = stateBands.unionAll(abands.select(col("doc_id"), col("band"), col("sig")))
+    (result, newBands, newComp)
   }
 }

@@ -738,11 +738,11 @@ object Similarity {
     * (vec_id, c0..c{m-1}) — m INTS per vector, the entire index
     * payload.
     */
-  def pqEncode(vectors: DataFrame, codebooks: Array[Array[Array[Double]]]): DataFrame = {
+  private def pqCodeCols(codebooks: Array[Array[Array[Double]]]): Seq[Column] = {
     val m = codebooks.length
     val sub = codebooks(0)(0).length
     val dims = m * sub
-    val codeCols = codebooks.zipWithIndex.map { case (cb, u) =>
+    codebooks.zipWithIndex.map { case (cb, u) =>
       val sl = expr(s"slice(embedding, ${u * sub + 1}, $sub)")
       val best = array_min(array(cb.zipWithIndex.map { case (c, j) =>
         struct(subSqDist(sl, c).as("dist"), lit(j).as("cluster"))
@@ -754,8 +754,122 @@ object Similarity {
           lit(s"pqEncode: embedding dims != $dims for vec_id="),
           col("vec_id"))).cast("int"))
         .as(s"c$u")
-    }
-    vectors.select(col("vec_id") +: codeCols: _*)
+    }.toSeq
+  }
+
+  def pqEncode(vectors: DataFrame, codebooks: Array[Array[Array[Double]]]): DataFrame =
+    vectors.select(col("vec_id") +: pqCodeCols(codebooks): _*)
+
+  // ------------------------------------------------------------------
+  // Residual IVF-PQ (FAISS IndexIVFPQ semantics): PQ codes are trained
+  // on and encode the RESIDUAL x − c(list) of each vector against its
+  // coarse (IVF) centroid, not the raw vector. Residuals concentrate
+  // near zero, so the same m×k code budget spends its resolution on a
+  // much tighter distribution — measurably higher recall at identical
+  // bytes/vector (the q_pq_residual_recall claim). The stored list id
+  // doubles as the routing key, so the index stays self-contained.
+  // ------------------------------------------------------------------
+
+  /** (vec_id, list, embedding=residual): coarse-assign each vector to
+    * its best-cosine centroid (same argmax/tie rule as the IVF
+    * search) and subtract that centroid elementwise. Pure map-side —
+    * centroids ride as one 2-D plan literal.
+    */
+  def residualTable(vectors: DataFrame, centroids: Array[Array[Double]],
+                    dims: Int): DataFrame = {
+    require(centroids.forall(_.length == dims), s"centroid dims must all be $dims")
+    val scores = ivfScoresFor(centroids, emb(col("embedding")))
+    val centsLit = typedLit(centroids.map(_.toSeq).toSeq)
+    vectors
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("xe"),
+        element_at(reverse(array_sort(scores)), 1).getField("list").as("list"))
+      .select(col("vec_id"), col("list"),
+        zip_with(col("xe"), element_at(centsLit, col("list") + 1),
+          (x, c) => x - c).as("embedding"))
+  }
+
+  /** Sub-space codebooks trained on the residuals — one shared set of
+    * m codebooks across all lists (the FAISS default), each the same
+    * deterministic Lloyd fit as `pqCodebooks`.
+    */
+  def residualPqCodebooks(vectors: DataFrame, centroids: Array[Array[Double]],
+                          m: Int = 4, k: Int = 16, iters: Int = 2,
+                          dims: Int = 64): Array[Array[Array[Double]]] =
+    pqCodebooks(residualTable(vectors, centroids, dims), m, k, iters, dims)
+
+  /** Residual-PQ encode: (vec_id, list, c0..c{m-1}) — the coarse list
+    * id plus m sub-space codes of the residual. The list id is the
+    * IVF bucket (routing metadata every IVF index stores), so the
+    * code payload per vector is identical to plain `pqEncode`.
+    */
+  def residualPqEncode(vectors: DataFrame, centroids: Array[Array[Double]],
+                       codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val dims = codebooks.map(_(0).length).sum
+    residualTable(vectors, centroids, dims)
+      .select(col("vec_id") +: col("list") +: pqCodeCols(codebooks): _*)
+  }
+
+  /** IVF search over a residual-PQ codes table: reconstruction is
+    * x̂ = c(list) + concat(codebook lookups) — both terms plan
+    * literals indexed by stored columns, one map-side projection.
+    * Routing uses the STORED list (the true coarse assignment — no
+    * re-derivation from the lossy reconstruction, unlike the
+    * raw-codes path), queries probe their nprobe best lists, scoring
+    * is asymmetric exact-query × reconstruction cosine.
+    */
+  def ivfTopKResidualPq(codes: DataFrame, queries: DataFrame,
+                        centroids: Array[Array[Double]],
+                        codebooks: Array[Array[Array[Double]]],
+                        k: Int = 10, nprobe: Int = 4): DataFrame = {
+    require(nprobe >= 1 && nprobe <= centroids.length, "nprobe must be in [1, nlist]")
+    val dims = codebooks.map(_(0).length).sum
+    require(centroids.forall(_.length == dims), s"centroid dims must all be $dims")
+    val centsLit = typedLit(centroids.map(_.toSeq).toSeq)
+    val de = zip_with(element_at(centsLit, col("list") + 1), pqDecode(codebooks),
+      (c, r) => c + r)
+    val c = codes.select(col("vec_id").as("neighbor_id"), col("list"), de.as("de"))
+      .select(col("neighbor_id"), col("list"), col("de"),
+        sqrt(dot(col("de"), col("de"))).as("cn"))
+    val qScores = ivfScoresFor(centroids, col("qe"))
+    val q = queries.select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qe"))
+      .select(col("query_id"), col("qe"), sqrt(dot(col("qe"), col("qe"))).as("qn"),
+        posexplode(slice(reverse(array_sort(qScores)), 1, nprobe)))
+      .select(col("query_id"), col("qe"), col("qn"), col("col.list").as("list"))
+    val scored = c.join(broadcast(q), "list")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qe"), col("de")) / (col("qn") * col("cn"))).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(round(col("cos"), 6).desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  /** Exact-float rerank of an arbitrary candidate list — the refine
+    * stage of any two-stage ANN (shared by the PQ and residual-PQ
+    * paths): candidates equi-join the float corpus on neighbor_id
+    * (the ONLY stage reading full vectors — kCand×|queries| rows),
+    * queries broadcast, exact cosine, per-query top-k.
+    */
+  def rerankExact(corpus: DataFrame, cand: DataFrame, queries: DataFrame,
+                  k: Int = 10): DataFrame = {
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      emb(col("embedding")).as("ce"), normFloat(emb(col("embedding"))).as("cn"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      emb(col("embedding")).as("qe"), normFloat(emb(col("embedding"))).as("qn"))
+    val scored = cand.select(col("query_id"), col("neighbor_id"))
+      .join(c, Seq("neighbor_id")).join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineN(col("qe"), col("ce"), col("qn"), col("cn")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(round(col("cos"), 6).desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cos"))
   }
 
   /** Brute-force ADC top-k over the PQ codes table: the float corpus

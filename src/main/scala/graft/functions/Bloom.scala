@@ -38,9 +38,23 @@ object Bloom {
 
   def headerBytes: Int = 4
 
-  def words(mBits: Int): Int = (mBits + 63) >>> 6
+  /** Largest representable filter: the serialized form is one JVM byte
+    * array (4-byte header + bitset), so mBits is bounded by
+    * 8*(maxArray - 4). We cap at the largest power of two below that —
+    * 2^33 bits = 1 GiB serialized — which covers ~860M keys at 1% FPR
+    * and degrades gracefully (higher FPR, still exact after the
+    * semi-join) beyond. Bit positions use Long math throughout; the
+    * Int-typed word COUNT (2^27 max) always fits.
+    */
+  def maxBits: Long = 1L << 33
 
-  def emptyWords(mBits: Int): Array[Long] = new Array[Long](words(mBits))
+  def words(mBits: Long): Int = {
+    require(mBits > 0 && mBits <= maxBits,
+      s"Bloom mBits must be in (0, $maxBits], got $mBits (serialized form is one byte array)")
+    ((mBits + 63) >>> 6).toInt
+  }
+
+  def emptyWords(mBits: Long): Array[Long] = new Array[Long](words(mBits))
 
   def add(buf: Array[Long], v: Long, k: Int): Unit = {
     val mBits = buf.length.toLong << 6
@@ -89,13 +103,16 @@ object Bloom {
   }
 
   /** Smallest power-of-two bit count giving ~1% FPR for `n` keys with
-    * k=7 probes (m ≈ 10n bits), floored so degenerate inputs stay sane.
+    * k=7 probes (m ≈ 10n bits), floored so degenerate inputs stay sane
+    * and capped at [[maxBits]] (the one-byte-array serialization bound)
+    * rather than silently truncating — the pre-r9 Int-typed version
+    * corrupted mBits for n >= ~215M keys.
     */
-  def sizeFor(n: Long): Int = {
+  def sizeFor(n: Long): Long = {
     val target = math.max(1024L, 10L * math.max(1L, n))
     var m = 1024L
-    while (m < target && m < (1L << 34)) m <<= 1
-    math.min(m, 1L << 34).toInt
+    while (m < target && m < maxBits) m <<= 1
+    math.min(m, maxBits)
   }
 
   def bloomMightContain(bloom: Column, value: Column): Column = {
@@ -126,11 +143,11 @@ object Bloom {
     * the driver — is exactly the scale failure the filter exists to
     * avoid.
     */
-  def buildAgg(mBits: Int, k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+  def buildAgg(mBits: Long, k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(BloomBuild(mBits, k), Encoders.scalaLong)
 }
 
-case class BloomBuild(mBits: Int, k: Int)
+case class BloomBuild(mBits: Long, k: Int)
     extends Aggregator[Long, Array[Long], Array[Byte]] {
   override def zero: Array[Long] = Bloom.emptyWords(mBits)
   override def reduce(buf: Array[Long], v: Long): Array[Long] = {

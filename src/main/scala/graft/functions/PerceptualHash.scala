@@ -25,9 +25,10 @@ object PerceptualHash {
 
   /** Two-pass exact computation — called from interpreted eval and
     * from the generated code (object methods surface as statics).
-    * The cross-multiplied comparison stays inside a signed long for
-    * any payload under ~1.3 GB (255·n²/52 < 2^63) — i.e. for every
-    * representable byte array in practice.
+    * The cross-multiplied comparison (seg_sum·n vs total·n_seg) can
+    * exceed a signed long for payloads above ~1.3 GB, so the bit test
+    * compares the full 128-bit products via Math.multiplyHigh — exact
+    * for every representable byte array, no size precondition.
     */
   def compute(bytes: Array[Byte]): Long = {
     val n = bytes.length
@@ -49,7 +50,18 @@ object PerceptualHash {
     var h = 0L
     var j = 0
     while (j < Bits) {
-      if (segCnt(j) > 0 && segSum(j) * n > total * segCnt(j)) h |= (1L << j)
+      // unsigned 128-bit compare of segSum·n vs total·segCnt: all
+      // operands are nonnegative and < 2^63, so multiplyHigh's signed
+      // high word equals the unsigned one
+      if (segCnt(j) > 0) {
+        val nL = n.toLong
+        val hi1 = java.lang.Math.multiplyHigh(segSum(j), nL)
+        val lo1 = segSum(j) * nL
+        val hi2 = java.lang.Math.multiplyHigh(total, segCnt(j))
+        val lo2 = total * segCnt(j)
+        if (hi1 > hi2 || (hi1 == hi2 && java.lang.Long.compareUnsigned(lo1, lo2) > 0))
+          h |= (1L << j)
+      }
       j += 1
     }
     h

@@ -85,15 +85,23 @@ object Ide {
   }
 
   /** Per-subchannel absolute start time in epoch microseconds:
-    * TimeBaseUTC + the subchannel's first block timecode.
+    * TimeBaseUTC + the subchannel's first block timecode — taken
+    * straight from the block headers' integer `startUs` (a metadata
+    * scan, no data read). The pre-r9 form recovered it from the
+    * double-typed `t` column as `(t*1e6).cast(long)`, whose
+    * multiply-then-truncate round trip could land 1 µs low for
+    * non-representable values; integer block timecodes can't.
     */
   def startTimes(spark: SparkSession, path: String): DataFrame = {
-    val t0 = IdeSource.readMultiMeta(IdeSource.resolveFiles(path)).timeBaseUs
-    read(spark, path)
-      .groupBy(col("ch"), col("sub"))
-      .agg(min(col("t")).as("t_first"))
-      .join(broadcast(channels(spark, path)), Seq("ch", "sub"))
-      .select(col("sub_name").as("name"),
-        (lit(t0) + (col("t_first") * 1e6).cast("long")).as("start_us"))
+    import spark.implicits._
+    val meta = IdeSource.readMultiMeta(IdeSource.resolveFiles(path))
+    val firstByCh: Map[Int, Long] =
+      meta.blocks.groupBy(_.ch).map { case (ch, bs) => ch -> bs.map(_.startUs).min }
+    val rows = for {
+      c <- meta.channels
+      first <- firstByCh.get(c.id).toSeq
+      s <- c.subs
+    } yield (s.name, meta.timeBaseUs + first)
+    rows.toDF("name", "start_us")
   }
 }

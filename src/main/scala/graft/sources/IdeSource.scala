@@ -380,12 +380,16 @@ class IdeScan(path: String, mode: String, partitionBytes: Long,
 /** Structured Streaming over a growing directory of `.ide` files —
   * the continuous-admission shape of recorder fleets: each device
   * uploads finished rollover files; every micro-batch ingests the
-  * newly arrived ones. The offset is simply how many files of the
-  * name-sorted listing have been processed (files are immutable once
-  * written — the standard file-stream contract), so restart recovery
-  * is a count, and `t` stays on the FIRST file's clock across
-  * batches and restarts (the first name-sorted file never changes
-  * once the stream has data).
+  * newly arrived ones. The offset records the SET of processed file
+  * names (the same contract as Spark's own FileStreamSource), so a
+  * file whose name sorts before already-processed files — a late
+  * fleet upload, a clock-named rollover landing out of order — is
+  * ingested exactly once rather than re-slicing the listing (which a
+  * count offset would: re-ingest old files, skip the new one).
+  * `t` stays on ONE clock across batches and restarts: the anchor —
+  * the name-min file of the first nonempty batch — rides in the
+  * offset, so a later-arriving earlier-named file cannot shift the
+  * time origin either.
   */
 class IdeMicroBatchStream(path: String, partitionBytes: Long,
                           chFilter: Option[Set[Int]], required: StructType,
@@ -393,9 +397,17 @@ class IdeMicroBatchStream(path: String, partitionBytes: Long,
     extends streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
-  private case class FileCountOffset(n: Int) extends Offset {
-    override def json(): String = n.toString
+  private case class FileSetOffset(anchor: String, files: Seq[String]) extends Offset {
+    override def json(): String = {
+      def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      s"""{"anchor":${q(anchor)},"files":[${files.sorted.map(q).mkString(",")}]}"""
+    }
   }
+
+  // the time-origin file, learned from the first nonempty batch (or a
+  // restart's checkpointed offset via deserializeOffset) — lets
+  // latestOffset stamp candidate offsets with the right anchor
+  @volatile private var knownAnchor: String = ""
 
   private def listFiles(): Seq[String] = {
     val f = new java.io.File(path)
@@ -407,26 +419,57 @@ class IdeMicroBatchStream(path: String, partitionBytes: Long,
     else Seq.empty // not created yet — a stream may start before data
   }
 
-  override def initialOffset(): Offset = FileCountOffset(0)
-  override def latestOffset(): Offset = FileCountOffset(listFiles().length)
-  override def deserializeOffset(json: String): Offset = FileCountOffset(json.toInt)
+  override def initialOffset(): Offset = FileSetOffset("", Seq.empty)
+  override def latestOffset(): Offset = {
+    val all = listFiles()
+    val anchor = if (knownAnchor.nonEmpty) knownAnchor else all.headOption.getOrElse("")
+    FileSetOffset(anchor, all)
+  }
+  override def deserializeOffset(json: String): Offset = {
+    val t = json.trim
+    if (!t.startsWith("{")) {
+      // legacy count offset (pre-r9 checkpoint): first n files of the
+      // name-sorted listing, origin on the head file — the old contract
+      val all = listFiles()
+      val n = t.toInt
+      require(all.length >= n, s"$path: legacy offset $n exceeds listing (${all.length})")
+      val anchor = all.headOption.getOrElse("")
+      if (knownAnchor.isEmpty && anchor.nonEmpty) knownAnchor = anchor
+      FileSetOffset(anchor, all.take(n))
+    } else {
+      // json4s ships with Spark — no new dependency
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      implicit val fmts: Formats = DefaultFormats
+      val v = JsonMethods.parse(t)
+      val anchor = (v \ "anchor").extract[String]
+      val files = (v \ "files").extract[Seq[String]]
+      if (knownAnchor.isEmpty && anchor.nonEmpty) knownAnchor = anchor
+      FileSetOffset(anchor, files)
+    }
+  }
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val (s, e) = (start.asInstanceOf[FileCountOffset].n, end.asInstanceOf[FileCountOffset].n)
-    val all = listFiles()
-    require(all.length >= e, s"$path: files disappeared under the stream (${all.length} < $e)")
-    val batch = all.slice(s, e)
+    val so = start.asInstanceOf[FileSetOffset]
+    val eo = end.asInstanceOf[FileSetOffset]
+    val done = so.files.toSet
+    val batch = eo.files.filterNot(done).sorted
     if (batch.isEmpty)
       return IdePlanner.plan(batch, IdeSource.IdeMeta(0L, Seq.empty, Seq.empty),
         chFilter, partitionBytes, required, tRange).filter {
         case p: IdeBlockPart => p.blocks.nonEmpty
         case _ => true
       }
-    // anchor on the first file's clock, not the batch's: t must be
-    // comparable across micro-batches and restarts
-    val origin = IdeSource.readMeta(all.head).timeBaseUs
+    // anchor on one stable clock: the checkpointed anchor if the
+    // stream has history, else this first batch's name-min file
+    val anchorFile =
+      if (so.anchor.nonEmpty) so.anchor
+      else if (eo.anchor.nonEmpty && (done.nonEmpty || eo.anchor == batch.head)) eo.anchor
+      else batch.head
+    if (knownAnchor.isEmpty) knownAnchor = anchorFile
+    val origin = IdeSource.readMeta(anchorFile).timeBaseUs
     val metas = batch.map(IdeSource.readMeta)
     val chans = scala.collection.mutable.LinkedHashMap.empty[Int, IdeSource.ChMeta]
     for ((m, f) <- metas.zip(batch); c <- m.channels) chans.get(c.id) match {

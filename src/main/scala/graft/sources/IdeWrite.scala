@@ -77,8 +77,32 @@ class IdeBatchWrite(path: String, schema: StructType, timeBaseUs: Long,
     }
     new IdeWriterFactory(path, idx, timeBaseUs, blockFrames, fmt)
   }
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  /** Job commit publishes every task's temp file by rename, driver
+    * side — the standard two-phase DSv2 protocol. Tasks only ever
+    * write hidden `.tmp` files (which the reader's directory listing
+    * ignores), so a job that dies after some tasks committed leaves
+    * NO partial output visible, and speculative duplicate attempts
+    * can't race on the destination name: the losing attempt's abort
+    * deletes its own uniquely-named temp. Assumes the destination
+    * directory is a shared filesystem (same assumption the writer
+    * already makes by writing temps into it).
+    */
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case IdeCommit(tmp, part) if tmp.nonEmpty =>
+        val src = new File(tmp)
+        val dst = new File(path, f"part-$part%05d.ide")
+        if (dst.exists()) dst.delete()
+        require(src.renameTo(dst), s"publish ${src.getName} -> ${dst.getName} failed")
+      case _ => ()
+    }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case IdeCommit(tmp, _) if tmp.nonEmpty =>
+        val f = new File(tmp)
+        if (f.exists()) f.delete()
+      case _ => ()
+    }
 }
 
 class IdeWriterFactory(path: String, idx: Array[Int], timeBaseUs: Long,
@@ -87,7 +111,8 @@ class IdeWriterFactory(path: String, idx: Array[Int], timeBaseUs: Long,
     new IdeDataWriter(path, partitionId, taskId, idx, timeBaseUs, blockFrames, fmt)
 }
 
-private final case class IdeCommit(file: String) extends WriterCommitMessage
+private final case class IdeCommit(tmpFile: String, partitionId: Int)
+    extends WriterCommitMessage
 
 class IdeDataWriter(path: String, partitionId: Int, taskId: Long,
                     idx: Array[Int], timeBaseUs: Long, blockFrames: Int,
@@ -150,15 +175,16 @@ class IdeDataWriter(path: String, partitionId: Int, taskId: Long,
     frames.last += v
   }
 
+  /** Task commit stops at the temp file: the rename-to-final happens
+    * in `IdeBatchWrite.commit` on the driver once EVERY task has
+    * succeeded, so partial jobs publish nothing.
+    */
   override def commit(): WriterCommitMessage = {
     flushChannel()
-    if (channels.isEmpty) return IdeCommit("")
+    if (channels.isEmpty) return IdeCommit("", partitionId)
     val tmp = new File(path, s".part-$partitionId-$taskId.ide.tmp")
     IdeSink.write(tmp.getAbsolutePath, timeBaseUs, channels.toSeq)
-    val dst = new File(path, f"part-$partitionId%05d.ide")
-    if (dst.exists()) dst.delete()
-    require(tmp.renameTo(dst), s"rename ${tmp.getName} -> ${dst.getName} failed")
-    IdeCommit(dst.getAbsolutePath)
+    IdeCommit(tmp.getAbsolutePath, partitionId)
   }
 
   override def abort(): Unit = {

@@ -206,6 +206,63 @@ object StreamingOps {
       }.toDF()
   }
 
+  /** STREAM-STREAM dedup admission via foreachBatch incremental
+    * components maintenance: each micro-batch merges its arrivals'
+    * band-collision edges (vs the persisted corpus, vs prior
+    * arrivals, AND vs each other — the case stream-static joins
+    * cannot see) into the maintained cluster state through
+    * [[graft.datapipe.Dedup.admitIncrementalBatch]], so N arriving
+    * clones of each other are admitted exactly once even when
+    * nothing similar is persisted.
+    *
+    * `init` builds the initial state — (bands (doc_id, band, sig),
+    * clusters (doc_id, cluster)) of the persisted corpus — on the
+    * MICRO-BATCH's session (catalog tables and parquet paths are the
+    * safe cross-session carriers; live DataFrames are not). State and
+    * per-batch results are eagerly localCheckpoint'ed: bounded
+    * lineage across arbitrarily many batches, and the result frames
+    * stay valid after their batch ends. At production scale the state
+    * update would be written back to the bucketed warehouse tables
+    * each batch instead of re-checkpointed.
+    */
+  def runIncrementalAdmit(stream: DataFrame,
+                          init: SparkSession => (DataFrame, DataFrame)): DataFrame = {
+    def ckpt(df: DataFrame): DataFrame = {
+      val snap = df.localCheckpoint(true)
+      // shed carried stats (see Dedup.connectedComponents.ckpt)
+      df.sparkSession.createDataFrame(snap.rdd, snap.schema)
+    }
+    var state: Option[(DataFrame, DataFrame)] = None
+    val results = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val (bands0, comp0) = state.getOrElse {
+            val (b, c) = init(batch.sparkSession)
+            (ckpt(b), ckpt(c))
+          }
+          val (res, nb, nc) = graft.datapipe.Dedup.admitIncrementalBatch(
+            batch.select(col("doc_id"), col("text")), bands0, comp0)
+          results += ckpt(res)
+          state = Some((ckpt(nb), ckpt(nc)))
+        }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    results.reduceOption(_ unionAll _).getOrElse {
+      val s = stream.sparkSession
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cluster",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("admitted",
+            org.apache.spark.sql.types.BooleanType))))
+    }
+  }
+
   /** Drive a streaming DataFrame to completion over the (bounded) file
     * source and return the materialized result — the batch-driven
     * smoke harness for streaming queries.

@@ -1,0 +1,185 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.datapipe.Dedup
+
+/** Round-9 coverage: the incremental stream-stream dedup admission
+  * (foreachBatch components maintenance — the closure of round 8's
+  * "two arriving near-dups of each other are both admitted" gap),
+  * the Long-typed Bloom sizing, the 128-bit-safe perceptual-hash
+  * compare, and the file-set micro-batch offset.
+  */
+class Round9Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // deterministic word salads: Y and Z never band-collide; B = Y+" "+Z
+  // band-collides with BOTH (verified against the same md5/52-bit
+  // minhash arithmetic the engine uses)
+  private val textY = "november delta mike lima charlie oscar foxtrot romeo " +
+    "november echo hotel hotel lima papa golf lima hotel oscar foxtrot bravo " +
+    "papa echo oscar november golf alpha romeo oscar golf romeo"
+  private val textZ = "hotel lima mike oscar delta quebec mike bravo quebec " +
+    "kilo mike quebec india sierra charlie charlie papa mike sierra alpha " +
+    "tango golf juliet lima november golf quebec charlie bravo hotel"
+  private val textB = textY + " " + textZ
+  private val textX = "zulu yankee xray whiskey victor uniform zulu yankee " +
+    "xray whiskey victor uniform zulu yankee xray whiskey victor uniform"
+
+  private def docsDf(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def stateFor(pers: DataFrame): (DataFrame, DataFrame) = {
+    val sigs = Dedup.minhashSignaturesFromHashes(
+      Dedup.shingleHashes(Dedup.shingles(pers, distinct = false)), k = 16)
+    val bands = Dedup.lshBands(sigs)
+    val comp = Dedup.connectedComponents(Dedup.lshCandidates(sigs))
+    val clusters = pers.select(col("doc_id"))
+      .join(comp.select(col("doc_id"), col("component")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("cluster"))
+    (bands, clusters)
+  }
+
+  private def resMap(df: DataFrame): Map[Long, (Long, Boolean)] =
+    df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+
+  test("admitIncrementalBatch: same-batch clones admit exactly once; persisted matches are rejected") {
+    val pers = docsDf(2L -> textX)
+    val (bands0, comp0) = stateFor(pers)
+    // wave 1: 11 and 13 are clones of each other (nothing persisted is
+    // similar), 15 clones the persisted doc 2, 17 is unique
+    val wave1 = docsDf(11L -> textY, 13L -> textY, 15L -> textX, 17L -> textZ)
+    val (r1, bands1, comp1) = Dedup.admitIncrementalBatch(wave1, bands0, comp0)
+    val m1 = resMap(r1)
+    assert(m1(11L) === (11L, true))   // min of the same-batch clone pair
+    assert(m1(13L) === (11L, false))  // its clone: same cluster, NOT admitted
+    assert(m1(15L) === (2L, false))   // matches persisted doc 2
+    assert(m1(17L) === (17L, true))   // unique
+    // wave 2 against the UPDATED state: a clone of wave-1's Y cluster
+    // must be rejected now (the stream-static design would admit it
+    // only if Y were persisted — this is the incremental closure)
+    val wave2 = docsDf(21L -> textY, 23L -> (textX + " kilo lima " + textX))
+    val (r2, bands2, comp2) = Dedup.admitIncrementalBatch(wave2, bands1, comp1)
+    val m2 = resMap(r2)
+    assert(m2(21L) === (11L, false))
+    assert(m2.contains(23L))
+    // state now carries every seen doc exactly once
+    assert(comp2.select("doc_id").distinct().count() === comp2.count())
+    assert(comp2.count() === 1 + 4 + 2)
+    assert(bands2.select("doc_id").distinct().count() === 7) // all 7 docs banded
+  }
+
+  test("admitIncrementalBatch: an arrival bridging two prior clusters merges them in state") {
+    val pers = docsDf(2L -> textX)
+    val (bands0, comp0) = stateFor(pers)
+    val (r1, bands1, comp1) =
+      Dedup.admitIncrementalBatch(docsDf(11L -> textY, 25L -> textZ), bands0, comp0)
+    val m1 = resMap(r1)
+    assert(m1(11L) === (11L, true) && m1(25L) === (25L, true))
+    // doc 31 = Y+Z: collides with BOTH prior clusters → rejected, and
+    // the state must relabel cluster 25 down to the merged min 11
+    val (r2, _, comp2) =
+      Dedup.admitIncrementalBatch(docsDf(31L -> textB), bands1, comp1)
+    val m2 = resMap(r2)
+    assert(m2(31L) === (11L, false))
+    val labels = comp2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(11L) === 11L && labels(25L) === 11L && labels(31L) === 11L)
+    assert(labels(2L) === 2L)
+  }
+
+  test("admitIncrementalBatch: null-text arrivals stay singletons and admit") {
+    val pers = docsDf(2L -> textX)
+    val (bands0, comp0) = stateFor(pers)
+    val arrivals = docsDf(41L -> textY).unionAll(
+      spark.sql("SELECT CAST(43 AS BIGINT) AS doc_id, CAST(NULL AS STRING) AS text"))
+    val (r, _, comp1) = Dedup.admitIncrementalBatch(arrivals, bands0, comp0)
+    val m = resMap(r)
+    assert(m(41L) === (41L, true))
+    assert(m(43L) === (43L, true))
+    assert(comp1.filter(col("doc_id") === 43L).count() === 1)
+  }
+
+  test("q_stream_admit_incr matches the batch full-corpus replay at sf0.001") {
+    // end-to-end: the streaming query (bounded stream = one batch)
+    // must equal the oracle's full-component decision — including at
+    // least one all-streamed multi-member cluster admitting exactly one
+    val out = SparkEntry.queries("q_stream_admit_incr")(spark, sf)
+      .select("doc_id", "cluster", "admitted").cache()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sigs = Dedup.minhashSignaturesFromHashes(
+      Dedup.shingleHashes(Dedup.shingles(docs, distinct = false)), k = 16)
+    val comp = Dedup.connectedComponents(Dedup.lshCandidates(sigs))
+    val full = docs.select(col("doc_id"))
+      .join(comp.select(col("doc_id"), col("component")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("cluster"))
+    val agg = full.groupBy("cluster").agg(
+      min(when(col("doc_id") % 10 =!= 0, col("doc_id"))).as("min_s"),
+      max(when(col("doc_id") % 10 === 0, 1).otherwise(0)).as("has_p"))
+    val expect = full.join(agg, Seq("cluster"))
+      .filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), col("cluster"),
+        (col("has_p") === 0 && col("doc_id") === col("min_s")).as("admitted"))
+    assert(out.count() === expect.count())
+    assert(out.exceptAll(expect).count() === 0)
+    assert(expect.exceptAll(out).count() === 0)
+    // the property the round-8 design could not deliver: some cluster
+    // with >= 2 streamed members and no persisted member admits
+    // exactly one
+    val multi = out.groupBy("cluster")
+      .agg(count(lit(1)).as("n"), sum(when(col("admitted"), 1).otherwise(0)).as("n_adm"))
+      .filter(col("n") >= 2 && col("n_adm") === 1)
+    assert(multi.count() > 0)
+    out.unpersist()
+  }
+
+  test("Bloom sizeFor is Long-safe for blocklist-scale n") {
+    import graft.functions.Bloom
+    // pre-r9 this truncated to a negative/zero Int at n >= ~215M
+    assert(Bloom.sizeFor(300L * 1000 * 1000) === (1L << 32))
+    assert(Bloom.sizeFor(900L * 1000 * 1000) === Bloom.maxBits)
+    assert(Bloom.sizeFor(10L * 1000 * 1000 * 1000) === Bloom.maxBits)
+    assert(Bloom.words(Bloom.maxBits) === (1 << 27))
+    val oob = intercept[IllegalArgumentException](Bloom.words(Bloom.maxBits * 2))
+    assert(oob.getMessage.contains("mBits"))
+  }
+
+  test("perceptual hash: 128-bit compare agrees with the exact rational on adversarial sums") {
+    import graft.functions.PerceptualHash
+    // byte arrays whose seg_sum * n would overflow a signed long are
+    // not constructible in-test (GBs); instead verify the compare
+    // logic agrees with BigInt on real payloads incl. boundary shapes
+    val cases = Seq(
+      Array.fill[Byte](104)(127),
+      Array.tabulate[Byte](1037)(i => (i % 251).toByte),
+      Array.tabulate[Byte](52 * 3)(i => if (i < 52) 0.toByte else 255.toByte))
+    for (bytes <- cases) {
+      val h = PerceptualHash.compute(bytes)
+      val n = bytes.length
+      var total = BigInt(0)
+      bytes.foreach(b => total += (b & 0xff))
+      val segSum = new Array[BigInt](52).map(_ => BigInt(0))
+      val segCnt = new Array[Long](52)
+      for (i <- bytes.indices) {
+        val seg = (i.toLong * 52 / n).toInt
+        segSum(seg) += (bytes(i) & 0xff)
+        segCnt(seg) += 1
+      }
+      var expect = 0L
+      for (j <- 0 until 52)
+        if (segCnt(j) > 0 && segSum(j) * n > total * segCnt(j)) expect |= (1L << j)
+      assert(h === expect)
+    }
+  }
+}
