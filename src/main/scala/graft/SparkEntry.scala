@@ -254,6 +254,17 @@ object SparkEntry {
     pqCache.getOrElseUpdate((s, dir),
       Similarity.pqCodebooks(emb(s, dir), m = PQ_M, k = PQ_K, iters = PQ_ITERS, dims = 64))
 
+  /** RESIDUAL PQ codebooks (FAISS IndexIVFPQ): same m/k/iters budget,
+    * but trained on x − c(list) against the TRAINED coarse quantizer —
+    * memoized per (session, dir) like the raw fit.
+    */
+  private val rpqCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Array[Array[Array[Double]]]]
+  private def rpqBooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] =
+    rpqCache.getOrElseUpdate((s, dir),
+      Similarity.residualPqCodebooks(emb(s, dir), trainedCents(s, dir),
+        m = PQ_M, k = PQ_K, iters = PQ_ITERS, dims = 64))
+
   /** The trained BPE merge list, collected once per (session, dir):
     * the encode and token-count queries both replay it, and training
     * is the expensive sequential part (one driver top-1 per round).
@@ -1108,9 +1119,12 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"))
       val ranges = quantRanges(s, dir)
       val codes = Similarity.quantizeInt8(e, ranges)
-      val cents = Array.tabulate(16)(Similarity.centroid(_, 64))
+      // TRAINED routing (r8 verdict #5): both legs now route on the
+      // k-means centroids, so the headline recall numbers measure the
+      // quantizer the production path would actually deploy
+      val cents = trainedCents(s, dir)
       recallPerQuery(truth,
-          Similarity.ivfTopK(e, q, k = 10, nlist = 16, nprobe = 4, dims = 64), "ivf_float")
+          Similarity.ivfTopKWith(e, q, cents, k = 10, nprobe = 4, dims = 64), "ivf_float")
         .unionAll(recallPerQuery(truth,
           Similarity.ivfTopKInt8(codes, q, cents, ranges, k = 10, nprobe = 4), "ivf_int8"))
     }),
@@ -1132,7 +1146,8 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"))
       val books = pqBooks(s, dir)
       val codes = Similarity.pqEncode(e, books)
-      val cents = Array.tabulate(16)(Similarity.centroid(_, 64))
+      // trained routing, as in q_ann_int8_recall (r8 verdict #5)
+      val cents = trainedCents(s, dir)
       recallPerQuery(truth, Similarity.pqTopK(codes, q, books, k = 10), "pq")
         .unionAll(recallPerQuery(truth,
           Similarity.ivfTopKPq(codes, q, cents, books, k = 10, nprobe = 4), "ivf_pq"))
@@ -1141,6 +1156,26 @@ object SparkEntry {
         // most of the ADC gap (the measured claim of this leg)
         .unionAll(recallPerQuery(truth,
           Similarity.pqRerank(e, codes, q, books, kCand = 50, k = 10), "pq_rerank"))
+    }),
+    "q_pq_residual_recall" -> ((s, dir) => {
+      // RESIDUAL IVF-PQ (FAISS IndexIVFPQ): codes encode x − c(list)
+      // against the trained coarse quantizer — same m×k budget as
+      // q_pq_recall's raw codes, routed on the STORED list, plus the
+      // exact-float refine stage on top. The ivf_rpq leg's recall vs
+      // q_pq_recall's ivf_pq leg is the measured value of residual
+      // encoding at identical bytes/vector
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") % 25 === 0)
+      val truth = Similarity.bruteForceTopK(e, q, k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val cents = trainedCents(s, dir)
+      val books = rpqBooks(s, dir)
+      val codes = Similarity.residualPqEncode(e, cents, books)
+      val ivf = Similarity.ivfTopKResidualPq(codes, q, cents, books, k = 10, nprobe = 4)
+      val cand = Similarity.ivfTopKResidualPq(codes, q, cents, books, k = 50, nprobe = 4)
+      recallPerQuery(truth, ivf, "ivf_rpq")
+        .unionAll(recallPerQuery(truth,
+          Similarity.rerankExact(e, cand, q, k = 10), "rpq_rerank"))
     }),
     "q_simhash_neardups" -> ((s, dir) =>
       Dedup.simhashNearDups(docs(s, dir))),
@@ -2522,6 +2557,7 @@ object SparkEntry {
     "q_ann_int8_recall" -> annInt8RecallSql,
     "q_pq_codes" -> pqCodesSql,
     "q_pq_recall" -> pqRecallSql,
+    "q_pq_residual_recall" -> residualPqRecallSql,
     "q_ivf_probe_sweep" -> ivfProbeSweepSql,
     "q_ann_plane_sweep" -> annPlaneSweepSql,
     "q_kmeans" -> kmeansSql,
@@ -4660,20 +4696,17 @@ object SparkEntry {
     * fuses encode∘decode per element (bit-equal to Spark's
     * codes-table decode: code+127.5 = clampedFloor+0.5 exactly), and
     * re-runs assignment/probing/scoring with the same deterministic
-    * orderings as `ivfTopkSql`. Corpus routing uses the DECODED
-    * vectors (the int8 index is self-contained); query probes use the
+    * orderings — routed on the TRAINED k-means centroids (the r9
+    * switch; the Lloyd chain is replayed in SQL as in
+    * `ivfTrainedSql`). Corpus routing uses the DECODED vectors (the
+    * int8 index is self-contained); query probes use the
     * full-precision embedding, as in the Spark plan.
     */
   private def ivfInt8TopkSql: String = {
-    val norms = (0 until 16).map { j =>
-      val c = graft.datapipe.Similarity.centroid(j, 64)
-      s"($j, ${OracleDsp.dlit(math.sqrt(c.map(x => x * x).sum))})"
-    }.mkString(", ")
-    val planes =
-      """list_transform(generate_series(0, 63), d ->
-        |             ('0x' || substr(md5('ivf:' || nrm.j || ':' || d), 1, 13))::BIGINT
-        |               / 4503599627370496.0 - 0.5)""".stripMargin
-    s"""WITH nrm(j, n) AS (VALUES $norms),
+    s"""WITH ${kmeansChainSql(k = 16, dims = 64, iters = 2)},
+       |nrm AS (
+       |  SELECT cluster AS j, cl, sqrt(list_dot_product(cl, cl)) AS n FROM c2
+       |),
        |dimstats AS (
        |  SELECT d, min(v) AS lo, max(v) AS hi
        |  FROM (SELECT unnest(embedding::DOUBLE[]) AS v,
@@ -4696,7 +4729,7 @@ object SparkEntry {
        |),
        |sc AS (
        |  SELECT dec.vec_id, nrm.j,
-       |         list_dot_product(dec.de, $planes) / nrm.n AS s
+       |         list_dot_product(dec.de, nrm.cl) / nrm.n AS s
        |  FROM dec, nrm
        |),
        |ranked AS (
@@ -4707,7 +4740,7 @@ object SparkEntry {
        |assign AS (SELECT vec_id, list FROM ranked WHERE pr = 1),
        |scq AS (
        |  SELECT e.vec_id, nrm.j,
-       |         list_dot_product(e.embedding::DOUBLE[], $planes) / nrm.n AS s
+       |         list_dot_product(e.embedding::DOUBLE[], nrm.cl) / nrm.n AS s
        |  FROM embeddings e, nrm WHERE e.vec_id % 25 = 0
        |),
        |rankedq AS (
@@ -4741,7 +4774,7 @@ object SparkEntry {
 
   private def annInt8RecallSql: String =
     s"""WITH truth AS (SELECT query_id, neighbor_id FROM ($cosineTopkSql)),
-       |ivf_float AS (SELECT query_id, neighbor_id FROM ($ivfTopkSql)),
+       |ivf_float AS (SELECT query_id, neighbor_id FROM ($ivfTrainedSql)),
        |ivf_int8 AS (SELECT query_id, neighbor_id FROM ($ivfInt8TopkSql))
        |${recallLegSql("ivf_float", "ivf_float")}
        |UNION ALL
@@ -4752,20 +4785,22 @@ object SparkEntry {
     * cluster)` — identical training to `Similarity.pqCodebooks`
     * (which delegates to `Clustering.kmeansCentroids` per slice).
     */
-  private def pqSubspaceChains(m: Int, sub: Int, k: Int, iters: Int): String =
+  private def pqSubspaceChains(m: Int, sub: Int, k: Int, iters: Int,
+                               src: String = "embeddings",
+                               pfx: String = "pq"): String =
     (0 until m).map { u =>
       val lo = u * sub + 1
       val hi = (u + 1) * sub
-      s"""pq${u}_src AS MATERIALIZED (
-         |  SELECT vec_id, embedding[$lo:$hi] AS embedding FROM embeddings
+      s"""$pfx${u}_src AS MATERIALIZED (
+         |  SELECT vec_id, embedding[$lo:$hi] AS embedding FROM $src
          |),
-         |${kmeansChainSql(k, sub, iters, src = s"pq${u}_src", prefix = s"pq${u}_")},
-         |pq${u}_fin AS MATERIALIZED (
+         |${kmeansChainSql(k, sub, iters, src = s"$pfx${u}_src", prefix = s"$pfx${u}_")},
+         |$pfx${u}_fin AS MATERIALIZED (
          |  SELECT vec_id, cluster FROM (
          |    SELECT e.vec_id, c.cluster,
          |           row_number() OVER (PARTITION BY e.vec_id
          |                              ORDER BY ${kmeansDistSql(sub)("e", "c")} ASC, c.cluster ASC) AS pr
-         |    FROM pq${u}_src e, pq${u}_c$iters c
+         |    FROM $pfx${u}_src e, $pfx${u}_c$iters c
          |  ) WHERE pr = 1
          |)""".stripMargin
     }.mkString(",\n")
@@ -4773,15 +4808,15 @@ object SparkEntry {
   /** PQ-codes replay: PQ_M sliced Lloyd fits + final assignments,
     * joined to one row per vector.
     */
-  private def pqJoinChain: String =
-    s"pq0_fin a0 " + (1 until PQ_M)
-      .map(u => s"JOIN pq${u}_fin a$u USING (vec_id)").mkString(" ")
+  private def pqJoinChain(pfx: String = "pq"): String =
+    s"${pfx}0_fin a0 " + (1 until PQ_M)
+      .map(u => s"JOIN $pfx${u}_fin a$u USING (vec_id)").mkString(" ")
 
   private def pqCodesSql: String =
     s"""WITH ${pqSubspaceChains(PQ_M, PQ_SUB, PQ_K, PQ_ITERS)}
        |SELECT a0.vec_id,
        |       ${(0 until PQ_M).map(u => s"a$u.cluster AS c$u").mkString(", ")}
-       |FROM $pqJoinChain""".stripMargin
+       |FROM ${pqJoinChain()}""".stripMargin
 
   /** PQ ADC-recall replay: corpus rows reconstructed blockwise from
     * their assigned sub-centroids, scored against the full-precision
@@ -4799,12 +4834,13 @@ object SparkEntry {
     val qDots = (0 until PQ_M)
       .map(u => s"list_dot_product(q.qe[${u * PQ_SUB + 1}:${(u + 1) * PQ_SUB}], c.cl$u)")
       .mkString("\n        + ")
-    s"""WITH ${pqSubspaceChains(PQ_M, PQ_SUB, PQ_K, PQ_ITERS)},
+    s"""WITH ${kmeansChainSql(k = 16, dims = 64, iters = 2)},
+       |${pqSubspaceChains(PQ_M, PQ_SUB, PQ_K, PQ_ITERS)},
        |corp AS (
        |  SELECT a0.vec_id,
        |         ${(0 until PQ_M).map(u => s"x$u.cl AS cl$u").mkString(", ")},
        |         sqrt($selfDots) AS cn
-       |  FROM $pqJoinChain
+       |  FROM ${pqJoinChain()}
        |  $centJoins
        |),
        |qq AS (
@@ -4860,21 +4896,15 @@ object SparkEntry {
     * oracle with the same md5 routing centroids.
     */
   private def ivfPqLegSql: String = {
-    val norms = (0 until 16).map { j =>
-      val c = graft.datapipe.Similarity.centroid(j, 64)
-      s"($j, ${OracleDsp.dlit(math.sqrt(c.map(x => x * x).sum))})"
-    }.mkString(", ")
-    val planes =
-      """list_transform(generate_series(0, 63), d ->
-        |             ('0x' || substr(md5('ivf:' || pnrm.j || ':' || d), 1, 13))::BIGINT
-        |               / 4503599627370496.0 - 0.5)""".stripMargin
     s"""corpde AS MATERIALIZED (
        |  SELECT vec_id, flatten([${(0 until PQ_M).map(u => s"cl$u").mkString(", ")}]) AS de
        |  FROM corp
        |),
-       |pnrm(j, n) AS (VALUES $norms),
+       |pnrm AS (
+       |  SELECT cluster AS j, cl, sqrt(list_dot_product(cl, cl)) AS n FROM c2
+       |),
        |psc AS (
-       |  SELECT c.vec_id, pnrm.j, list_dot_product(c.de, $planes) / pnrm.n AS s
+       |  SELECT c.vec_id, pnrm.j, list_dot_product(c.de, pnrm.cl) / pnrm.n AS s
        |  FROM corpde c, pnrm
        |),
        |passign AS (
@@ -4886,7 +4916,7 @@ object SparkEntry {
        |),
        |pscq AS (
        |  SELECT e.vec_id, pnrm.j,
-       |         list_dot_product(e.embedding::DOUBLE[], $planes) / pnrm.n AS s
+       |         list_dot_product(e.embedding::DOUBLE[], pnrm.cl) / pnrm.n AS s
        |  FROM embeddings e, pnrm WHERE e.vec_id % 25 = 0
        |),
        |pprobes AS (
@@ -4916,6 +4946,96 @@ object SparkEntry {
        |  FROM pscored
        |),
        |ivf_pq AS (SELECT query_id, neighbor_id FROM prk WHERE rank <= 10)""".stripMargin
+  }
+
+  /** Residual-IVF-PQ replay: the trained coarse chain assigns every
+    * vector to its NEAREST centroid (d2 ASC, j ASC — the same L2
+    * rule the Lloyd assignment uses; residual encoding is vs the
+    * nearest centroid, FAISS IndexIVFPQ semantics), the residual
+    * table is one exact elementwise subtraction, the PQ sub-chains
+    * retrain on the residual slices (src = res, prefix rpq),
+    * reconstruction adds the coarse centroid back, routing joins on
+    * the STORED assignment with L2 query probes, and the rerank leg
+    * refines the top-50 candidates against the float corpus — each
+    * step the same deterministic arithmetic the Spark plan computes.
+    */
+  private def residualPqRecallSql: String = {
+    val centJoins = (0 until PQ_M)
+      .map(u => s"JOIN rpq${u}_c$PQ_ITERS x$u ON x$u.cluster = a$u.cluster")
+      .mkString("\n  ")
+    s"""WITH ${kmeansChainSql(k = 16, dims = 64, iters = 2)},
+       |cent AS (SELECT cluster AS j, cl FROM c2),
+       |csc AS (
+       |  SELECT e.vec_id, c.cluster AS j, ${kmeansDistSql(64)("e", "c")} AS d2
+       |  FROM embeddings e, c2 c
+       |),
+       |cranked AS (
+       |  SELECT vec_id, j AS list,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, j ASC) AS pr
+       |  FROM csc
+       |),
+       |rassign AS (SELECT vec_id, list FROM cranked WHERE pr = 1),
+       |res AS MATERIALIZED (
+       |  SELECT e.vec_id, a.list,
+       |         list_transform(generate_series(1, 64),
+       |                        i -> e.embedding[i]::DOUBLE - c.cl[i]) AS embedding
+       |  FROM embeddings e JOIN rassign a USING (vec_id) JOIN cent c ON c.j = a.list
+       |),
+       |${pqSubspaceChains(PQ_M, PQ_SUB, PQ_K, PQ_ITERS, src = "res", pfx = "rpq")},
+       |corp AS MATERIALIZED (
+       |  SELECT a0.vec_id, r.list,
+       |         list_transform(generate_series(1, 64), i ->
+       |           c.cl[i] + flatten([${(0 until PQ_M).map(u => s"x$u.cl").mkString(", ")}])[i]) AS de
+       |  FROM ${pqJoinChain("rpq")}
+       |  $centJoins
+       |  JOIN rassign r ON r.vec_id = a0.vec_id
+       |  JOIN cent c ON c.j = r.list
+       |),
+       |probes AS (SELECT vec_id, list FROM cranked WHERE pr <= 4 AND vec_id % 25 = 0),
+       |q AS (
+       |  SELECT e.vec_id AS query_id, e.embedding::DOUBLE[] AS qe, p.list
+       |  FROM embeddings e JOIN probes p ON e.vec_id = p.vec_id
+       |),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |         list_dot_product(q.qe, c.de) /
+       |           (sqrt(list_dot_product(q.qe, q.qe)) *
+       |            sqrt(list_dot_product(c.de, c.de))) AS cos
+       |  FROM corp c JOIN q ON q.list = c.list AND q.query_id != c.vec_id
+       |),
+       |rk AS (
+       |  SELECT query_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS rank
+       |  FROM scored
+       |),
+       |ivf_rpq AS (SELECT query_id, neighbor_id FROM rk WHERE rank <= 10),
+       |cand50 AS (SELECT query_id, neighbor_id FROM rk WHERE rank <= 50),
+       |fl AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS fe,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS fn
+       |  FROM embeddings
+       |),
+       |qq AS (
+       |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn
+       |  FROM embeddings WHERE vec_id % 25 = 0
+       |),
+       |rr AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT cd.query_id, cd.neighbor_id,
+       |           row_number() OVER (PARTITION BY cd.query_id
+       |             ORDER BY round(list_dot_product(q.qe, f.fe) / (q.qn * f.fn), 6) DESC,
+       |                      cd.neighbor_id ASC) AS rank
+       |    FROM cand50 cd
+       |    JOIN fl f ON f.vec_id = cd.neighbor_id
+       |    JOIN qq q ON q.query_id = cd.query_id)
+       |  WHERE rank <= 10
+       |),
+       |truth AS (SELECT query_id, neighbor_id FROM ($cosineTopkSql))
+       |${recallLegSql("ivf_rpq", "ivf_rpq")}
+       |UNION ALL
+       |${recallLegSql("rr", "rpq_rerank")}""".stripMargin
   }
 
   private def cosineTopkSql: String =

@@ -770,19 +770,33 @@ object Similarity {
   // doubles as the routing key, so the index stays self-contained.
   // ------------------------------------------------------------------
 
+  /** Per-vector squared L2 distance to each centroid as (d2, list)
+    * structs — the assignment geometry residual encoding requires:
+    * the encoded residual is vs the NEAREST centroid (FAISS IndexIVFPQ
+    * semantics; a best-COSINE centroid can be L2-far, which measurably
+    * inflates residual variance — r9 A/B at sf0.1: reconstruction MSE
+    * 0.69 under cosine assignment vs 0.53 under L2, and recall@10
+    * 0.117 vs 0.174). Identical distance rule to `Clustering`'s Lloyd
+    * assignment, ties to the SMALLER list id.
+    */
+  private def ivfL2For(cents: Array[Array[Double]], v: Column): Column =
+    array(cents.zipWithIndex.map { case (c, j) =>
+      struct(aggregate(zip_with(v, typedLit(c), (x, p) => (x - p) * (x - p)),
+        lit(0.0), (acc, x) => acc + x).as("d2"), lit(j).as("list"))
+    }: _*)
+
   /** (vec_id, list, embedding=residual): coarse-assign each vector to
-    * its best-cosine centroid (same argmax/tie rule as the IVF
-    * search) and subtract that centroid elementwise. Pure map-side —
-    * centroids ride as one 2-D plan literal.
+    * its NEAREST (L2) centroid and subtract it elementwise. Pure
+    * map-side — centroids ride as one 2-D plan literal.
     */
   def residualTable(vectors: DataFrame, centroids: Array[Array[Double]],
                     dims: Int): DataFrame = {
     require(centroids.forall(_.length == dims), s"centroid dims must all be $dims")
-    val scores = ivfScoresFor(centroids, emb(col("embedding")))
+    val dists = ivfL2For(centroids, emb(col("embedding")))
     val centsLit = typedLit(centroids.map(_.toSeq).toSeq)
     vectors
       .select(col("vec_id"), col("embedding").cast("array<double>").as("xe"),
-        element_at(reverse(array_sort(scores)), 1).getField("list").as("list"))
+        element_at(array_sort(dists), 1).getField("list").as("list"))
       .select(col("vec_id"), col("list"),
         zip_with(col("xe"), element_at(centsLit, col("list") + 1),
           (x, c) => x - c).as("embedding"))
@@ -814,8 +828,9 @@ object Similarity {
     * literals indexed by stored columns, one map-side projection.
     * Routing uses the STORED list (the true coarse assignment — no
     * re-derivation from the lossy reconstruction, unlike the
-    * raw-codes path), queries probe their nprobe best lists, scoring
-    * is asymmetric exact-query × reconstruction cosine.
+    * raw-codes path), queries probe their nprobe NEAREST (L2)
+    * centroids (the same geometry the index was assigned with),
+    * scoring is asymmetric exact-query × reconstruction cosine.
     */
   def ivfTopKResidualPq(codes: DataFrame, queries: DataFrame,
                         centroids: Array[Array[Double]],
@@ -830,11 +845,11 @@ object Similarity {
     val c = codes.select(col("vec_id").as("neighbor_id"), col("list"), de.as("de"))
       .select(col("neighbor_id"), col("list"), col("de"),
         sqrt(dot(col("de"), col("de"))).as("cn"))
-    val qScores = ivfScoresFor(centroids, col("qe"))
+    val qDists = ivfL2For(centroids, col("qe"))
     val q = queries.select(col("vec_id").as("query_id"),
         col("embedding").cast("array<double>").as("qe"))
       .select(col("query_id"), col("qe"), sqrt(dot(col("qe"), col("qe"))).as("qn"),
-        posexplode(slice(reverse(array_sort(qScores)), 1, nprobe)))
+        posexplode(slice(array_sort(qDists), 1, nprobe)))
       .select(col("query_id"), col("qe"), col("qn"), col("col.list").as("list"))
     val scored = c.join(broadcast(q), "list")
       .filter(col("query_id") =!= col("neighbor_id"))
