@@ -612,6 +612,25 @@ object SparkEntry {
       Channels.rawEvents(s, dir).groupBy(col("event_type").as("channel"))
         .agg(min("us").as("start_us"))),
     "q_between" -> ((s, dir) => Signal(ev(s, dir)).between(1.0e5, 2.0e6).df),
+    "q_timeshift_between" -> ((s, dir) => {
+      // between AFTER timeshift: the PushShiftedTimeBounds optimizer
+      // rule (graft.plans.GraftRules) derives conservative raw-t
+      // bounds that reach the scan's PushedFilters — plan-asserted in
+      // Round9Spec — while the exact shifted predicate stays in place,
+      // so values are bit-identical with or without the rule
+      graft.plans.GraftRules.ensure(s)
+      Signal(ev(s, dir)).timeshift(3600.0).between(1.0e5, 2.0e6).df
+    }),
+    "k_iir_fused" -> ((s, dir) => {
+      // two cascaded Butterworth lowpasses declared as PLAN NODES
+      // (Signal.lfilter → graft.plans.IirFilter): FuseIirFilters
+      // convolves the transfer polynomials so ONE PerChannel kernel
+      // pass runs the order-4 cascade (plan-asserted in Round9Spec);
+      // the oracle replays the FUSED recurrence
+      val (b1, a1) = graft.dsp.FilterDesign.butter(2, 0.25, "lowpass")
+      val (b2, a2) = graft.dsp.FilterDesign.butter(2, 0.5, "lowpass")
+      Signal(evUniform(s, dir)).lfilter(b1, a1).lfilter(b2, a2).df
+    }),
     "q_get_channel" -> ((s, dir) => Channels.getChannel(ev(s, dir), "click").df),
     "q_abs_window" -> ((s, dir) => {
       // absolute-time ingestion: the predicate reaches the parquet scan
@@ -2080,6 +2099,17 @@ object SparkEntry {
       "SELECT event_type AS channel, min(epoch_us(ts)) AS start_us FROM events GROUP BY event_type",
     "q_between" ->
       s"WITH $SRC SELECT channel, t, v FROM src WHERE t >= 100000.0 AND t <= 2000000.0",
+    "q_timeshift_between" ->
+      s"""WITH $SRC
+         |SELECT channel, t, v FROM (SELECT channel, t + 3600.0 AS t, v FROM src)
+         |WHERE t >= 100000.0 AND t <= 2000000.0""".stripMargin,
+    "k_iir_fused" -> {
+      val (b1, a1) = graft.dsp.FilterDesign.butter(2, 0.25, "lowpass")
+      val (b2, a2) = graft.dsp.FilterDesign.butter(2, 0.5, "lowpass")
+      OracleDsp.lfilterUniformSql(uniformSql(3600.0),
+        graft.plans.GraftRules.convolve(b1.toSeq, b2.toSeq).toArray,
+        graft.plans.GraftRules.convolve(a1.toSeq, a2.toSeq).toArray)
+    },
     "q_get_channel" ->
       s"WITH $SRC SELECT channel, t, v FROM src WHERE channel = 'click'",
     "q_abs_window" ->

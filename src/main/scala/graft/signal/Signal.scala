@@ -40,6 +40,30 @@ final case class Signal(df: DataFrame, name: String = "signal", unit: String = "
   def timeshift(offset: Double): Signal =
     rebuild(df.select(col("channel"), (col("t") + lit(offset)).as("t"), col("v")))
 
+  /** Single-pass IIR filter with explicit (b, a) coefficients,
+    * declared as a LOGICAL PLAN NODE ([[graft.plans.IirFilter]])
+    * rather than eagerly lowered: chained calls fuse into one kernel
+    * pass via `GraftRules.FuseIirFilters` (coefficient-polynomial
+    * convolution — SURVEY §4's candidate rule), then lower through
+    * the PerChannel secondary-sort harness. The rules self-install on
+    * the session (idempotent).
+    */
+  def lfilter(b: Array[Double], a: Array[Double]): Signal = {
+    import org.apache.spark.sql.GraftSqlBridge
+    graft.plans.GraftRules.ensure(df.sparkSession)
+    // chain directly on a prior lfilter's node (no interposed Project,
+    // so adjacent nodes stay adjacent for the fusion rule); normalize
+    // the frame only when entering from an arbitrary DataFrame
+    val child =
+      if (GraftSqlBridge.logicalPlan(df).isInstanceOf[graft.plans.IirFilter])
+        GraftSqlBridge.logicalPlan(df)
+      else GraftSqlBridge.logicalPlan(
+        df.select(col("channel"), col("t").cast("double").as("t"),
+          col("v").cast("double").as("v")))
+    Signal(GraftSqlBridge.dataFrame(df.sparkSession,
+      graft.plans.IirFilter(b.toSeq, a.toSeq, child)), name, unit, origin)
+  }
+
   /** Mean over duplicate time values (`extension.py:394-408`). The
     * reference then drops the index entirely (its line 408 quirk); we
     * keep `(channel, t)` — documented divergence (SURVEY §2.5).

@@ -144,6 +144,62 @@ class Round9Spec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("chained lfilters fuse into ONE kernel pass with convolved coefficients") {
+    import graft.signal.Signal
+    import graft.plans.GraftRules
+    val (b1, a1) = graft.dsp.FilterDesign.butter(2, 0.25, "lowpass")
+    val (b2, a2) = graft.dsp.FilterDesign.butter(2, 0.5, "lowpass")
+    import spark.implicits._
+    val df = (0 until 256).map(i => ("c1", i.toDouble, math.sin(i * 0.3)))
+      .toDF("channel", "t", "v")
+    val chained = Signal(df).lfilter(b1, a1).lfilter(b2, a2).df
+    val opt = chained.queryExecution.optimizedPlan
+    // the fusion rule must leave no IirFilter node and lower to
+    // exactly ONE typed kernel (MapPartitions) for the whole cascade
+    assert(opt.collect { case f: graft.plans.IirFilter => f }.isEmpty)
+    assert(opt.collect {
+      case m: org.apache.spark.sql.catalyst.plans.logical.MapPartitions => m
+    }.size === 1)
+    // and the values must equal a single filter with the convolved
+    // transfer polynomials (the fused plan IS that filter)
+    val bf = GraftRules.convolve(b1.toSeq, b2.toSeq).toArray
+    val af = GraftRules.convolve(a1.toSeq, a2.toSeq).toArray
+    val direct = Signal(df).lfilter(bf, af).df
+    val cv = chained.orderBy("t").collect().map(_.getDouble(2))
+    val dv = direct.orderBy("t").collect().map(_.getDouble(2))
+    assert(cv.sameElements(dv))
+    // fused == cascade in exact arithmetic; float divergence stays at
+    // recurrence-roundoff level
+    val cascade = Signal(Signal(df).lfilter(b1, a1).df).lfilter(b2, a2).df
+      .orderBy("t").collect().map(_.getDouble(2))
+    cv.zip(cascade).foreach { case (x, y) =>
+      assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(y))) }
+  }
+
+  test("between after timeshift derives scan-pushable raw-t bounds, values unchanged") {
+    import graft.signal.Signal
+    graft.plans.GraftRules.ensure(spark)
+    val dir = java.nio.file.Files.createTempDirectory("r9push").toFile
+    import spark.implicits._
+    (0 until 1000).map(i => ("c1", i.toDouble, i * 0.5))
+      .toDF("channel", "t", "v").write.mode("overwrite")
+      .parquet(dir.getAbsolutePath)
+    val read = spark.read.parquet(dir.getAbsolutePath)
+    val out = Signal(read).timeshift(0.5).between(100.0, 200.0).df
+    val scans = out.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val pushed = scans.head.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(t,"), s"no lower bound pushed: $pushed")
+    assert(pushed.contains("LessThanOrEqual(t,"), s"no upper bound pushed: $pushed")
+    // values: exactly the rows the unpushed shifted predicate admits
+    val got = out.collect().map(r => (r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    val expect = (0 until 1000).map(i => (i.toDouble + 0.5, i * 0.5))
+      .filter { case (t, _) => t >= 100.0 && t <= 200.0 }.toArray
+    assert(got.sameElements(expect))
+  }
+
   test("Bloom sizeFor is Long-safe for blocklist-scale n") {
     import graft.functions.Bloom
     // pre-r9 this truncated to a negative/zero Int at n >= ~215M
