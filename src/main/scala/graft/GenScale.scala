@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic scale-up fixture generator: clone-with-reseed of an
+  * existing sf directory (TESTDATA.md schema contract) at `factor`×
+  * the rows — the substrate for the scale-ladder proof (per-query
+  * scaling exponents between sf0.1 and sf1).
+  *
+  * Reseed rules (all pure column expressions — rerunning produces
+  * byte-identical data):
+  *  - dimension tables region/nation copy as-is (dimensions don't
+  *    grow with fact volume);
+  *  - every other table's keys shift by `clone * KEY_STRIDE` with
+  *    foreign keys remapped consistently, so join fanout per key is
+  *    UNCHANGED (the per-key work a 10x cluster would see);
+  *  - events timestamps shift by clone * (span + 1h): each channel
+  *    becomes a 10x-longer time series — the realistic growth axis
+  *    for the sequential signal kernels — and user_ids shift so
+  *    sessionization sees 10x users;
+  *  - document text is RESEEDED (every 5th word rewritten per clone),
+  *    so clones are NOT near-duplicates of their source — corpus-wide
+  *    dup density stays comparable to the source instead of every doc
+  *    gaining factor-1 planted clones;
+  *  - embeddings cyclically rotate dimensions per clone (norms and
+  *    per-dim distributions preserved, clones decorrelated).
+  */
+object GenScale {
+
+  val KEY_STRIDE = 10000000L
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val dst = if (args.length > 1) args(1) else "fixtures/sf1"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    generate(spark, src, dst, factor)
+    spark.stop()
+  }
+
+  def generate(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
+    def rd(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    def wr(df: DataFrame, t: String): Unit = {
+      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      System.err.println(s"[genscale] $t: ${spark.read.parquet(s"$dst/$t.parquet").count()} rows")
+    }
+    // one row per clone id — crossJoin fans every source row out
+    val clones = spark.range(factor).select(col("id").cast("int").as("clone"))
+    def cloned(df: DataFrame): DataFrame = df.crossJoin(broadcast(clones))
+    val off = col("clone").cast("long") * KEY_STRIDE
+
+    wr(rd("region"), "region")
+    wr(rd("nation"), "nation")
+
+    wr(cloned(rd("customer")).select(
+      (col("c_custkey") + off).as("c_custkey"),
+      concat(col("c_name"), lit("#"), col("clone")).as("c_name"),
+      col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")), "customer")
+
+    wr(cloned(rd("supplier")).select(
+      (col("s_suppkey") + off).as("s_suppkey"),
+      concat(col("s_name"), lit("#"), col("clone")).as("s_name"),
+      col("s_nationkey"), col("s_acctbal")), "supplier")
+
+    wr(cloned(rd("part")).select(
+      (col("p_partkey") + off).as("p_partkey"),
+      concat(col("p_name"), lit("#"), col("clone")).as("p_name"),
+      col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice")), "part")
+
+    wr(cloned(rd("orders")).select(
+      (col("o_orderkey") + off).as("o_orderkey"),
+      (col("o_custkey") + off).as("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+      col("o_orderpriority")), "orders")
+
+    wr(cloned(rd("lineitem")).select(
+      (col("l_orderkey") + off).as("l_orderkey"),
+      (col("l_partkey") + off).as("l_partkey"),
+      (col("l_suppkey") + off).as("l_suppkey"),
+      col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+      col("l_discount"), col("l_tax"), col("l_returnflag"), col("l_linestatus"),
+      col("l_shipdate")), "lineitem")
+
+    // channel time axis grows factor-x: shift each clone past the
+    // source span (+1h guard so no duplicate timestamps across clones)
+    val ev = rd("events")
+    val Array(spanRow) = ev.agg(
+      (max(col("ts").cast("timestamp")).cast("long") -
+        min(col("ts").cast("timestamp")).cast("long") + 3600L).as("span")).collect()
+    val spanSec = spanRow.getLong(0)
+    wr(cloned(ev).select(
+      (col("event_id") + off).as("event_id"),
+      (col("ts").cast("timestamp") +
+        make_dt_interval(lit(0), lit(0), lit(0),
+          col("clone").cast("long") * spanSec)).cast(ev.schema("ts").dataType).as("ts"),
+      (col("user_id") + off).as("user_id"),
+      col("event_type"), col("value"), col("props")), "events")
+
+    // reseed: every 5th word (phase keyed on doc_id) rewritten per
+    // clone — shingle sets diverge far below the LSH threshold, so a
+    // clone is corpus growth, not a planted near-duplicate
+    val reseeded = expr(
+      """concat_ws(' ', transform(split(text, ' '),
+        |  (w, j) -> CASE WHEN clone > 0 AND pmod(j + doc_id, 5) = 0
+        |                 THEN concat('x', clone, w) ELSE w END))""".stripMargin)
+    wr(cloned(rd("documents")).select(
+      (col("doc_id") + off).as("doc_id"),
+      when(col("text").isNull, lit(null).cast("string"))
+        .otherwise(reseeded).as("text"),
+      col("lang"), col("source"), col("n_chars")), "documents")
+
+    // cyclic dimension rotation per clone: norm- and distribution-
+    // preserving, decorrelates clones from their source vector
+    wr(cloned(rd("embeddings")).select(
+      (col("vec_id") + off).as("vec_id"),
+      expr("""transform(sequence(0, size(embedding) - 1),
+             |  d -> element_at(embedding, int(pmod(d + clone, size(embedding))) + 1))
+             |""".stripMargin).cast("array<float>").as("embedding"),
+      col("label")), "embeddings")
+  }
+}

@@ -1266,6 +1266,17 @@ object SparkEntry {
       // byte stream — the image near-dup signature, with the stub
       // decode being the identity on bytes
       Multimodal.perceptualHash(Multimodal.syntheticMedia(docs(s, dir)))),
+    "q_media_pixel_phash" -> ((s, dir) =>
+      // REAL image pipeline (r9): a corpus of actual PNG bytes encoded
+      // from a deterministic luma pattern, decoded back through
+      // javax.imageio in a partition-batched kernel, aHash computed
+      // over the DECODED pixels (13x4 cell grid, exact integer
+      // compares). PNG is lossless, so the oracle replays the pattern
+      // math while Spark runs the real codec roundtrip. Ids = 9 mod 10
+      // are brightness-shifted re-encodes of id-1: different PNG byte
+      // stream, IDENTICAL pixel aHash (asserted in Round9Spec, where
+      // the byte-level hash provably misses the pair)
+      Multimodal.pixelPhash(Multimodal.syntheticPngs(docs(s, dir)))),
     "q_media_neardups" -> ((s, dir) => {
       // media near-dup detection: perceptual hashes through the SAME
       // banded-hamming machinery as SimHash (the near-dup tail is
@@ -2571,6 +2582,7 @@ object SparkEntry {
     "q_simhash" -> simhashSql,
     "q_simhash_neardups" -> simhashNearDupsSql,
     "q_media_phash" -> mediaPhashSql,
+    "q_media_pixel_phash" -> mediaPixelPhashSql,
     "q_media_neardups" -> mediaNearDupsSql,
     // admission twin: bounded stream ≡ batch on the hashable universe
     "q_stream_phash" -> mediaNearDupsStreamSql,
@@ -3984,6 +3996,35 @@ object SparkEntry {
 
   private def mediaPhashSql: String =
     s"WITH $PHASH_CTE SELECT media_id, phash FROM ph"
+
+  /** Pixel-aHash replay: the PNG fixture's deterministic luma pattern
+    * recomputed directly (PNG is lossless, so decoded pixels ==
+    * pattern — the roundtrip identity is unit-asserted on the Spark
+    * side), cells on the 13×4 integer-area grid, bit = exact
+    * cross-multiplied mean compare, hash assembled with integer
+    * shifts. Every intermediate is BIGINT.
+    */
+  private def mediaPixelPhashSql: String =
+    s"""WITH ids AS (
+       |  SELECT doc_id AS media_id,
+       |         CASE WHEN doc_id % 10 = 9 THEN doc_id - 1 ELSE doc_id END AS seed,
+       |         CASE WHEN doc_id % 10 = 9 THEN 8 ELSE 0 END AS delta
+       |  FROM documents),
+       |px AS (
+       |  SELECT media_id, (y // 8) * 13 + (x // 4) AS cell,
+       |         ((seed * 7919 + (y * 52 + x) * 104729) % 200) + delta AS l
+       |  FROM ids,
+       |       (SELECT unnest(generate_series(0, 51)) AS x),
+       |       (SELECT unnest(generate_series(0, 31)) AS y)),
+       |cells AS (
+       |  SELECT media_id, cell, sum(l) AS cs, count(*) AS cn
+       |  FROM px GROUP BY media_id, cell),
+       |tot AS (SELECT media_id, sum(cs) AS ts, sum(cn) AS tn FROM cells GROUP BY media_id)
+       |SELECT c.media_id, CAST(52 AS INT) AS width, CAST(32 AS INT) AS height,
+       |       CAST(sum(CASE WHEN c.cs * t.tn > t.ts * c.cn
+       |                     THEN (CAST(1 AS BIGINT) << c.cell) ELSE 0 END) AS BIGINT) AS phash
+       |FROM cells c JOIN tot t USING (media_id)
+       |GROUP BY c.media_id""".stripMargin
 
   /** Banded-hamming near-dups over the perceptual hashes — the
     * simhashNearDupsSql machinery verbatim, keyed on phash.

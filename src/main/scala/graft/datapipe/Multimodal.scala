@@ -9,11 +9,13 @@ import org.apache.spark.sql.functions._
   * executor task streams many records through a vectorizable decode
   * function without per-row UDF overhead.
   *
-  * The actual codec step is STUBBED (no image/audio libraries in this
-  * environment): `decodeStub` derives deterministic fake
-  * width/height/frames from the byte content. The Spark-side contract
-  * — schema, binary transport, partition-batched execution, feature
-  * array output — is real and tested.
+  * Decode reality (r9): AUDIO parses real RIFF/WAVE headers; IMAGE
+  * decodes real PNG/BMP/JPEG via the JDK-built-in javax.imageio
+  * (`decodeImage`, `pixelPhash` — the pixel-level aHash the byte
+  * fallback approximates); only VIDEO remains a deterministic stub
+  * (no container parser in the JDK). The Spark-side contract —
+  * schema, binary transport, partition-batched execution, feature
+  * array output — is real and tested end-to-end on generated PNGs.
   */
 object Multimodal {
 
@@ -52,6 +54,17 @@ object Multimodal {
     if (rec.kind == "audio") wavInfo(rec.bytes) match {
       case Some((sr, nCh, frames)) =>
         return MediaFeatures(rec.media_id, rec.kind, n, sr, nCh, frames,
+          histogram(rec.bytes))
+      case None => ()
+    }
+    // image decode is REAL since r9 (javax.imageio): a payload that
+    // actually parses as an image reports its true dimensions. The
+    // synthetic text-byte fixtures never parse, so their oracle
+    // replays the stub branch unchanged; the video stub is the only
+    // remaining fake decode.
+    if (rec.kind == "image") decodeImage(rec.bytes) match {
+      case Some((w, h, _)) =>
+        return MediaFeatures(rec.media_id, rec.kind, n, w, h, 1,
           histogram(rec.bytes))
       case None => ()
     }
@@ -128,6 +141,152 @@ object Multimodal {
       .agg(sum(when(col("s") * col("tc") > col("ts") * col("c"),
           pow(lit(2.0), col("seg"))).otherwise(lit(0.0)))
         .cast("long").as("phash"))
+  }
+
+  // ------------------------------------------------------------------
+  // REAL image decode (r9): javax.imageio is JDK-built-in — PNG/BMP/
+  // JPEG decode needs no external codec library. The image fixture is
+  // GENERATED as real PNG bytes from a deterministic integer luma
+  // pattern, so the Spark side exercises the actual encode → PNG →
+  // decode roundtrip while the DuckDB oracle replays the pure pattern
+  // math (PNG is lossless; the roundtrip is the identity on pixels —
+  // unit-asserted). The video stub remains the only fake decode.
+  // ------------------------------------------------------------------
+
+  val ImgW = 52
+  val ImgH = 32
+
+  /** Content seed + brightness shift per media id: ids ≡ 9 (mod 10)
+    * are BRIGHTNESS-SHIFTED RE-ENCODES of id−1's content — same
+    * pattern, +8 luma, a different PNG byte stream. Byte-level aHash
+    * misses the pair (compressed streams are unrelated); pixel-level
+    * aHash catches it exactly (a uniform shift moves every cell mean
+    * and the global mean together, so every bit is unchanged).
+    */
+  def contentSeed(id: Long): Long = if (id % 10 == 9) id - 1 else id
+  def brightShift(id: Long): Int = if (id % 10 == 9) 8 else 0
+
+  /** Deterministic 8-bit luma at (x, y) — exact integer arithmetic,
+    * replayed verbatim by the SQL oracle.
+    */
+  def lumaAt(id: Long, x: Int, y: Int): Int =
+    (((contentSeed(id) * 7919L + (y.toLong * ImgW + x) * 104729L) % 200L)
+      + brightShift(id)).toInt
+
+  /** REAL PNG encode of the deterministic pattern (BufferedImage →
+    * ImageIO): the bytes column holds an actual decodable image.
+    */
+  def encodePng(id: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(ImgW, ImgH,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    var y = 0
+    while (y < ImgH) {
+      var x = 0
+      while (x < ImgW) { r.setSample(x, y, 0, lumaAt(id, x, y)); x += 1 }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Synthetic PNG corpus keyed by the documents fixture's ids:
+    * (media_id, kind='image', bytes=real PNG), encoded in a
+    * partition-batched kernel.
+    */
+  def syntheticPngs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map(id => (id, "image", encodePng(id))))
+      .toDF("media_id", "kind", "bytes")
+  }
+
+  /** REAL image decode: ImageIO sniffs the container (PNG/BMP/JPEG/
+    * GIF), returns (width, height, row-major 8-bit luma). Grayscale
+    * rasters read band 0 directly; color images reduce via integer
+    * BT.601 weights. None when the payload is not a decodable image.
+    */
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val r = img.getRaster
+        val luma = new Array[Int](w * h)
+        val gray = r.getNumBands == 1
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            luma(y * w + x) =
+              if (gray) r.getSample(x, y, 0)
+              else {
+                val rgb = img.getRGB(x, y)
+                (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+                  114 * (rgb & 0xff)) / 1000
+              }
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, luma))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The aHash over DECODED luma — the actual perceptual-hash
+    * definition (downsample to a 13×4 cell grid = 52 bits, bit set
+    * iff the cell mean exceeds the global mean), all comparisons
+    * exact cross-multiplied integers. Cell boundaries use integer
+    * area mapping (cx = x·13/w), exact for any dimensions.
+    */
+  def pixelAHash52(w: Int, h: Int, luma: Array[Int]): Long = {
+    val cellSum = new Array[Long](52)
+    val cellCnt = new Array[Long](52)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      val cy = y * 4 / h
+      var x = 0
+      while (x < w) {
+        val cell = cy * 13 + x * 13 / w
+        val l = luma(y * w + x)
+        cellSum(cell) += l
+        cellCnt(cell) += 1
+        total += l
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    var hash = 0L
+    var j = 0
+    while (j < 52) {
+      if (cellCnt(j) > 0 && cellSum(j) * n > total * cellCnt(j)) hash |= (1L << j)
+      j += 1
+    }
+    hash
+  }
+
+  case class PixelHash(media_id: Long, width: Int, height: Int, phash: Long)
+
+  /** Decode + pixel-aHash in one partition-batched kernel over a
+    * (media_id, bytes) table of real images; undecodable payloads are
+    * dropped (the byte-level `perceptualHash` is the opaque-payload
+    * fallback).
+    */
+  def pixelPhash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeImage(bytes).map { case (w, h, luma) =>
+          PixelHash(id, w, h, pixelAHash52(w, h, luma)) }
+      })
+      .toDF()
   }
 
   /** Parse a RIFF/WAVE byte payload: Some((sampleRate, nChannels,

@@ -200,6 +200,53 @@ class Round9Spec extends AnyFunSuite {
     assert(got.sameElements(expect))
   }
 
+  test("PNG encode -> javax.imageio decode roundtrips the exact luma pattern") {
+    import graft.datapipe.Multimodal
+    val id = 42L
+    val bytes = Multimodal.encodePng(id)
+    // real PNG container
+    assert((bytes(0) & 0xff) === 0x89 && bytes(1) === 'P'.toByte &&
+      bytes(2) === 'N'.toByte && bytes(3) === 'G'.toByte)
+    val Some((w, h, luma)) = Multimodal.decodeImage(bytes)
+    assert(w === Multimodal.ImgW && h === Multimodal.ImgH)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(luma(y * w + x) === Multimodal.lumaAt(id, x, y))
+  }
+
+  test("brightness-shifted re-encode: byte aHash misses the pair, pixel aHash catches it") {
+    import graft.datapipe.Multimodal
+    import graft.functions.PerceptualHash
+    val a = Multimodal.encodePng(8L)  // original
+    val b = Multimodal.encodePng(9L)  // 9 = 8's content, +8 luma, re-encoded
+    assert(!java.util.Arrays.equals(a, b)) // different PNG byte streams
+    // byte-level aHash over the compressed streams: unrelated values
+    assert(PerceptualHash.compute(a) !== PerceptualHash.compute(b))
+    // pixel-level aHash over the DECODED images: identical (a uniform
+    // brightness shift moves every cell mean and the global mean
+    // together)
+    def pix(bytes: Array[Byte]): Long = {
+      val Some((w, h, l)) = Multimodal.decodeImage(bytes)
+      Multimodal.pixelAHash52(w, h, l)
+    }
+    assert(pix(a) === pix(b))
+    // and a genuinely different image hashes differently
+    assert(pix(a) !== pix(Multimodal.encodePng(12L)))
+  }
+
+  test("decodeImage handles color rasters and rejects non-images") {
+    import graft.datapipe.Multimodal
+    val img = new java.awt.image.BufferedImage(10, 6,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 6; x <- 0 until 10) img.setRGB(x, y, (x * 20) << 16 | (y * 30) << 8 | 40)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val Some((w, h, luma)) = Multimodal.decodeImage(baos.toByteArray)
+    assert(w === 10 && h === 6)
+    // BT.601 integer luma of pixel (2, 1): r=40 g=30 b=40
+    assert(luma(1 * 10 + 2) === (299 * 40 + 587 * 30 + 114 * 40) / 1000)
+    assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
+  }
+
   test("Bloom sizeFor is Long-safe for blocklist-scale n") {
     import graft.functions.Bloom
     // pre-r9 this truncated to a negative/zero Int at n >= ~215M
