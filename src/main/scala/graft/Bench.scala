@@ -40,8 +40,13 @@ object Bench {
     // failures are logged but not recorded: a transient warmup flake
     // whose timed runs both succeed is a success, not a crash.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // SPARK_GRAFT_ONLY: comma-separated query subset (the scale-ladder
+    // harness benches the top-N expensive queries at two SFs)
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val benchQueries = SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }
     def sweep(label: String, record: Boolean): Map[String, Double] =
-      SparkEntry.queries.map { case (name, fn) =>
+      benchQueries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
@@ -63,7 +68,7 @@ object Bench {
     sweep("warmup", record = false)
     val r1 = sweep("run1", record = true)
     val r2 = sweep("run2", record = true)
-    val results = SparkEntry.queries.keys.map { k =>
+    val results = benchQueries.keys.map { k =>
       k -> (if (errors.contains(k)) -1.0 else math.min(r1(k), r2(k)))
     }.toMap
     // The driver parses this line out of the LAST 2000 chars of stdout:

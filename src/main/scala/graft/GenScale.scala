@@ -49,8 +49,22 @@ object GenScale {
 
   def generate(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
     def rd(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    // single FLAT file per table (the TESTDATA.md layout — the
+    // streaming readers' pathGlobFilter matches "{t}.parquet" as a
+    // file name); Spark still parallelizes the read by row-group splits
     def wr(df: DataFrame, t: String): Unit = {
-      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      val tmp = s"$dst/.tmp_$t"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val tmpDir = new java.io.File(tmp)
+      val part = tmpDir.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dstFile = new java.io.File(s"$dst/$t.parquet")
+      if (dstFile.exists()) {
+        if (dstFile.isDirectory) {
+          dstFile.listFiles().foreach(_.delete()); dstFile.delete()
+        } else dstFile.delete()
+      }
+      require(part.renameTo(dstFile), s"rename failed for $t")
+      tmpDir.listFiles().foreach(_.delete()); tmpDir.delete()
       System.err.println(s"[genscale] $t: ${spark.read.parquet(s"$dst/$t.parquet").count()} rows")
     }
     // one row per clone id — crossJoin fans every source row out
@@ -105,13 +119,18 @@ object GenScale {
       (col("user_id") + off).as("user_id"),
       col("event_type"), col("value"), col("props")), "events")
 
-    // reseed: every 5th word (phase keyed on doc_id) rewritten per
-    // clone — shingle sets diverge far below the LSH threshold, so a
-    // clone is corpus growth, not a planted near-duplicate
+    // reseed: every word clone-salted (alternating prefix/suffix,
+    // phase keyed on doc_id) — measured clone-pair shingle Jaccard
+    // ~0.31: ~4% of clone pairs still band-collide (J^4 per band),
+    // which adds realistic candidate-stage noise but sits far below
+    // any Jaccard-verify bar, so a clone is corpus growth, not a
+    // planted near-duplicate (an every-5th-word rewrite left J=0.69
+    // and would have made every doc a factor-sized cluster)
     val reseeded = expr(
       """concat_ws(' ', transform(split(text, ' '),
-        |  (w, j) -> CASE WHEN clone > 0 AND pmod(j + doc_id, 5) = 0
-        |                 THEN concat('x', clone, w) ELSE w END))""".stripMargin)
+        |  (w, j) -> CASE WHEN clone = 0 THEN w
+        |                 WHEN pmod(j + doc_id, 2) = 0 THEN concat('x', clone, w)
+        |                 ELSE concat(w, clone) END))""".stripMargin)
     wr(cloned(rd("documents")).select(
       (col("doc_id") + off).as("doc_id"),
       when(col("text").isNull, lit(null).cast("string"))

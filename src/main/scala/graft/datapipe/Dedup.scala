@@ -1005,16 +1005,26 @@ object Dedup {
     */
   def admitIncrementalBatch(arrivals: DataFrame, stateBands: DataFrame,
                             stateComp: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val abands = lshBands(minhashSignaturesFromHashes(
-      shingleHashes(shingles(arrivals, distinct = false)), k = 16))
+    // eager snapshot: the band table and the prior-collision list are
+    // each referenced by several downstream consumers (edges, the
+    // prior-component flag, the relabel map, the state append), and
+    // every reference would otherwise re-run the shingle→minhash→band
+    // pipeline — measured 18 s/batch at sf0.1 vs ~5 s snapshotted.
+    // Both are arrival-sized, not corpus-sized.
+    def snap(df: DataFrame): DataFrame = {
+      val s = df.localCheckpoint(true)
+      df.sparkSession.createDataFrame(s.rdd, s.schema)
+    }
+    val abands = snap(lshBands(minhashSignaturesFromHashes(
+      shingleHashes(shingles(arrivals, distinct = false)), k = 16)))
     // arrival ↔ previously-seen collisions, contracted to the prior
     // doc's cluster label (a doc id — CC treats it as a plain node)
-    val hitPrior = abands
+    val hitPrior = snap(abands
       .join(stateBands.select(col("band"), col("sig"), col("doc_id").as("pdoc")),
         Seq("band", "sig"))
       .select(col("doc_id").as("a"), col("pdoc")).distinct()
       .join(stateComp.select(col("doc_id").as("pdoc"), col("cluster").as("b")), Seq("pdoc"))
-      .select(col("a"), col("b")).distinct()
+      .select(col("a"), col("b")).distinct())
     // arrival ↔ arrival collisions within the batch — the case the
     // stream-static join could not see
     val hitSelf = abands.select(col("band"), col("sig"), col("doc_id").as("a"))

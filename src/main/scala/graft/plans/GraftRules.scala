@@ -25,6 +25,13 @@ case class IirFilter(b: Seq[Double], a: Seq[Double], child: LogicalPlan)
     extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
+  // the kernel consumes EVERY child column — without this,
+  // ColumnPruning sees a node with no expressions, decides nothing is
+  // referenced, and inserts an empty Project below (observed against
+  // a cached child: the lowering's re-analysis then failed on the
+  // missing channel column)
+  override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    child.outputSet
   override protected def withNewChildInternal(newChild: LogicalPlan): IirFilter =
     copy(child = newChild)
 }

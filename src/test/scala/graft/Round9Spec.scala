@@ -176,6 +176,24 @@ class Round9Spec extends AnyFunSuite {
       assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(y))) }
   }
 
+  test("lfilter lowers correctly over a CACHED child (ColumnPruning regression)") {
+    // without IirFilter.references = child.outputSet, ColumnPruning
+    // inserted an empty Project below the node when the child was an
+    // InMemoryRelation, and the lowering's re-analysis failed on the
+    // missing channel column (caught by the r9 bench, not the
+    // LocalRelation-backed test above)
+    import graft.signal.Signal
+    val (b1, a1) = graft.dsp.FilterDesign.butter(2, 0.25, "lowpass")
+    import spark.implicits._
+    val df = (0 until 64).map(i => ("c1", i.toDouble, math.cos(i * 0.2)))
+      .toDF("channel", "t", "v").cache()
+    try {
+      val out = Signal(df).lfilter(b1, a1).df.orderBy("t").collect()
+      assert(out.length === 64)
+      assert(out.map(_.getDouble(2)).sum !== 0.0)
+    } finally df.unpersist()
+  }
+
   test("between after timeshift derives scan-pushable raw-t bounds, values unchanged") {
     import graft.signal.Signal
     graft.plans.GraftRules.ensure(spark)
