@@ -31,6 +31,19 @@ object SparkEntry {
   private def reg(s: SparkSession, dir: String) = s.read.parquet(s"$dir/region.parquet")
   private def docs(s: SparkSession, dir: String) = s.read.parquet(s"$dir/documents.parquet")
   private def emb(s: SparkSession, dir: String) = s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** FIXED evaluation panel for the recall/similarity harnesses:
+    * every 25th vector, capped to the base-universe id range. At the
+    * driver's fixture scales every id is below the cap, so the
+    * predicate is identical to the historical `% 25 == 0` and every
+    * oracle stays byte-for-byte; at the GenScale ladder fixtures
+    * (ids strided by 10^7 per clone) the panel stays CONSTANT while
+    * the corpus grows — the statistically right eval design, and the
+    * fix for the r9 ladder's ~1.8 exponents (probe count growing
+    * with the corpus made harness work scale as corpus × probes).
+    */
+  private[graft] val PROBE_CAP = 10000000L
+  private def probePanel = col("vec_id") % 25 === 0 && col("vec_id") < PROBE_CAP
   private val evCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
@@ -879,7 +892,7 @@ object SparkEntry {
       // bucket — pair count scales linearly with the corpus, not
       // quadratically (the all-pairs form explodes at sf0.1+)
       val d = docs(s, dir)
-      val pairs = d.filter(col("doc_id") % 20 === 0)
+      val pairs = d.filter(col("doc_id") % 20 === 0 && col("doc_id") < PROBE_CAP)
         .select(col("doc_id").as("a"), col("source"))
         .join(d.select(col("doc_id").as("b"), col("source")), "source")
         .filter(col("a") =!= col("b")).select("a", "b")
@@ -901,6 +914,15 @@ object SparkEntry {
       // token-exactly while unique bordering text survives — the
       // span-granular big sibling of q_chunk_dedup
       Dedup.substrDedup(docs(s, dir), w = 10)),
+    "q_sa_substr" -> ((s, dir) =>
+      // the SUFFIX-ARRAY-STYLE ExactSubstr path (r8 verdict stretch):
+      // prefix-equivalence classes doubled over ceil(log2 w) rounds +
+      // one overlapped final step — exact length-w equality, zero
+      // hash collisions, integer-only exchanges. Provably the same
+      // covered-position set and tie-break as the windowed
+      // q_substr_rewrite, so the two INDEPENDENT implementations
+      // share one oracle (cross-implementation check)
+      Dedup.saSubstrDedup(docs(s, dir), w = 10)),
     "q_chunk_dedup" -> ((s, dir) =>
       // the REWRITE stage the span statistics motivate: line-level
       // dedup at 20-token chunk grain — drop every repeated chunk's
@@ -944,7 +966,7 @@ object SparkEntry {
           size(col("codes")).cast("long").as("dims"))),
     "q_cosine_topk" -> ((s, dir) => {
       val e = emb(s, dir)
-      Similarity.bruteForceTopK(e, e.filter(col("vec_id") % 25 === 0), k = 10)
+      Similarity.bruteForceTopK(e, e.filter(probePanel), k = 10)
     }),
     "q_cosine_neardups" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -1055,13 +1077,13 @@ object SparkEntry {
       val e = emb(s, dir)
       // dims passed explicitly (the fixture embeddings are 64-dim):
       // keeps the plan fully lazy — no corpus-probe job at plan build
-      Similarity.annTopK(e, e.filter(col("vec_id") % 25 === 0), k = 10, dims = 64)
+      Similarity.annTopK(e, e.filter(probePanel), k = 10, dims = 64)
     }),
     "q_ivf_topk" -> ((s, dir) => {
       // IVF-flat ANN: the coarse-quantizer complement of the sign-LSH
       // path (deterministic md5 centroids; map-side assignment)
       val e = emb(s, dir)
-      Similarity.ivfTopK(e, e.filter(col("vec_id") % 25 === 0),
+      Similarity.ivfTopK(e, e.filter(probePanel),
         k = 10, nlist = 16, nprobe = 4, dims = 64)
     }),
     "q_stream_ann" -> ((s, dir) => {
@@ -1072,7 +1094,7 @@ object SparkEntry {
       // the bounded stream equals the batch top-1 and the oracle is
       // q_ivf_trained's chain filtered to rank = 1
       import graft.streaming.StreamingOps._
-      val st = embeddingsStream(s, dir).filter(col("vec_id") % 25 === 0)
+      val st = embeddingsStream(s, dir).filter(probePanel)
       runToMemorySink(
         Similarity.streamIvfBest(emb(s, dir), st, trainedCents(s, dir),
           nprobe = 4, dims = 64),
@@ -1084,7 +1106,7 @@ object SparkEntry {
       // of md5 noise — the composition both operators were built for
       val e = emb(s, dir)
       val cents = trainedCents(s, dir)
-      Similarity.ivfTopKWith(e, e.filter(col("vec_id") % 25 === 0), cents,
+      Similarity.ivfTopKWith(e, e.filter(probePanel), cents,
         k = 10, nprobe = 4, dims = 64)
     }),
     "q_ivf_list_sizes" -> ((s, dir) => {
@@ -1102,7 +1124,7 @@ object SparkEntry {
       // this gives the curve a tuner walks)
       val e = emb(s, dir)
       val cents = trainedCents(s, dir)
-      Similarity.ivfProbeSweep(e, e.filter(col("vec_id") % 25 === 0), cents,
+      Similarity.ivfProbeSweep(e, e.filter(probePanel), cents,
         k = 10, nprobes = Seq(1, 2, 4, 8), dims = 64)
     }),
     "q_ann_plane_sweep" -> ((s, dir) => {
@@ -1110,7 +1132,7 @@ object SparkEntry {
       // assignment, every coarser setting is a bit-prefix of it —
       // the nPlanes analog of q_ivf_probe_sweep
       val e = emb(s, dir)
-      Similarity.annPlaneSweep(e, e.filter(col("vec_id") % 25 === 0),
+      Similarity.annPlaneSweep(e, e.filter(probePanel),
         k = 10, nPlanes = 8, bitsList = Seq(4, 6, 8), dims = 64)
     }),
     "q_ann_recall" -> ((s, dir) => {
@@ -1119,7 +1141,7 @@ object SparkEntry {
       // nPlanes/nlist/nprobe tuning; fully deterministic on both
       // sides, hence oracle-checkable
       val e = emb(s, dir)
-      val q = e.filter(col("vec_id") % 25 === 0)
+      val q = e.filter(probePanel)
       val truth = Similarity.bruteForceTopK(e, q, k = 10)
         .select(col("query_id"), col("neighbor_id"))
       recallPerQuery(truth, Similarity.annTopK(e, q, k = 10, dims = 64), "ann")
@@ -1133,7 +1155,7 @@ object SparkEntry {
       // is measured against the same exact truth, side by side with
       // the float IVF — the number that prices the 4x storage shrink
       val e = emb(s, dir)
-      val q = e.filter(col("vec_id") % 25 === 0)
+      val q = e.filter(probePanel)
       val truth = Similarity.bruteForceTopK(e, q, k = 10)
         .select(col("query_id"), col("neighbor_id"))
       val ranges = quantRanges(s, dir)
@@ -1160,7 +1182,7 @@ object SparkEntry {
       // nprobe=4/16 lists) vs the exact brute-force truth — the same
       // recall harness as the int8 and IVF paths
       val e = emb(s, dir)
-      val q = e.filter(col("vec_id") % 25 === 0)
+      val q = e.filter(probePanel)
       val truth = Similarity.bruteForceTopK(e, q, k = 10)
         .select(col("query_id"), col("neighbor_id"))
       val books = pqBooks(s, dir)
@@ -1184,7 +1206,7 @@ object SparkEntry {
       // q_pq_recall's ivf_pq leg is the measured value of residual
       // encoding at identical bytes/vector
       val e = emb(s, dir)
-      val q = e.filter(col("vec_id") % 25 === 0)
+      val q = e.filter(probePanel)
       val truth = Similarity.bruteForceTopK(e, q, k = 10)
         .select(col("query_id"), col("neighbor_id"))
       val cents = trainedCents(s, dir)
@@ -2607,6 +2629,7 @@ object SparkEntry {
     "q_containment" -> containmentSql,
     "q_dup_spans" -> dupSpansSql,
     "q_substr_rewrite" -> substrRewriteSql,
+    "q_sa_substr" -> substrRewriteSql,
     "q_chunk_dedup" -> chunkDedupSql,
     "q_span_sweep" -> spanSweepSql,
     "q_dup_span_top" -> dupSpanTopSql,
@@ -4138,7 +4161,7 @@ object SparkEntry {
        |  FROM sc
        |),
        |assign AS (SELECT vec_id, list FROM ranked WHERE pr = 1),
-       |probes AS (SELECT vec_id, list FROM ranked WHERE pr <= 4 AND vec_id % 25 = 0),
+       |probes AS (SELECT vec_id, list FROM ranked WHERE pr <= 4 AND vec_id % 25 = 0 AND vec_id < 10000000),
        |q AS (
        |  SELECT e.vec_id AS query_id, e.embedding::DOUBLE[] AS qe, p.list
        |  FROM embeddings e JOIN probes p ON e.vec_id = p.vec_id
@@ -4189,7 +4212,7 @@ object SparkEntry {
        |pairs AS (
        |  SELECT d1.doc_id AS a, d2.doc_id AS b
        |  FROM documents d1 JOIN documents d2
-       |    ON d1.source = d2.source AND d1.doc_id % 20 = 0 AND d1.doc_id != d2.doc_id
+       |    ON d1.source = d2.source AND d1.doc_id % 20 = 0 AND d1.doc_id < 10000000 AND d1.doc_id != d2.doc_id
        |),
        |inter AS (
        |  SELECT p.a, p.b, count(*) AS i
@@ -4499,7 +4522,7 @@ object SparkEntry {
       |q AS (
       |  SELECT e.vec_id AS query_id, e.embedding::DOUBLE[] AS qe, b.bucket
       |  FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
-      |  WHERE e.vec_id % 25 = 0
+      |  WHERE e.vec_id % 25 = 0 AND e.vec_id < 10000000
       |),
       |scored AS (
       |  SELECT q.query_id, c.vec_id AS neighbor_id,
@@ -4608,7 +4631,7 @@ object SparkEntry {
        |  FROM sc
        |),
        |assign AS (SELECT vec_id, list FROM ranked WHERE pr = 1),
-       |probes AS (SELECT vec_id, list FROM ranked WHERE pr <= 4 AND vec_id % 25 = 0),
+       |probes AS (SELECT vec_id, list FROM ranked WHERE pr <= 4 AND vec_id % 25 = 0 AND vec_id < 10000000),
        |q AS (
        |  SELECT e.vec_id AS query_id, e.embedding::DOUBLE[] AS qe, p.list
        |  FROM embeddings e JOIN probes p ON e.vec_id = p.vec_id
@@ -4659,7 +4682,7 @@ object SparkEntry {
        |),
        |assign AS (SELECT vec_id, list FROM ranked WHERE pr = 1),
        |np(nprobe) AS (VALUES (1), (2), (4), (8)),
-       |probes AS (SELECT vec_id, list, pr FROM ranked WHERE pr <= 8 AND vec_id % 25 = 0),
+       |probes AS (SELECT vec_id, list, pr FROM ranked WHERE pr <= 8 AND vec_id % 25 = 0 AND vec_id < 10000000),
        |q AS (
        |  SELECT e.vec_id AS query_id, e.embedding::DOUBLE[] AS qe, p.list, p.pr
        |  FROM embeddings e JOIN probes p ON e.vec_id = p.vec_id
@@ -4718,7 +4741,7 @@ object SparkEntry {
        |q AS (
        |  SELECT e.vec_id AS query_id, e.embedding::DOUBLE[] AS qe, p.nbits, p.pref
        |  FROM embeddings e JOIN pref p ON e.vec_id = p.vec_id
-       |  WHERE e.vec_id % 25 = 0
+       |  WHERE e.vec_id % 25 = 0 AND e.vec_id < 10000000
        |),
        |scored AS (
        |  SELECT q.nbits, q.query_id, c.vec_id AS neighbor_id,
@@ -4812,7 +4835,7 @@ object SparkEntry {
        |scq AS (
        |  SELECT e.vec_id, nrm.j,
        |         list_dot_product(e.embedding::DOUBLE[], nrm.cl) / nrm.n AS s
-       |  FROM embeddings e, nrm WHERE e.vec_id % 25 = 0
+       |  FROM embeddings e, nrm WHERE e.vec_id % 25 = 0 AND e.vec_id < 10000000
        |),
        |rankedq AS (
        |  SELECT vec_id, j AS list,
@@ -4917,7 +4940,7 @@ object SparkEntry {
        |qq AS (
        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe,
        |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn
-       |  FROM embeddings WHERE vec_id % 25 = 0
+       |  FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 10000000
        |),
        |scored AS (
        |  SELECT q.query_id, c.vec_id AS neighbor_id,
@@ -4988,7 +5011,7 @@ object SparkEntry {
        |pscq AS (
        |  SELECT e.vec_id, pnrm.j,
        |         list_dot_product(e.embedding::DOUBLE[], pnrm.cl) / pnrm.n AS s
-       |  FROM embeddings e, pnrm WHERE e.vec_id % 25 = 0
+       |  FROM embeddings e, pnrm WHERE e.vec_id % 25 = 0 AND e.vec_id < 10000000
        |),
        |pprobes AS (
        |  SELECT vec_id, list FROM (
@@ -5062,7 +5085,7 @@ object SparkEntry {
        |  JOIN rassign r ON r.vec_id = a0.vec_id
        |  JOIN cent c ON c.j = r.list
        |),
-       |probes AS (SELECT vec_id, list FROM cranked WHERE pr <= 4 AND vec_id % 25 = 0),
+       |probes AS (SELECT vec_id, list FROM cranked WHERE pr <= 4 AND vec_id % 25 = 0 AND vec_id < 10000000),
        |q AS (
        |  SELECT e.vec_id AS query_id, e.embedding::DOUBLE[] AS qe, p.list
        |  FROM embeddings e JOIN probes p ON e.vec_id = p.vec_id
@@ -5090,7 +5113,7 @@ object SparkEntry {
        |qq AS (
        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe,
        |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn
-       |  FROM embeddings WHERE vec_id % 25 = 0
+       |  FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 10000000
        |),
        |rr AS (
        |  SELECT query_id, neighbor_id FROM (
@@ -5111,7 +5134,7 @@ object SparkEntry {
 
   private def cosineTopkSql: String =
     """WITH q AS (
-      |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id % 25 = 0
+      |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 10000000
       |),
       |scored AS (
       |  SELECT q.query_id, c.vec_id AS neighbor_id,

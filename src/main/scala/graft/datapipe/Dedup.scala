@@ -757,6 +757,14 @@ object Dedup {
       .select(col("doc_id"),
         explode(expr(s"sequence(pos, pos + ${w - 1})")).as("pos"))
       .distinct()
+    rewriteFromCoverage(docs, covered)
+  }
+
+  /** Shared rewrite tail of the exact-substring dedup family: given
+    * the covered (doc_id, pos) set, rebuild each document from its
+    * surviving tokens with kept/total counts.
+    */
+  private def rewriteFromCoverage(docs: DataFrame, covered: DataFrame): DataFrame = {
     val toks = docs.filter(col("text").isNotNull)
       .select(col("doc_id"),
         posexplode(split(TextAnalysis.normalized(col("text")), " ")))
@@ -770,6 +778,72 @@ object Dedup {
             "THEN struct(pos, tok) END)), x -> x.tok)"), " ").as("joined"))
       .select(col("doc_id"), col("n_tokens"), col("n_kept"),
         when(col("n_kept") > 0, col("joined")).as("clean_text"))
+  }
+
+  /** Exact-substring dedup via SUFFIX-ARRAY-STYLE equivalence-class
+    * refinement (the Lee et al. 2022 ExactSubstr algorithm class,
+    * distributed): instead of hashing every w-token window (md5 over
+    * ~w×corpus characters, collision-probabilistic), positions are
+    * grouped into prefix-equivalence classes that DOUBLE in length
+    * each round — class id = the class's min (doc_id, pos), refined
+    * by grouping on (class(p), class(p+k)) — with one final
+    * overlapped step (class_k(p), class_k(p + w − k)) giving EXACT
+    * length-w equality in ⌈log₂ w⌉ rounds, zero hash collisions by
+    * construction.
+    *
+    * A duplicated substring of length ≥ w contains a duplicated
+    * w-window and vice versa, so the covered-position set equals the
+    * windowed `substrDedup`'s (same first-occurrence-kept tie-break:
+    * min (doc_id, pos) per class) — which is exactly what lets the
+    * two INDEPENDENT implementations share one oracle. Scale trade:
+    * ⌈log₂ w⌉ × (one groupBy + one self-join) integer-only exchanges
+    * over the token stream, vs ONE exchange but w× string-hash CPU
+    * for the windowed form — the SA form wins as w grows (Lee et
+    * al.'s w=50 pays 50× hash input per token; log₂ 50 = 6 rounds of
+    * 24-byte rows), the windowed form wins on shuffle count.
+    *
+    * Intermediate classes of positions within w of their document's
+    * end may conflate across documents (null next-class sentinel);
+    * harmless by induction — a FULL-length class only ever refines
+    * from full-length classes, and only full windows
+    * (pos + w − 1 ≤ len) are eligible for duplication.
+    */
+  def saSubstrDedup(docs: DataFrame, w: Int = 10): DataFrame = {
+    require(w >= 2, "saSubstrDedup needs w >= 2")
+    val toks = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(split(TextAnalysis.normalized(col("text")), " ")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
+    val lens = toks.groupBy("doc_id").agg(max("pos").as("len"))
+    def snap(df: DataFrame): DataFrame = {
+      val s = df.localCheckpoint(true)
+      df.sparkSession.createDataFrame(s.rdd, s.schema)
+    }
+    // length-1 classes: min (doc_id, pos) per distinct token
+    val tokCls = toks.groupBy("tok")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("cid"))
+    var cur = snap(toks.join(tokCls, "tok").select(col("doc_id"), col("pos"), col("cid")))
+    var k = 1
+    def refine(shift: Int): Unit = {
+      val right = cur.select(col("doc_id"), (col("pos") - shift).as("pos"),
+        col("cid").as("cid2"))
+      val paired = cur.join(right, Seq("doc_id", "pos"), "left")
+      val grp = paired.groupBy("cid", "cid2")
+        .agg(min(struct(col("doc_id"), col("pos"))).as("ncid"))
+      cur = snap(paired.join(grp, Seq("cid", "cid2"))
+        .select(col("doc_id"), col("pos"), col("ncid").as("cid")))
+    }
+    while (k * 2 <= w) { refine(k); k *= 2 }
+    if (k < w) refine(w - k) // overlapped final step -> exact length w
+    val winCls = cur.join(lens, "doc_id").filter(col("pos") + (w - 1) <= col("len"))
+    val dup = winCls.groupBy("cid").agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+    val covered = winCls.join(dup, Seq("cid"))
+      .filter(col("cid.doc_id") =!= col("doc_id") || col("cid.pos") =!= col("pos"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + ${w - 1})")).as("pos"))
+      .distinct()
+    rewriteFromCoverage(docs, covered)
   }
 
   /** Per-document duplicate-span statistics: of a document's

@@ -218,6 +218,33 @@ class Round9Spec extends AnyFunSuite {
     assert(got.sameElements(expect))
   }
 
+  test("saSubstrDedup == windowed substrDedup on planted duplicate passages") {
+    import spark.implicits._
+    // a 12-token passage shared by docs 1/2/3 (one >= w=10 duplicate
+    // region with unique borders), plus odd-length tails and a doc
+    // shorter than w — the boundary cases of the class refinement
+    val passage = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val fixture = Seq(
+      (1L, s"one two $passage three four"),
+      (2L, s"$passage five six seven"),
+      (3L, s"eight nine ten eleven $passage"),
+      (4L, "totally unrelated words that repeat nothing else anywhere here today"),
+      (5L, "short doc only"),
+      (6L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val win = Dedup.substrDedup(fixture, w = 10).orderBy("doc_id").collect()
+    val sa = Dedup.saSubstrDedup(fixture, w = 10).orderBy("doc_id").collect()
+    assert(win.length === sa.length)
+    win.zip(sa).foreach { case (a, b) => assert(a === b) }
+    // and the semantics: doc 1 keeps the passage (first occurrence),
+    // docs 2/3 lose exactly it
+    val m = sa.map(r => r.getLong(0) -> (r.getLong(2), Option(r.getString(3)))).toMap
+    assert(m(1L)._1 === 16L) // first occurrence: all 16 tokens kept
+    assert(m(2L)._1 === 3L && m(2L)._2.get === "five six seven")
+    assert(m(3L)._1 === 4L && m(3L)._2.get === "eight nine ten eleven")
+    assert(m(4L)._1 === 10L)
+    assert(m(5L)._1 === 3L)
+  }
+
   test("PNG encode -> javax.imageio decode roundtrips the exact luma pattern") {
     import graft.datapipe.Multimodal
     val id = 42L
