@@ -1077,6 +1077,41 @@ object Dedup {
     * one); null-text arrivals have no shingles, stay singletons, and
     * are admitted — identical to the batch dedup semantics.
     */
+  /** Size-gated connected components for CONTRACTED (batch-sized)
+    * graphs: below `driverMaxEdges`, collect the edge list and run
+    * driver union-find (min-id roots — identical labels to the
+    * distributed fixpoint by construction); above it, the distributed
+    * `connectedComponents`. The corpus-scale fixpoint must never run
+    * on the driver (the standing invariant), but a micro-batch's
+    * contracted graph is BATCH-sized, and the distributed fixpoint's
+    * per-round job overhead (~0.7 s × rounds) dwarfs a sub-MB collect
+    * — measured 3.9 s → ~0.3 s on the sf0.1 admission batch. The
+    * count that picks the path scans the already-snapshotted inputs.
+    */
+  def componentsAuto(pairs: DataFrame, driverMaxEdges: Long = 1000000L): DataFrame = {
+    val sp = pairs.sparkSession
+    val edges = pairs.select(col("a"), col("b"))
+    if (edges.count() <= driverMaxEdges) {
+      val rows = edges.collect()
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      rows.foreach { e =>
+        val rx = find(e.getLong(0)); val ry = find(e.getLong(1))
+        if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+      }
+      val out = rows.iterator.flatMap(e => Iterator(e.getLong(0), e.getLong(1)))
+        .toArray.distinct.map(x => (x, find(x)))
+      import sp.implicits._
+      out.toSeq.toDF("doc_id", "component")
+    } else connectedComponents(pairs).select(col("doc_id"), col("component"))
+  }
+
   def admitIncrementalBatch(arrivals: DataFrame, stateBands: DataFrame,
                             stateComp: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     // eager snapshot: the band table and the prior-collision list are
@@ -1104,8 +1139,7 @@ object Dedup {
     val hitSelf = abands.select(col("band"), col("sig"), col("doc_id").as("a"))
       .join(abands.select(col("band"), col("sig"), col("doc_id").as("b")), Seq("band", "sig"))
       .filter(col("a") < col("b")).select(col("a"), col("b")).distinct()
-    val labels = connectedComponents(hitPrior.unionAll(hitSelf))
-      .select(col("doc_id"), col("component"))
+    val labels = componentsAuto(hitPrior.unionAll(hitSelf))
     // components that absorbed a prior cluster: nothing in them is
     // admissible (their representative already exists)
     val priorComps = labels
