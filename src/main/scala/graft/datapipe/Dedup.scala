@@ -819,17 +819,27 @@ object Dedup {
       val s = df.localCheckpoint(true)
       df.sparkSession.createDataFrame(s.rdd, s.schema)
     }
-    // length-1 classes: min (doc_id, pos) per distinct token
-    val tokCls = toks.groupBy("tok")
-      .agg(min(struct(col("doc_id"), col("pos"))).as("cid"))
+    // class id = (doc_id, pos) PACKED into one long (pos gets 20
+    // bits): preserves (doc_id, pos) lexicographic order under long
+    // compare, and every refinement round then shuffles/aggregates
+    // 8-byte keys instead of 16-byte structs. The guard fails loudly
+    // on a >1M-token document rather than mis-packing (same contract
+    // style as pqEncode).
+    val posBits = 20
+    val packed = when(col("pos") < (1 << posBits),
+        shiftleft(col("doc_id"), posBits) + col("pos"))
+      .otherwise(raise_error(concat(
+        lit(s"saSubstrDedup: pos >= 2^$posBits for doc_id="), col("doc_id"))))
+      .cast("long")
+    // length-1 classes: min packed (doc_id, pos) per distinct token
+    val tokCls = toks.groupBy("tok").agg(min(packed).as("cid"))
     var cur = snap(toks.join(tokCls, "tok").select(col("doc_id"), col("pos"), col("cid")))
     var k = 1
     def refine(shift: Int): Unit = {
       val right = cur.select(col("doc_id"), (col("pos") - shift).as("pos"),
         col("cid").as("cid2"))
       val paired = cur.join(right, Seq("doc_id", "pos"), "left")
-      val grp = paired.groupBy("cid", "cid2")
-        .agg(min(struct(col("doc_id"), col("pos"))).as("ncid"))
+      val grp = paired.groupBy("cid", "cid2").agg(min(packed).as("ncid"))
       cur = snap(paired.join(grp, Seq("cid", "cid2"))
         .select(col("doc_id"), col("pos"), col("ncid").as("cid")))
     }
@@ -839,7 +849,7 @@ object Dedup {
     val dup = winCls.groupBy("cid").agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= 2)
     val covered = winCls.join(dup, Seq("cid"))
-      .filter(col("cid.doc_id") =!= col("doc_id") || col("cid.pos") =!= col("pos"))
+      .filter(col("cid") =!= (shiftleft(col("doc_id"), posBits) + col("pos")))
       .select(col("doc_id"),
         explode(expr(s"sequence(pos, pos + ${w - 1})")).as("pos"))
       .distinct()
