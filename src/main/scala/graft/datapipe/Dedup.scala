@@ -1094,15 +1094,19 @@ object Dedup {
     * `connectedComponents`. The corpus-scale fixpoint must never run
     * on the driver (the standing invariant), but a micro-batch's
     * contracted graph is BATCH-sized, and the distributed fixpoint's
-    * per-round job overhead (~0.7 s × rounds) dwarfs a sub-MB collect
-    * — measured 3.9 s → ~0.3 s on the sf0.1 admission batch. The
-    * count that picks the path scans the already-snapshotted inputs.
+    * per-round job overhead (~0.7 s × rounds) dwarfs the collect —
+    * measured 3.9 s → ~0.3 s on the sf0.1 admission batch. ONE job
+    * decides the path: `limit(max+1).collect()` over the snapshotted
+    * inputs both fetches the edges and proves they fit (the earlier
+    * count-then-collect ran the self-join twice). At the default gate
+    * the worst-case driver payload is ~1M two-long Rows — tens of MB,
+    * bounded and batch-lifetime only.
     */
-  def componentsAuto(pairs: DataFrame, driverMaxEdges: Long = 1000000L): DataFrame = {
+  def componentsAuto(pairs: DataFrame, driverMaxEdges: Int = 1000000): DataFrame = {
     val sp = pairs.sparkSession
     val edges = pairs.select(col("a"), col("b"))
-    if (edges.count() <= driverMaxEdges) {
-      val rows = edges.collect()
+    val rows = edges.limit(driverMaxEdges + 1).collect()
+    if (rows.length <= driverMaxEdges) {
       val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
         var r = x

@@ -264,7 +264,12 @@ object Multimodal {
     var hash = 0L
     var j = 0
     while (j < 52) {
-      if (cellCnt(j) > 0 && cellSum(j) * n > total * cellCnt(j)) hash |= (1L << j)
+      // shared 128-bit cross-multiplication (overflows a plain long
+      // multiply above ~1.3 gigapixels) — same compare as the
+      // byte-level hash
+      if (cellCnt(j) > 0 &&
+          graft.functions.PerceptualHash.productGreater(cellSum(j), n, total, cellCnt(j)))
+        hash |= (1L << j)
       j += 1
     }
     hash

@@ -23,6 +23,20 @@ object PerceptualHash {
 
   val Bits = 52
 
+  /** Exact unsigned 128-bit compare `a·b > c·d` for nonnegative
+    * operands (each < 2^63, so multiplyHigh's signed high word equals
+    * the unsigned one) — the overflow-proof cross-multiplication BOTH
+    * aHash implementations (byte-level here, pixel-level
+    * `Multimodal.pixelAHash52`) share, so neither can reintroduce the
+    * plain-long-multiply overflow above ~2^63 total luma·count.
+    */
+  def productGreater(a: Long, b: Long, c: Long, d: Long): Boolean = {
+    val hi1 = java.lang.Math.multiplyHigh(a, b)
+    val hi2 = java.lang.Math.multiplyHigh(c, d)
+    hi1 > hi2 || (hi1 == hi2 &&
+      java.lang.Long.compareUnsigned(a * b, c * d) > 0)
+  }
+
   /** Two-pass exact computation — called from interpreted eval and
     * from the generated code (object methods surface as statics).
     * The cross-multiplied comparison (seg_sum·n vs total·n_seg) can
@@ -50,18 +64,8 @@ object PerceptualHash {
     var h = 0L
     var j = 0
     while (j < Bits) {
-      // unsigned 128-bit compare of segSum·n vs total·segCnt: all
-      // operands are nonnegative and < 2^63, so multiplyHigh's signed
-      // high word equals the unsigned one
-      if (segCnt(j) > 0) {
-        val nL = n.toLong
-        val hi1 = java.lang.Math.multiplyHigh(segSum(j), nL)
-        val lo1 = segSum(j) * nL
-        val hi2 = java.lang.Math.multiplyHigh(total, segCnt(j))
-        val lo2 = total * segCnt(j)
-        if (hi1 > hi2 || (hi1 == hi2 && java.lang.Long.compareUnsigned(lo1, lo2) > 0))
-          h |= (1L << j)
-      }
+      if (segCnt(j) > 0 && productGreater(segSum(j), n.toLong, total, segCnt(j)))
+        h |= (1L << j)
       j += 1
     }
     h

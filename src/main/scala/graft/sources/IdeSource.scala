@@ -380,12 +380,16 @@ class IdeScan(path: String, mode: String, partitionBytes: Long,
 /** Structured Streaming over a growing directory of `.ide` files —
   * the continuous-admission shape of recorder fleets: each device
   * uploads finished rollover files; every micro-batch ingests the
-  * newly arrived ones. The offset records the SET of processed file
-  * names (the same contract as Spark's own FileStreamSource), so a
-  * file whose name sorts before already-processed files — a late
-  * fleet upload, a clock-named rollover landing out of order — is
-  * ingested exactly once rather than re-slicing the listing (which a
-  * count offset would: re-ingest old files, skip the new one).
+  * newly arrived ones. The offset contract is the SET of processed
+  * file names (same as Spark's own FileStreamSource), so a file whose
+  * name sorts before already-processed files — a late fleet upload, a
+  * clock-named rollover landing out of order — is ingested exactly
+  * once rather than re-slicing the listing (which a count offset
+  * would: re-ingest old files, skip the new one). The set is held in
+  * memory and PERSISTED compactly as (watermark, count) — constant
+  * bytes per offset-log entry; see FileSetOffset for the one
+  * restart-plus-late-arrival edge where the compact form degrades to
+  * a loud at-most-once.
   * `t` stays on ONE clock across batches and restarts: the anchor —
   * the name-min file of the first nonempty batch — rides in the
   * offset, so a later-arriving earlier-named file cannot shift the
@@ -394,15 +398,46 @@ class IdeScan(path: String, mode: String, partitionBytes: Long,
 class IdeMicroBatchStream(path: String, partitionBytes: Long,
                           chFilter: Option[Set[Int]], required: StructType,
                           tRange: (Double, Double) = (Double.NegativeInfinity, Double.PositiveInfinity))
-    extends streaming.MicroBatchStream {
+    extends streaming.MicroBatchStream with org.apache.spark.internal.Logging {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
+  /** The processed SET rides in memory; the PERSISTED offset is the
+    * compact (anchor, watermark, count) triple — O(1) per log entry,
+    * where serializing the cumulative list made the offset log grow
+    * O(n²) over the stream's life (Spark's own FileStreamSource
+    * compacts its log for the same reason). The compact form
+    * reconstructs the set exactly as {files ≤ watermark} whenever no
+    * pre-watermark file arrived while the stream was DOWN — the
+    * invariant every batch re-establishes (latestOffset always
+    * advances to the full listing). A late file arriving mid-run is
+    * exact too: in-process offsets resolve through `mintedSets`, never
+    * through reconstruction. Only a late pre-watermark arrival across
+    * a restart is ambiguous — detected by the count mismatch and
+    * reported loudly (see deserializeOffset).
+    */
   private case class FileSetOffset(anchor: String, files: Seq[String]) extends Offset {
     override def json(): String = {
       def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-      s"""{"anchor":${q(anchor)},"files":[${files.sorted.map(q).mkString(",")}]}"""
+      val w = if (files.isEmpty) "" else files.max
+      val j = s"""{"anchor":${q(anchor)},"w":${q(w)},"n":${files.size}}"""
+      rememberMinted(j, files)
+      j
     }
   }
+
+  // json → exact file set for offsets minted in this process. Only
+  // the most recent offsets can still be re-resolved by the engine
+  // (start/end of in-flight batches), so a small LRU bounds memory at
+  // O(listing) instead of O(listing × batches).
+  private val mintedSets =
+    new java.util.LinkedHashMap[String, Seq[String]](32, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Seq[String]]): Boolean = size > 16
+    }
+  private def rememberMinted(j: String, files: Seq[String]): Unit =
+    mintedSets.synchronized { mintedSets.put(j, files); () }
+  private def lookupMinted(j: String): Option[Seq[String]] =
+    mintedSets.synchronized { Option(mintedSets.get(j)) }
 
   // the time-origin file, learned from the first nonempty batch (or a
   // restart's checkpointed offset via deserializeOffset) — lets
@@ -429,10 +464,21 @@ class IdeMicroBatchStream(path: String, partitionBytes: Long,
     val t = json.trim
     if (!t.startsWith("{")) {
       // legacy count offset (pre-r9 checkpoint): first n files of the
-      // name-sorted listing, origin on the head file — the old contract
+      // name-sorted listing, origin on the head file — the old
+      // contract. The recovered set is POSITIONAL: it is exact only
+      // if no file sorting before position n arrived since the
+      // checkpoint was written; a late earlier-named arrival would be
+      // marked processed (skipped) and displace a genuinely processed
+      // file into reprocessing. The legacy format records no
+      // watermark, so this cannot be detected — warn loudly and
+      // recommend a fresh checkpoint.
       val all = listFiles()
       val n = t.toInt
       require(all.length >= n, s"$path: legacy offset $n exceeds listing (${all.length})")
+      logWarning(s"$path: migrating legacy count offset ($n): the recovered " +
+        "processed set is positional (first n of the current listing) and is only " +
+        "exact if no earlier-named file arrived since the checkpoint — restart from " +
+        "a fresh checkpoint if late uploads are possible")
       val anchor = all.headOption.getOrElse("")
       if (knownAnchor.isEmpty && anchor.nonEmpty) knownAnchor = anchor
       FileSetOffset(anchor, all.take(n))
@@ -443,8 +489,40 @@ class IdeMicroBatchStream(path: String, partitionBytes: Long,
       implicit val fmts: Formats = DefaultFormats
       val v = JsonMethods.parse(t)
       val anchor = (v \ "anchor").extract[String]
-      val files = (v \ "files").extract[Seq[String]]
       if (knownAnchor.isEmpty && anchor.nonEmpty) knownAnchor = anchor
+      // NOTE: json4s extracts a Seq from a MISSING field as empty, so
+      // the format dispatch must test field presence explicitly
+      (v \ "files") match {
+        case JNothing =>
+          compactRestore(v, anchor, t)
+        case files =>
+          // r9 full-list offset (pre-compaction checkpoint) — exact
+          FileSetOffset(anchor, files.extract[Seq[String]])
+      }
+    }
+  }
+
+  private def compactRestore(v: org.json4s.JValue, anchor: String,
+                             compactJson: String): Offset = {
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    lookupMinted(compactJson).map(FileSetOffset(anchor, _)).getOrElse {
+      // restart path: reconstruct {files <= watermark} from the
+      // current listing. Exact unless a pre-watermark file arrived
+      // while the stream was down — then the count disagrees and the
+      // late files are unidentifiable; they are treated as processed
+      // (skipped, at-most-once) and reported loudly rather than
+      // silently re-slicing.
+      val w = (v \ "w").extract[String]
+      val n = (v \ "n").extract[Int]
+      val files = if (w.isEmpty) Seq.empty[String]
+                  else listFiles().filter(_ <= w)
+      if (files.length != n)
+        logWarning(s"$path: compact offset recorded $n processed files up to " +
+          s"watermark '$w' but the listing now has ${files.length} — " +
+          s"${files.length - n} pre-watermark file(s) arrived while the stream " +
+          "was down and will be treated as processed (SKIPPED). Reprocess them " +
+          "via a fresh checkpoint if needed.")
       FileSetOffset(anchor, files)
     }
   }

@@ -355,6 +355,78 @@ class IdeSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("streaming: offset log entries stay constant-size as files accumulate") {
+    val dir = Files.createTempDirectory("graft_ide_compact").toFile
+    val ckpt = Files.createTempDirectory("graft_ide_compact_ckpt").toFile
+    dir.deleteOnExit(); ckpt.deleteOnExit()
+    val mk = (base: Double, n: Int) =>
+      IdeSink.Ch(0, "accel", 1000.0, MideSchema.FmtFloat64,
+        Seq(IdeSink.Sub("ax", "g")),
+        Array.tabulate(n)(i => Array(base + i)), blockFrames = 64)
+    for (i <- 1 to 6)
+      IdeSink.write(f"$dir/c_$i%03d.ide", 1700000000000000L + i * 100000L, Seq(mk(i * 10.0, 20)))
+    val out = Files.createTempDirectory("graft_ide_compact_out").toFile
+    out.deleteOnExit()
+    val q = Ide.readStream(spark, dir.getAbsolutePath)
+      .writeStream.format("parquet")
+      .option("path", out.getAbsolutePath)
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .option("maxFilesPerTrigger", "1") // ignored by this source, but harmless
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.parquet(out.getAbsolutePath).count() === 120)
+    // every persisted offset entry is the compact (anchor, w, n)
+    // triple — no cumulative file list, so entry size is O(1) in the
+    // number of processed files (the r9 format grew O(n) per entry)
+    val offDir = new File(ckpt, "offsets")
+    val entries = offDir.listFiles().filter(_.isFile).map { f =>
+      new String(Files.readAllBytes(f.toPath))
+    }
+    val withSet = entries.filter(_.contains("\"n\":"))
+    assert(withSet.nonEmpty)
+    withSet.foreach { e =>
+      assert(!e.contains("\"files\""), s"offset entry still embeds the file list: $e")
+    }
+  }
+
+  test("streaming: compact-offset restart is exact; a while-down pre-watermark file is skipped loudly") {
+    val dir = Files.createTempDirectory("graft_ide_late").toFile
+    val ckpt = Files.createTempDirectory("graft_ide_late_ckpt").toFile
+    dir.deleteOnExit(); ckpt.deleteOnExit()
+    val mk = (base: Double, n: Int) =>
+      IdeSink.Ch(0, "accel", 1000.0, MideSchema.FmtFloat64,
+        Seq(IdeSink.Sub("ax", "g")),
+        Array.tabulate(n)(i => Array(base + i)), blockFrames = 64)
+    IdeSink.write(s"$dir/m_002.ide", 1700000000000000L, Seq(mk(0.0, 30)))
+    IdeSink.write(s"$dir/m_004.ide", 1700000000030000L, Seq(mk(100.0, 30)))
+    val out = Files.createTempDirectory("graft_ide_late_out").toFile
+    out.deleteOnExit()
+    def start() = Ide.readStream(spark, dir.getAbsolutePath)
+      .writeStream.format("parquet")
+      .option("path", out.getAbsolutePath)
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .outputMode("append").start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(out.getAbsolutePath).count() === 60)
+    // while DOWN: one late file sorting BEFORE the watermark (m_003 <
+    // m_004) and one new file after it. The compact offset cannot
+    // identify the late one — documented behavior: it is treated as
+    // processed (skipped, warned), while the post-watermark file is
+    // ingested exactly once.
+    IdeSink.write(s"$dir/m_003.ide", 1700000000060000L, Seq(mk(200.0, 30)))
+    IdeSink.write(s"$dir/m_005.ide", 1700000000090000L, Seq(mk(300.0, 30)))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val vals = spark.read.parquet(out.getAbsolutePath).collect()
+        .map(_.getDouble(3)).sorted
+      assert(vals.length === 90, s"expected 60 + only m_005's 30 rows, got ${vals.length}")
+      assert(!vals.exists(v => v >= 200.0 && v < 230.0), "late pre-watermark file was re-sliced in")
+      assert(vals.count(v => v >= 300.0) === 30)
+    } finally q2.stop()
+  }
+
   test("a non-mide EBML file is rejected up front") {
     val p = tmpIde("bad")
     Files.write(new File(p).toPath,

@@ -1,0 +1,71 @@
+#!/usr/bin/env bash
+# Round-closing sequence with the artifact ordering ENFORCED (r9
+# verdict "What's wrong #1": a subset bench interleaving between the
+# full bench and gen_status overwrote BENCH_LAST.json and drifted the
+# closing numbers; sbt-test counts were parsed from the wrong line).
+#
+#   1. full verify matrix at sf0.001 and sf0.01  -> target/verify_summary.log
+#   2. sbt test                                  -> target/test_summary.log
+#   3. (optional --ladder) GenScale + subset benches -> BENCH_sf1.json
+#   4. FULL bench at sf0.1                       -> BENCH_LAST.json
+#   5. gen_status.py                             -> SURVEY/PLANS status blocks
+#
+# The full bench is LAST before gen_status by construction, so no
+# subset sidecar can be what the status block reads.
+#
+# Usage: tools/close_round.sh [--ladder] [--top N]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+LADDER=0
+TOP=40
+while [[ $# -gt 0 ]]; do
+  case "$1" in
+    --ladder) LADDER=1; shift ;;
+    --top) TOP="$2"; shift 2 ;;
+    *) echo "unknown arg $1"; exit 2 ;;
+  esac
+done
+
+mkdir -p target
+: > target/verify_summary.log
+
+for SF in 0.001 0.01; do
+  OUT="target/verify_sf${SF}"
+  rm -rf "$OUT"
+  sbt -batch "runMain graft.Verify /root/testdata/sf${SF} ${OUT}" \
+    > "target/verify_run_sf${SF}.log" 2>&1
+  python3 tools/check.py "/root/testdata/sf${SF}" "$OUT" \
+    | tee -a target/verify_summary.log
+done
+
+sbt -batch test 2>&1 | tee target/test_summary.log | tail -5
+
+if [[ "$LADDER" == "1" ]]; then
+  # subset = the TOP most expensive queries per the freshest full
+  # bench available at entry (last round's sidecar/artifact)
+  SUBSET=$(python3 - "$TOP" <<'EOF'
+import json, os, sys
+top = int(sys.argv[1])
+src = "BENCH_LAST.json" if os.path.exists("BENCH_LAST.json") else \
+      sorted(p for p in os.listdir(".") if p.startswith("BENCH_r"))[-1]
+q = json.load(open(src))["queries"]
+print(",".join(sorted(sorted(q, key=lambda k: -q[k])[:top])))
+EOF
+)
+  [[ -d fixtures/sf1 ]] || sbt -batch "runMain graft.GenScale /root/testdata/sf0.1 fixtures/sf1 10" \
+    > target/genscale.log 2>&1
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_ONLY="$SUBSET" \
+    sbt -batch "runMain graft.Bench" > target/bench_ladder_sf01.log 2>&1
+  cp BENCH_LAST.json target/ladder_sf01.json
+  SPARK_GRAFT_SF_DIR="$PWD/fixtures/sf1" SPARK_GRAFT_ONLY="$SUBSET" \
+    sbt -batch "runMain graft.Bench" > target/bench_ladder_sf1.log 2>&1
+  cp BENCH_LAST.json target/ladder_sf1.json
+  python3 tools/scale_ladder.py target/ladder_sf01.json target/ladder_sf1.json BENCH_sf1.json
+fi
+
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" \
+  2>&1 | tail -3
+
+python3 tools/gen_status.py
+echo "close_round: done (BENCH_LAST.json + status blocks regenerated in order)"
