@@ -1126,8 +1126,36 @@ object Dedup {
     } else connectedComponents(pairs).select(col("doc_id"), col("component"))
   }
 
-  def admitIncrementalBatch(arrivals: DataFrame, stateBands: DataFrame,
-                            stateComp: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+  /** The batch-sized DELTAS of one incremental-admission micro-batch
+    * — the pieces a persisted (append-only) state layout writes:
+    *
+    *  - `result`        (doc_id, cluster, admitted) for every arrival
+    *                    — admitted is FIRST-ARRIVAL-WINS: an arrival
+    *                    is admitted iff its merged component contains
+    *                    no previously-seen document (persisted corpus
+    *                    OR any prior batch's arrival) and it is the
+    *                    min doc_id among its same-batch co-members.
+    *                    Under multi-batch delivery this intentionally
+    *                    differs from the batch oracle's global-min
+    *                    rule: the globally minimal id may arrive
+    *                    AFTER a clone was already admitted, and an
+    *                    admission cannot be retracted. (Pinned by a
+    *                    Round10Spec test; the shared-oracle harness
+    *                    `runIncrementalAdmit` asserts single-batch
+    *                    delivery, where the two rules coincide.)
+    *  - `arrivalBands`  (doc_id, band, sig) — APPEND to the band log;
+    *  - `relabel`       (oldc, newc) — prior cluster labels merged
+    *                    this batch, normalized within the batch (newc
+    *                    is the merged component's final label, itself
+    *                    a then-current label), so chains grow at most
+    *                    one link per batch.
+    *
+    * Labels only ever decrease (newc < oldc = min over a superset),
+    * so a retired label can never become current again and the
+    * accumulated relabel log is a function oldc → newc.
+    */
+  def admitIncrementalCore(arrivals: DataFrame, stateBands: DataFrame,
+                           stateComp: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     // eager snapshot: the band table and the prior-collision list are
     // each referenced by several downstream consumers (edges, the
     // prior-component flag, the relabel map, the state append), and
@@ -1166,17 +1194,53 @@ object Dedup {
       .join(priorComps, Seq("cluster"), "left")
       .select(col("doc_id"), col("cluster"),
         (col("has_prior").isNull && col("doc_id") === col("cluster")).as("admitted"))
-    // prior clusters merged this batch get their rows relabeled to
-    // the merged minimum; arrivals append with their new labels
+    // prior clusters merged this batch get relabeled to the merged
+    // minimum; arrivals append with their new labels
     val relabel = labels
       .join(hitPrior.select(col("b").as("doc_id")).distinct(), Seq("doc_id"))
       .select(col("doc_id").as("oldc"), col("component").as("newc"))
       .filter(col("oldc") =!= col("newc"))
+    (result, abands.select(col("doc_id"), col("band"), col("sig")), relabel)
+  }
+
+  /** One micro-batch against FULL in-memory state — the bounded-
+    * stream harness shape (`runIncrementalAdmit`): the deltas of
+    * `admitIncrementalCore` applied eagerly, returning the complete
+    * new (bands, comps). The per-batch write volume here is O(|state|)
+    * by construction; the production form with batch-sized writes is
+    * the append-only layout in
+    * [[graft.streaming.StreamingOps.runIncrementalAdmitPersisted]].
+    */
+  def admitIncrementalBatch(arrivals: DataFrame, stateBands: DataFrame,
+                            stateComp: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val (result, arrivalBands, relabel) =
+      admitIncrementalCore(arrivals, stateBands, stateComp)
     val newComp = stateComp
       .join(relabel, col("cluster") === col("oldc"), "left")
       .select(col("doc_id"), coalesce(col("newc"), col("cluster")).as("cluster"))
       .unionAll(result.select(col("doc_id"), col("cluster")))
-    val newBands = stateBands.unionAll(abands.select(col("doc_id"), col("band"), col("sig")))
+    val newBands = stateBands.unionAll(arrivalBands)
     (result, newBands, newComp)
+  }
+
+  /** Path-compress an (oldc, newc) relabel log with `maxChain` as the
+    * longest possible chain (= batches since the log was last
+    * compacted — each batch adds at most one link; see
+    * admitIncrementalCore). Pointer-halving doubles the resolved
+    * distance per round, so ⌈log₂ maxChain⌉ deterministic self-joins
+    * of the MERGE-SIZED log suffice — no convergence-probe jobs, and
+    * the corpus-sized tables are never touched.
+    */
+  def compressRelabel(log: DataFrame, maxChain: Int): DataFrame = {
+    var m = log.select(col("oldc"), col("newc"))
+    var span = 1
+    while (span < math.max(1, maxChain)) {
+      m = m.as("x")
+        .join(m.select(col("oldc").as("o2"), col("newc").as("n2")),
+          col("newc") === col("o2"), "left")
+        .select(col("oldc"), coalesce(col("n2"), col("newc")).as("newc"))
+      span *= 2
+    }
+    m
   }
 }
