@@ -1611,6 +1611,22 @@ object SparkEntry {
       val st = documentsStream(s, dir).filter(col("doc_id") % 10 =!= 0)
       runIncrementalAdmit(st, sc => (sc.table(bandsT), sc.table(compsT)))
     }),
+    "q_stream_admit_persist" -> ((s, dir) => {
+      // the PRODUCTION form of q_stream_admit_incr: identical
+      // admission decisions (same admitIncrementalCore per batch;
+      // single-file fixture → single batch → first-arrival-wins ≡
+      // the oracle's global-min rule), but state lives in APPEND-only
+      // warehouse tables — bucketed band log + relabel delta log
+      // compacted via compressRelabel — so per-batch writes are
+      // O(|batch| + |touched clusters|), not O(|state|). Multi-batch
+      // semantics and batch-sized-write accounting are pinned in
+      // Round11Spec, where file delivery order is controlled.
+      import graft.streaming.StreamingOps._
+      val (bandsT, compsT) = persistedIncrTables(s, dir)
+      val st = documentsStream(s, dir).filter(col("doc_id") % 10 =!= 0)
+      runIncrementalAdmitPersisted(st, bandsT, compsT,
+        tag = tableSuffix(dir), compactEvery = 8)
+    }),
     "q_stream_decontaminate" -> ((s, dir) => {
       // admission-time decontamination: every arriving non-benchmark
       // document is checked against the BROADCAST benchmark
@@ -2942,6 +2958,9 @@ object SparkEntry {
     // min-over-partner-clusters is the probe's own cluster
     "q_stream_admit" -> streamAdmitSql,
     "q_stream_admit_incr" -> streamAdmitIncrSql,
+    // same decision replay — the persisted harness admits identically
+    // under the fixture's single-batch delivery
+    "q_stream_admit_persist" -> streamAdmitIncrSql,
     // time-window mov_rms on the uniform 1/3600 Hz grid: n = round(
     // 7200 * sr) = 2 samples, t shifted back by window/2, warm-up row
     // and final row trimmed (extension.py:684,695-697)

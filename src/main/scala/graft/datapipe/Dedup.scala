@@ -1139,10 +1139,11 @@ object Dedup {
     *                    differs from the batch oracle's global-min
     *                    rule: the globally minimal id may arrive
     *                    AFTER a clone was already admitted, and an
-    *                    admission cannot be retracted. (Pinned by a
-    *                    Round10Spec test; the shared-oracle harness
-    *                    `runIncrementalAdmit` asserts single-batch
-    *                    delivery, where the two rules coincide.)
+    *                    admission cannot be retracted. (Pinned by
+    *                    Round11Spec's multi-batch delivery test; the
+    *                    shared-oracle harness `runIncrementalAdmit`
+    *                    `require`s single-batch delivery, where the
+    *                    two rules coincide.)
     *  - `arrivalBands`  (doc_id, band, sig) — APPEND to the band log;
     *  - `relabel`       (oldc, newc) — prior cluster labels merged
     *                    this batch, normalized within the batch (newc

@@ -233,10 +233,12 @@ object StreamingOps {
       df.sparkSession.createDataFrame(snap.rdd, snap.schema)
     }
     var state: Option[(DataFrame, DataFrame)] = None
+    var nonEmptyBatches = 0
     val results = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
+          nonEmptyBatches += 1
           val (bands0, comp0) = state.getOrElse {
             val (b, c) = init(batch.sparkSession)
             (ckpt(b), ckpt(c))
@@ -250,6 +252,16 @@ object StreamingOps {
       }
       .start()
     try q.processAllAvailable() finally q.stop()
+    // this harness shares its oracle with a GLOBAL-min batch replay,
+    // and the two admission rules (first-arrival-wins vs global-min)
+    // coincide only under single-batch delivery — refuse to return a
+    // result the oracle cannot replay (multi-batch delivery belongs
+    // to runIncrementalAdmitPersisted, whose Round11Spec pins the
+    // first-arrival-wins divergence instead)
+    require(nonEmptyBatches <= 1,
+      s"runIncrementalAdmit saw $nonEmptyBatches non-empty micro-batches; " +
+        "its shared oracle assumes single-batch delivery — use " +
+        "runIncrementalAdmitPersisted for multi-batch streams")
     results.reduceOption(_ unionAll _).getOrElse {
       val s = stream.sparkSession
       s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -261,6 +273,168 @@ object StreamingOps {
           org.apache.spark.sql.types.StructField("admitted",
             org.apache.spark.sql.types.BooleanType))))
     }
+  }
+
+  /** Catalog table names of one persisted-admission run (see
+    * [[runIncrementalAdmitPersisted]]). `compactedBase` is versioned
+    * (`_v0`, `_v1`, …): compaction writes version n+1 from a plan
+    * that READS version n, which Spark forbids as an in-place
+    * overwrite, then drops version n.
+    */
+  case class AdmitStateTables(bands: String, results: String,
+                              delta: String, compactedBase: String) {
+    def all: Seq[String] = Seq(bands, results, delta, compactedBase)
+  }
+
+  private def dropTableAndDir(s: SparkSession, name: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val path = new org.apache.hadoop.fs.Path(s"$wh/$name")
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+  }
+
+  private def emptyDf(s: SparkSession,
+                      fields: (String, org.apache.spark.sql.types.DataType)*): DataFrame =
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(fields.map { case (n, t) =>
+        org.apache.spark.sql.types.StructField(n, t) }))
+
+  /** STREAM-STREAM dedup admission with PERSISTED, APPEND-ONLY state
+    * — the production form of [[runIncrementalAdmit]]: per-batch
+    * write volume is O(|batch| + |clusters touched|), never
+    * O(|state|), so cumulative I/O over the stream's life is linear
+    * in the corpus, not quadratic.
+    *
+    * Layout (all warehouse tables, created empty per run):
+    *  - `bands`   (doc_id, band, sig, batch_id) — arrival band rows,
+    *              APPEND-only, bucketed by (band, sig) like the
+    *              initial corpus band table so the per-batch probe
+    *              join stays co-located;
+    *  - `results` (doc_id, cluster, admitted, batch_id) — one row per
+    *              arrival, APPEND-only; doubles as the arrival half
+    *              of the cluster state (cluster is the label current
+    *              AT ADMISSION — later merges land in the relabel
+    *              log, not here);
+    *  - `delta`   (oldc, newc, batch_id) — relabel log since the last
+    *              compaction, APPEND-only; chains grow at most one
+    *              link per batch (admitIncrementalCore normalizes
+    *              within the batch);
+    *  - `compacted_v{n}` (oldc, newc) — flat label map as of the last
+    *              compaction. Every `compactEvery` batches the delta
+    *              log is folded in via
+    *              [[graft.datapipe.Dedup.compressRelabel]]
+    *              (⌈log₂ chain⌉ merge-sized self-joins), the delta
+    *              table is truncated, and the version advances.
+    *
+    * Label resolution for a stored cluster c is two hash probes:
+    * compacted(c) (pre-compaction labels → current-at-compaction),
+    * then delta-resolved (post-compaction labels → current). Both
+    * maps are merge-sized — only labels that ever merged appear — so
+    * the corpus-sized tables are read but never rewritten.
+    *
+    * Admission is FIRST-ARRIVAL-WINS (see admitIncrementalCore):
+    * under multi-batch delivery the globally minimal doc id may
+    * arrive after a clone was already admitted, and an admission is
+    * never retracted — Round11Spec pins this divergence from the
+    * batch oracle's global-min rule. A re-delivered batch_id (Spark
+    * replays a foreachBatch on recovery) is skipped idempotently via
+    * the results log.
+    *
+    * `initBands` / `initComps` are catalog table names of the
+    * already-ingested corpus state ((doc_id, band, sig) and
+    * (doc_id, cluster)); catalog names cross the root → micro-batch
+    * session boundary safely where live DataFrames do not.
+    */
+  def runIncrementalAdmitPersisted(stream: DataFrame,
+                                   initBands: String, initComps: String,
+                                   tag: String,
+                                   compactEvery: Int = 8): DataFrame = {
+    import org.apache.spark.sql.types._
+    val root = stream.sparkSession
+    val t = AdmitStateTables(s"graft_admit_bands_$tag", s"graft_admit_results_$tag",
+      s"graft_admit_delta_$tag", s"graft_admit_compacted_$tag")
+    t.all.foreach(dropTableAndDir(root, _))
+    dropTableAndDir(root, s"${t.compactedBase}_v0")
+    emptyDf(root, "doc_id" -> LongType, "band" -> IntegerType,
+        "sig" -> StringType, "batch_id" -> LongType)
+      .write.bucketBy(8, "band", "sig").sortBy("band", "sig")
+      .mode("overwrite").saveAsTable(t.bands)
+    emptyDf(root, "doc_id" -> LongType, "cluster" -> LongType,
+        "admitted" -> BooleanType, "batch_id" -> LongType)
+      .write.mode("overwrite").saveAsTable(t.results)
+    emptyDf(root, "oldc" -> LongType, "newc" -> LongType, "batch_id" -> LongType)
+      .write.mode("overwrite").saveAsTable(t.delta)
+    emptyDf(root, "oldc" -> LongType, "newc" -> LongType)
+      .write.mode("overwrite").saveAsTable(s"${t.compactedBase}_v0")
+
+    var compactedVer = 0
+    var batchesSince = 0 // delta-log batches since the last compaction
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        val alreadyDone = // foreachBatch replay after failure: skip
+          !sp.table(t.results).filter(col("batch_id") === batchId).isEmpty
+        if (!alreadyDone && !batch.isEmpty) {
+          val compactedT = s"${t.compactedBase}_v$compactedVer"
+          val compacted = sp.table(compactedT).select(
+            col("oldc").as("c_o"), col("newc").as("c_n"))
+          val deltaRes = graft.datapipe.Dedup.compressRelabel(
+              sp.table(t.delta).select(col("oldc"), col("newc")),
+              math.max(1, batchesSince))
+            .select(col("oldc").as("d_o"), col("newc").as("d_n"))
+          // current cluster state = (corpus ∪ arrival log) pushed
+          // through the two merge-sized label maps
+          val stateComp = sp.table(initComps).select(col("doc_id"), col("cluster"))
+            .unionAll(sp.table(t.results).select(col("doc_id"), col("cluster")))
+            .join(compacted, col("cluster") === col("c_o"), "left")
+            .select(col("doc_id"), coalesce(col("c_n"), col("cluster")).as("cluster"))
+            .join(deltaRes, col("cluster") === col("d_o"), "left")
+            .select(col("doc_id"), coalesce(col("d_n"), col("cluster")).as("cluster"))
+          val stateBands = sp.table(initBands).select(col("doc_id"), col("band"), col("sig"))
+            .unionAll(sp.table(t.bands).select(col("doc_id"), col("band"), col("sig")))
+          val (res, abands, relabel) = graft.datapipe.Dedup.admitIncrementalCore(
+            batch.select(col("doc_id"), col("text")), stateBands, stateComp)
+          // batch-sized APPENDs — the only writes of a normal batch
+          abands.withColumn("batch_id", lit(batchId))
+            .repartition(8, col("band"), col("sig"))
+            .write.bucketBy(8, "band", "sig").sortBy("band", "sig")
+            .mode("append").saveAsTable(t.bands)
+          relabel.withColumn("batch_id", lit(batchId))
+            .write.mode("append").saveAsTable(t.delta)
+          res.withColumn("batch_id", lit(batchId))
+            .write.mode("append").saveAsTable(t.results)
+          batchesSince += 1
+          if (batchesSince >= compactEvery) {
+            if (sp.table(t.delta).isEmpty) {
+              batchesSince = 0 // no merges since last compaction —
+              // nothing to fold, skip the merge-sized rewrite
+            } else {
+              // fold the delta log into the flat map: delta resolves
+              // internally in ⌈log₂ batchesSince⌉ rounds, then one
+              // more round closes compacted→delta chains (length ≤ 2:
+              // the flat maps are functions over disjoint domains — a
+              // retired label never becomes current again)
+              val deltaFlat = graft.datapipe.Dedup.compressRelabel(
+                sp.table(t.delta).select(col("oldc"), col("newc")), batchesSince)
+              val merged = graft.datapipe.Dedup.compressRelabel(
+                sp.table(compactedT).select(col("oldc"), col("newc"))
+                  .unionAll(deltaFlat), 2)
+              val nextT = s"${t.compactedBase}_v${compactedVer + 1}"
+              merged.write.mode("overwrite").saveAsTable(nextT)
+              dropTableAndDir(sp, compactedT)
+              emptyDf(sp, "oldc" -> LongType, "newc" -> LongType, "batch_id" -> LongType)
+                .write.mode("overwrite").saveAsTable(t.delta)
+              compactedVer += 1
+              batchesSince = 0
+            }
+          }
+        }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    root.table(t.results).select(col("doc_id"), col("cluster"), col("admitted"))
   }
 
   /** Drive a streaming DataFrame to completion over the (bounded) file

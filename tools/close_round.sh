@@ -47,8 +47,16 @@ if [[ "$LADDER" == "1" ]]; then
   SUBSET=$(python3 - "$TOP" <<'EOF'
 import json, os, sys
 top = int(sys.argv[1])
-src = "BENCH_LAST.json" if os.path.exists("BENCH_LAST.json") else \
-      sorted(p for p in os.listdir(".") if p.startswith("BENCH_r"))[-1]
+import re as _re
+if os.path.exists("BENCH_LAST.json"):
+    src = "BENCH_LAST.json"
+else:
+    cands = [p for p in os.listdir(".")
+             if _re.match(r"BENCH_r\d+\.json$", p)]
+    if not cands:
+        sys.exit("close_round: no BENCH_LAST.json and no BENCH_r*.json "
+                 "— run a full bench first")
+    src = max(cands, key=lambda p: int(_re.search(r"_r(\d+)", p).group(1)))
 q = json.load(open(src))["queries"]
 print(",".join(sorted(sorted(q, key=lambda k: -q[k])[:top])))
 EOF
