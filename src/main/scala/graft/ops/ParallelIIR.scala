@@ -32,6 +32,7 @@ object ParallelIIR {
 
   case class ChunkRow(channel: String, chunkId: Long, t: Double, v: Double)
   case class ChunkState(channel: String, chunkId: Long, state: Array[Double], len: Long)
+  case class InitState(channel: String, chunkId: Long, zi: Array[Double])
   case class OutRow(channel: String, t: Double, v: Double)
 
   /** One-step homogeneous DF2T state matrix for normalized a
@@ -80,6 +81,15 @@ object ParallelIIR {
   /** Distributed lfilter over (channel, t, v) with `chunk` rows per
     * task. Exact same operator contract as Kernels-level lfilter but
     * parallel WITHIN a channel.
+    *
+    * FULLY LAZY — no job runs until the returned frame is consumed:
+    * the per-channel affine combine is itself a (tiny) distributed
+    * stage (a few doubles per chunk, grouped by channel), and pass 2
+    * joins chunks with their true initial states via cogroup instead
+    * of a driver collect + broadcast. That is what lets
+    * [[graft.plans.GraftRules.LowerIirFilters]] lower an IirFilter
+    * node to this path inside the OPTIMIZER without executing jobs at
+    * planning time.
     */
   def lfilterDistributed(df: DataFrame, b: Array[Double], a: Array[Double],
                          chunk: Int = 1 << 20, ziFromFirst: Boolean = false): DataFrame = {
@@ -88,7 +98,7 @@ object ParallelIIR {
     require(chunk > 0)
     val aNorm = a.map(_ / a(0))
     // (t, v) tie-break: duplicate timestamps must chunk identically in
-    // the pass-1 collect and the pass-2 recomputation (row_number over
+    // the pass-1 states and the pass-2 recomputation (row_number over
     // t alone is nondeterministic under ties)
     val w = Window.partitionBy("channel").orderBy("t", "v")
     val chunked = df
@@ -108,38 +118,45 @@ object ParallelIIR {
         val (_, vs) = sortedVals(rows)
         val (_, st) = IIR.lfilterWithState(b, a, vs, null)
         ChunkState(key._1, key._2, st :+ (if (vs.isEmpty) 0.0 else vs(0)), vs.length.toLong)
-      }.collect()
+      }
 
     val ziUnit = if (ziFromFirst) IIR.lfilterZi(b, a) else null
+    val stateDim = math.max(aNorm.length - 1, 0)
 
-    // driver combine: z_{i+1} = A^{L_i} z_i + d_i per channel. d is the
-    // zero-init chunk response; the recurrence is affine, so a nonzero
-    // channel-initial state adds exactly its homogeneous propagation.
-    val m = stepMatrix(aNorm)
-    val powCache = scala.collection.mutable.Map.empty[Long, Array[Array[Double]]]
-    val initStates: Map[(String, Long), Array[Double]] =
-      states.groupBy(_.channel).iterator.flatMap { case (ch, cs) =>
-      val sorted = cs.sortBy(_.chunkId)
-      var z =
-        if (ziFromFirst) ziUnit.map(_ * sorted.head.state.last)
-        else new Array[Double](math.max(aNorm.length - 1, 0))
-      sorted.map { c =>
-        val zi = z
-        val aL = powCache.getOrElseUpdate(c.len, matPow(m, c.len))
-        val propagated = matVec(aL, zi)
-        z = Array.tabulate(zi.length)(i => propagated(i) + c.state(i))
-        ((ch, c.chunkId), zi)
+    // distributed combine: z_{i+1} = A^{L_i} z_i + d_i, sequential per
+    // CHANNEL but over chunk-level summaries only — a few doubles per
+    // chunk, so one task per channel handles millions of chunks. d is
+    // the zero-init chunk response; the recurrence is affine, so a
+    // nonzero channel-initial state adds exactly its homogeneous
+    // propagation.
+    val inits = states.groupByKey(_.channel)
+      .flatMapGroups { (ch, it) =>
+        val sorted = it.toArray.sortBy(_.chunkId)
+        val m = stepMatrix(aNorm)
+        val powCache = scala.collection.mutable.Map.empty[Long, Array[Array[Double]]]
+        var z =
+          if (ziFromFirst) ziUnit.map(_ * sorted.head.state.last)
+          else new Array[Double](stateDim)
+        sorted.iterator.map { c =>
+          val zi = z
+          val aL = powCache.getOrElseUpdate(c.len, matPow(m, c.len))
+          val propagated = matVec(aL, zi)
+          z = Array.tabulate(zi.length)(i => propagated(i) + c.state(i))
+          InitState(ch, c.chunkId, zi)
+        }
       }
-    }.toMap
-    val bcStates = spark.sparkContext.broadcast(initStates)
 
-    // pass 2: exact outputs with the true initial state per chunk
+    // pass 2: exact outputs with the true initial state per chunk —
+    // cogroup on (channel, chunkId), the init side is one tiny row
     chunked.groupByKey(r => (r.channel, r.chunkId))
-      .flatMapGroups { (key, rows) =>
+      .cogroup(inits.groupByKey(s => (s.channel, s.chunkId))) { (key, rows, zis) =>
         val (arr, vs) = sortedVals(rows)
-        val zi = bcStates.value.getOrElse(key, null)
-        val (y, _) = IIR.lfilterWithState(b, a, vs, zi)
-        Iterator.tabulate(arr.length)(i => OutRow(key._1, arr(i).t, y(i)))
+        if (arr.isEmpty) Iterator.empty
+        else {
+          val zi = zis.toSeq.headOption.map(_.zi).orNull
+          val (y, _) = IIR.lfilterWithState(b, a, vs, zi)
+          Iterator.tabulate(arr.length)(i => OutRow(key._1, arr(i).t, y(i)))
+        }
       }.toDF("channel", "t", "v")
   }
 

@@ -354,7 +354,8 @@ class IdeScan(path: String, mode: String, partitionBytes: Long,
     if (mode == "channels") IdeSource.CHANNELS_SCHEMA else required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
-    new IdeMicroBatchStream(path, partitionBytes, chFilter, required, tRange)
+    new IdeMicroBatchStream(path, partitionBytes, chFilter, required, tRange,
+      checkpointLocation)
 
   // surfaced in .explain so pruning is auditable in the plan
   override def description(): String = {
@@ -377,6 +378,98 @@ class IdeScan(path: String, mode: String, partitionBytes: Long,
   override def createReaderFactory(): PartitionReaderFactory = new IdeReaderFactory
 }
 
+/** Compacted sidecar log of the processed-file set, kept under the
+  * stream's checkpoint — the same pattern as Spark's own
+  * FileStreamSourceLog (HDFSMetadataLog + periodic compaction), so
+  * restart recovery is EXACT even when files arrived while the stream
+  * was down. Entry `seq` is either a full snapshot (`<seq>.compact`)
+  * or the new files of that offset mint (`<seq>.delta`); the set at
+  * `seq` = the latest snapshot ≤ seq plus every delta since. Entries
+  * are written tmp-then-rename (atomic on local and HDFS) BEFORE the
+  * engine persists the offset that points at them, so a pointer in
+  * the offset log always has its sidecar entry. On each snapshot,
+  * entries older than the PREVIOUS snapshot are deleted — committed
+  * offsets the engine may restart from are never more than one
+  * compaction generation behind the latest mint.
+  */
+private[sources] class IdeFileLog(dir: org.apache.hadoop.fs.Path,
+                                  conf: org.apache.hadoop.conf.Configuration,
+                                  compactInterval: Int = 10) {
+  private val fs = dir.getFileSystem(conf)
+  private def entry(seq: Long, suffix: String) =
+    new org.apache.hadoop.fs.Path(dir, f"$seq%020d.$suffix")
+
+  def shouldCompact(seq: Long): Boolean = seq % compactInterval == 0
+
+  /** List (seq, suffix, path) of all entries, ascending by seq. */
+  private def entries(): Seq[(Long, String, org.apache.hadoop.fs.Path)] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).map(_.getPath).toSeq
+      .filterNot(_.getName.startsWith("."))
+      .flatMap { p =>
+        p.getName.split("\\.", 2) match {
+          case Array(n, sfx) if (sfx == "compact" || sfx == "delta") && n.forall(_.isDigit) =>
+            Some((n.toLong, sfx, p))
+          case _ => None
+        }
+      }.sortBy(_._1)
+
+  def write(seq: Long, files: Seq[String], isCompact: Boolean): Unit = {
+    fs.mkdirs(dir)
+    val suffix = if (isCompact) "compact" else "delta"
+    val tmp = new org.apache.hadoop.fs.Path(dir, f".$seq%020d.$suffix.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(files.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dest = entry(seq, suffix)
+    if (fs.exists(dest)) fs.delete(dest, false) // crashed re-mint of the same seq
+    fs.rename(tmp, dest)
+    if (isCompact) {
+      // retain one full generation behind the new snapshot: a restart
+      // resumes from a committed offset, which is at most the previous
+      // snapshot's generation old
+      val snaps = entries().filter(e => e._2 == "compact" && e._1 < seq).map(_._1)
+      if (snaps.nonEmpty)
+        entries().filter(_._1 < snaps.max).foreach(e => fs.delete(e._3, false))
+    }
+  }
+
+  private def readEntry(p: org.apache.hadoop.fs.Path): Seq[String] = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val b = new Array[Byte](8192)
+      var n = in.read(b)
+      while (n >= 0) { buf.write(b, 0, n); n = in.read(b) }
+      val s = new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      if (s.isEmpty) Seq.empty else s.split("\n").toSeq
+    } finally in.close()
+  }
+
+  /** Highest entry seq on disk (0 if none) — a fresh process seeds
+    * its mint counter from this so it can never RE-mint a seq a prior
+    * incarnation already persisted (the engine may call latestOffset
+    * before deserializeOffset on restart, so the counter cannot rely
+    * on having seen the checkpointed offset first).
+    */
+  def maxSeq: Long = entries().lastOption.map(_._1).getOrElse(0L)
+
+  /** Exact processed set as of `seq`, or None if the log cannot prove
+    * it (entry missing — e.g. a checkpoint written before the sidecar
+    * existed, or a hand-deleted directory).
+    */
+  def restore(seq: Long): Option[Seq[String]] = {
+    val es = entries().filter(_._1 <= seq)
+    if (!es.exists(_._1 == seq)) return None // can't prove the tip is covered
+    es.filter(_._2 == "compact").lastOption.map { case (cs, _, cp) =>
+      val set = scala.collection.mutable.Set.empty[String]
+      set ++= readEntry(cp)
+      es.filter(e => e._1 > cs && e._2 == "delta").foreach(e => set ++= readEntry(e._3))
+      set.toSeq.sorted
+    }
+  }
+}
+
 /** Structured Streaming over a growing directory of `.ide` files —
   * the continuous-admission shape of recorder fleets: each device
   * uploads finished rollover files; every micro-batch ingests the
@@ -386,10 +479,11 @@ class IdeScan(path: String, mode: String, partitionBytes: Long,
   * clock-named rollover landing out of order — is ingested exactly
   * once rather than re-slicing the listing (which a count offset
   * would: re-ingest old files, skip the new one). The set is held in
-  * memory and PERSISTED compactly as (watermark, count) — constant
-  * bytes per offset-log entry; see FileSetOffset for the one
-  * restart-plus-late-arrival edge where the compact form degrades to
-  * a loud at-most-once.
+  * memory and PERSISTED compactly as a (watermark, count, seq)
+  * pointer — constant bytes per offset-log entry — where `seq` keys
+  * an exact, compacted sidecar log of the set under the checkpoint
+  * (see [[IdeFileLog]]), so restart recovery is exactly-once even
+  * when a pre-watermark file landed while the stream was down.
   * `t` stays on ONE clock across batches and restarts: the anchor —
   * the name-min file of the first nonempty batch — rides in the
   * offset, so a later-arriving earlier-named file cannot shift the
@@ -397,38 +491,41 @@ class IdeScan(path: String, mode: String, partitionBytes: Long,
   */
 class IdeMicroBatchStream(path: String, partitionBytes: Long,
                           chFilter: Option[Set[Int]], required: StructType,
-                          tRange: (Double, Double) = (Double.NegativeInfinity, Double.PositiveInfinity))
+                          tRange: (Double, Double) = (Double.NegativeInfinity, Double.PositiveInfinity),
+                          checkpointLoc: String = "")
     extends streaming.MicroBatchStream with org.apache.spark.internal.Logging {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
   /** The processed SET rides in memory; the PERSISTED offset is the
-    * compact (anchor, watermark, count) triple — O(1) per log entry,
-    * where serializing the cumulative list made the offset log grow
-    * O(n²) over the stream's life (Spark's own FileStreamSource
-    * compacts its log for the same reason). The compact form
-    * reconstructs the set exactly as {files ≤ watermark} whenever no
-    * pre-watermark file arrived while the stream was DOWN — the
-    * invariant every batch re-establishes (latestOffset always
-    * advances to the full listing). A late file arriving mid-run is
-    * exact too: in-process offsets resolve through `mintedSets`, never
-    * through reconstruction. Only a late pre-watermark arrival across
-    * a restart is ambiguous — detected by the count mismatch and
-    * reported loudly (see deserializeOffset).
+    * compact (anchor, watermark, count, seq) quadruple — O(1) per log
+    * entry, where serializing the cumulative list made the offset log
+    * grow O(n²) over the stream's life (Spark's own FileStreamSource
+    * compacts its log for the same reason). Restoration order on
+    * restart: (1) `mintedSets` for offsets minted in this process —
+    * exact; (2) the [[IdeFileLog]] sidecar entry `seq` points at —
+    * exact, including a pre-watermark file that arrived while the
+    * stream was DOWN (it is absent from the restored set, so the next
+    * batch ingests it exactly once); (3) for pre-sidecar checkpoints
+    * only, reconstruction as {files ≤ watermark} — inexact across a
+    * while-down late arrival, detected by the count mismatch and
+    * reported loudly (see compactRestore).
     */
-  private case class FileSetOffset(anchor: String, files: Seq[String]) extends Offset {
+  private case class FileSetOffset(anchor: String, files: Seq[String],
+                                   seq: Long = 0L) extends Offset {
     override def json(): String = {
       def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
       val w = if (files.isEmpty) "" else files.max
-      val j = s"""{"anchor":${q(anchor)},"w":${q(w)},"n":${files.size}}"""
+      val j = s"""{"anchor":${q(anchor)},"w":${q(w)},"n":${files.size},"seq":$seq}"""
       rememberMinted(j, files)
       j
     }
   }
 
-  // json → exact file set for offsets minted in this process. Only
-  // the most recent offsets can still be re-resolved by the engine
-  // (start/end of in-flight batches), so a small LRU bounds memory at
-  // O(listing) instead of O(listing × batches).
+  // json → exact file set for offsets minted in this process — a
+  // fast path only: an evicted entry re-resolves exactly through the
+  // sidecar log (compactRestore), so the small LRU bounds memory at
+  // O(listing) instead of O(listing × batches) without a correctness
+  // hole.
   private val mintedSets =
     new java.util.LinkedHashMap[String, Seq[String]](32, 0.75f, true) {
       override def removeEldestEntry(
@@ -444,6 +541,37 @@ class IdeMicroBatchStream(path: String, partitionBytes: Long,
   // latestOffset stamp candidate offsets with the right anchor
   @volatile private var knownAnchor: String = ""
 
+  // exact sidecar log of the processed set (absent only when the scan
+  // was built without a checkpoint location — batch mode)
+  private val fileLog: Option[IdeFileLog] =
+    if (checkpointLoc.isEmpty) None
+    else {
+      val conf = scala.util.Try(
+          org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+        .getOrElse(new org.apache.hadoop.conf.Configuration())
+      Some(new IdeFileLog(
+        new org.apache.hadoop.fs.Path(checkpointLoc, "graft_file_log"), conf))
+    }
+  // highest seq minted or observed, and the set it covers; None until
+  // this process has minted or exactly restored a set — the first mint
+  // after that writes a full snapshot so the sidecar is self-contained
+  private var lastSeq: Long = 0L
+  private var lastMintedSet: Option[Set[String]] = None
+
+  /** Sync the in-memory mint state from a restored offset. `exact`
+    * marks sets recovered losslessly (minted here, sidecar, or r9
+    * full-list offsets) — only those may seed delta-chaining; an
+    * inexact watermark reconstruction forces the next mint to write a
+    * fresh snapshot instead.
+    */
+  private def syncMintState(seq: Long, files: Seq[String], exact: Boolean): Unit =
+    synchronized {
+      if (seq >= lastSeq) {
+        lastSeq = seq
+        lastMintedSet = if (exact) Some(files.toSet) else None
+      }
+    }
+
   private def listFiles(): Seq[String] = {
     val f = new java.io.File(path)
     if (f.isDirectory)
@@ -454,11 +582,36 @@ class IdeMicroBatchStream(path: String, partitionBytes: Long,
     else Seq.empty // not created yet — a stream may start before data
   }
 
+  // first sidecar write of a process is always a full snapshot, so
+  // the log is self-contained across restarts regardless of what the
+  // previous incarnation (or a pre-sidecar checkpoint) left behind
+  private var wroteThisProcess = false
+
   override def initialOffset(): Offset = FileSetOffset("", Seq.empty)
-  override def latestOffset(): Offset = {
+  override def latestOffset(): Offset = synchronized {
     val all = listFiles()
     val anchor = if (knownAnchor.nonEmpty) knownAnchor else all.headOption.getOrElse("")
-    FileSetOffset(anchor, all)
+    val set = all.toSet
+    if (lastMintedSet.contains(set)) FileSetOffset(anchor, all, lastSeq)
+    else {
+      // first mint of this process: resume the seq counter PAST every
+      // persisted entry — deserializeOffset may not have run yet, and
+      // re-minting a live seq would overwrite history
+      if (!wroteThisProcess)
+        fileLog.foreach(lg => lastSeq = math.max(lastSeq, lg.maxSeq))
+      val s = lastSeq + 1
+      fileLog.foreach { lg =>
+        val snapshot = !wroteThisProcess || lg.shouldCompact(s)
+        val payload =
+          if (snapshot) all
+          else all.filterNot(lastMintedSet.getOrElse(Set.empty))
+        lg.write(s, payload, snapshot)
+        wroteThisProcess = true
+      }
+      lastSeq = s
+      lastMintedSet = Some(set)
+      FileSetOffset(anchor, all, s)
+    }
   }
   override def deserializeOffset(json: String): Offset = {
     val t = json.trim
@@ -481,6 +634,7 @@ class IdeMicroBatchStream(path: String, partitionBytes: Long,
         "a fresh checkpoint if late uploads are possible")
       val anchor = all.headOption.getOrElse("")
       if (knownAnchor.isEmpty && anchor.nonEmpty) knownAnchor = anchor
+      syncMintState(0L, all.take(n), exact = false)
       FileSetOffset(anchor, all.take(n))
     } else {
       // json4s ships with Spark — no new dependency
@@ -497,7 +651,9 @@ class IdeMicroBatchStream(path: String, partitionBytes: Long,
           compactRestore(v, anchor, t)
         case files =>
           // r9 full-list offset (pre-compaction checkpoint) — exact
-          FileSetOffset(anchor, files.extract[Seq[String]])
+          val fs = files.extract[Seq[String]]
+          syncMintState(0L, fs, exact = true)
+          FileSetOffset(anchor, fs)
       }
     }
   }
@@ -506,24 +662,50 @@ class IdeMicroBatchStream(path: String, partitionBytes: Long,
                              compactJson: String): Offset = {
     import org.json4s._
     implicit val fmts: Formats = DefaultFormats
-    lookupMinted(compactJson).map(FileSetOffset(anchor, _)).getOrElse {
-      // restart path: reconstruct {files <= watermark} from the
-      // current listing. Exact unless a pre-watermark file arrived
-      // while the stream was down — then the count disagrees and the
-      // late files are unidentifiable; they are treated as processed
-      // (skipped, at-most-once) and reported loudly rather than
-      // silently re-slicing.
-      val w = (v \ "w").extract[String]
-      val n = (v \ "n").extract[Int]
-      val files = if (w.isEmpty) Seq.empty[String]
-                  else listFiles().filter(_ <= w)
-      if (files.length != n)
-        logWarning(s"$path: compact offset recorded $n processed files up to " +
-          s"watermark '$w' but the listing now has ${files.length} — " +
-          s"${files.length - n} pre-watermark file(s) arrived while the stream " +
-          "was down and will be treated as processed (SKIPPED). Reprocess them " +
-          "via a fresh checkpoint if needed.")
-      FileSetOffset(anchor, files)
+    val seq = (v \ "seq").extractOpt[Long].getOrElse(0L)
+    val w = (v \ "w").extract[String]
+    val n = (v \ "n").extract[Int]
+    lookupMinted(compactJson) match {
+      case Some(files) => // minted in this process — exact, no I/O
+        syncMintState(seq, files, exact = true)
+        FileSetOffset(anchor, files, seq)
+      case None => fileLog.flatMap(lg => if (seq > 0) lg.restore(seq) else None) match {
+        // restart path: the sidecar entry the offset points at is
+        // EXACT — a pre-watermark file that arrived while the stream
+        // was down is absent from it, so the next batch ingests it
+        // exactly once instead of skipping it. The (n, w) cross-check
+        // proves the entry really is the one this offset minted: a
+        // mismatch means the log was truncated/recreated by another
+        // incarnation, and the loud reconstruction below is safer
+        // than trusting a collided entry.
+        case Some(files)
+            if files.length == n &&
+               (if (files.isEmpty) w.isEmpty else files.max == w) =>
+          syncMintState(seq, files, exact = true)
+          FileSetOffset(anchor, files, seq)
+        case other =>
+          if (other.isDefined)
+            logWarning(s"$path: sidecar entry $seq disagrees with the offset " +
+              s"(${other.get.length} files vs n=$n) — falling back to watermark " +
+              "reconstruction")
+          // pre-sidecar checkpoint (or a hand-deleted sidecar):
+          // reconstruct {files <= watermark} from the current
+          // listing. Exact unless a pre-watermark file arrived while
+          // the stream was down — then the count disagrees and the
+          // late files are unidentifiable; they are treated as
+          // processed (skipped, at-most-once) and reported loudly
+          // rather than silently re-slicing.
+          val files = if (w.isEmpty) Seq.empty[String]
+                      else listFiles().filter(_ <= w)
+          if (files.length != n)
+            logWarning(s"$path: compact offset recorded $n processed files up to " +
+              s"watermark '$w' but the listing now has ${files.length} — " +
+              s"${files.length - n} pre-watermark file(s) arrived while the stream " +
+              "was down and will be treated as processed (SKIPPED). Reprocess them " +
+              "via a fresh checkpoint if needed.")
+          syncMintState(seq, files, exact = false)
+          FileSetOffset(anchor, files, seq)
+      }
     }
   }
   override def commit(end: Offset): Unit = ()

@@ -286,12 +286,33 @@ object StreamingOps {
     def all: Seq[String] = Seq(bands, results, delta, compactedBase)
   }
 
-  private def dropTableAndDir(s: SparkSession, name: String): Unit = {
+  def dropTableAndDir(s: SparkSession, name: String): Unit = {
     s.sql(s"DROP TABLE IF EXISTS $name")
     val wh = s.conf.get("spark.sql.warehouse.dir")
-    val path = new org.apache.hadoop.fs.Path(s"$wh/$name")
+    // table dirs are the lower-cased table name under the warehouse root
+    val path = new org.apache.hadoop.fs.Path(s"$wh/${name.toLowerCase}")
     val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(path)) fs.delete(path, true)
+  }
+
+  /** Drop EVERY version of a versioned table family (`base_v0`,
+    * `base_v1`, …): catalog entries for same-JVM reruns, AND leftover
+    * warehouse directories for cross-JVM reruns — a fresh session's
+    * catalog does not know a prior JVM's tables, so `DROP TABLE IF
+    * EXISTS` alone leaves the dirs behind and the next `saveAsTable`
+    * at that version dies with LOCATION_ALREADY_EXISTS.
+    */
+  private def dropAllVersions(s: SparkSession, base: String): Unit = {
+    s.catalog.listTables().collect()
+      .filter(_.name.startsWith(s"${base}_v"))
+      .foreach(tb => s.sql(s"DROP TABLE IF EXISTS ${tb.name}"))
+    val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) {
+      fs.listStatus(wh).map(_.getPath)
+        .filter(_.getName.startsWith(s"${base.toLowerCase}_v"))
+        .foreach(fs.delete(_, true))
+    }
   }
 
   private def emptyDf(s: SparkSession,
@@ -337,9 +358,17 @@ object StreamingOps {
     * under multi-batch delivery the globally minimal doc id may
     * arrive after a clone was already admitted, and an admission is
     * never retracted — Round11Spec pins this divergence from the
-    * batch oracle's global-min rule. A re-delivered batch_id (Spark
-    * replays a foreachBatch on recovery) is skipped idempotently via
-    * the results log.
+    * batch oracle's global-min rule. The batch_id check against the
+    * results log is a BEST-EFFORT replay guard: this harness sets no
+    * checkpointLocation (it is a single-run, processAllAvailable
+    * driver), so Spark never actually replays a batch here; and
+    * because the results append lands last, a crash between the
+    * bands/delta appends and the results append would re-append
+    * band/delta rows on a hypothetical checkpointed replay (decisions
+    * stay correct — downstream resolution tolerates duplicate band
+    * and relabel rows — but the append-only accounting would inflate).
+    * A checkpointed production deployment should write a batch marker
+    * FIRST and make the three appends replay-tolerant.
     *
     * `initBands` / `initComps` are catalog table names of the
     * already-ingested corpus state ((doc_id, band, sig) and
@@ -355,7 +384,7 @@ object StreamingOps {
     val t = AdmitStateTables(s"graft_admit_bands_$tag", s"graft_admit_results_$tag",
       s"graft_admit_delta_$tag", s"graft_admit_compacted_$tag")
     t.all.foreach(dropTableAndDir(root, _))
-    dropTableAndDir(root, s"${t.compactedBase}_v0")
+    dropAllVersions(root, t.compactedBase) // ALL _v* from any prior same-tag run
     emptyDf(root, "doc_id" -> LongType, "band" -> IntegerType,
         "sig" -> StringType, "batch_id" -> LongType)
       .write.bucketBy(8, "band", "sig").sortBy("band", "sig")

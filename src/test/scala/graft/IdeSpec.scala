@@ -389,18 +389,17 @@ class IdeSpec extends AnyFunSuite {
     }
   }
 
-  test("streaming: compact-offset restart is exact; a while-down pre-watermark file is skipped loudly") {
-    val dir = Files.createTempDirectory("graft_ide_late").toFile
-    val ckpt = Files.createTempDirectory("graft_ide_late_ckpt").toFile
-    dir.deleteOnExit(); ckpt.deleteOnExit()
+  private def lateArrivalFixture(tag: String): (File, File, File, () => org.apache.spark.sql.streaming.StreamingQuery) = {
+    val dir = Files.createTempDirectory(s"graft_ide_$tag").toFile
+    val ckpt = Files.createTempDirectory(s"graft_ide_${tag}_ckpt").toFile
+    val out = Files.createTempDirectory(s"graft_ide_${tag}_out").toFile
+    dir.deleteOnExit(); ckpt.deleteOnExit(); out.deleteOnExit()
     val mk = (base: Double, n: Int) =>
       IdeSink.Ch(0, "accel", 1000.0, MideSchema.FmtFloat64,
         Seq(IdeSink.Sub("ax", "g")),
         Array.tabulate(n)(i => Array(base + i)), blockFrames = 64)
     IdeSink.write(s"$dir/m_002.ide", 1700000000000000L, Seq(mk(0.0, 30)))
     IdeSink.write(s"$dir/m_004.ide", 1700000000030000L, Seq(mk(100.0, 30)))
-    val out = Files.createTempDirectory("graft_ide_late_out").toFile
-    out.deleteOnExit()
     def start() = Ide.readStream(spark, dir.getAbsolutePath)
       .writeStream.format("parquet")
       .option("path", out.getAbsolutePath)
@@ -410,12 +409,41 @@ class IdeSpec extends AnyFunSuite {
     try q1.processAllAvailable() finally q1.stop()
     assert(spark.read.parquet(out.getAbsolutePath).count() === 60)
     // while DOWN: one late file sorting BEFORE the watermark (m_003 <
-    // m_004) and one new file after it. The compact offset cannot
-    // identify the late one — documented behavior: it is treated as
-    // processed (skipped, warned), while the post-watermark file is
-    // ingested exactly once.
+    // m_004) and one new file after it
     IdeSink.write(s"$dir/m_003.ide", 1700000000060000L, Seq(mk(200.0, 30)))
     IdeSink.write(s"$dir/m_005.ide", 1700000000090000L, Seq(mk(300.0, 30)))
+    (dir, ckpt, out, () => start())
+  }
+
+  test("streaming: restart ingests a while-down pre-watermark file exactly once (sidecar log)") {
+    val (_, ckpt, out, start) = lateArrivalFixture("late")
+    // the sidecar log under the checkpoint restores the EXACT
+    // processed set {m_002, m_004}; both while-down arrivals — the
+    // pre-watermark m_003 and the post-watermark m_005 — are new
+    assert(new File(ckpt, "sources/0/graft_file_log").isDirectory,
+      "sidecar file log was not written under the checkpoint")
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val vals = spark.read.parquet(out.getAbsolutePath).collect()
+        .map(_.getDouble(3)).sorted
+      assert(vals.length === 120, s"expected all 4 files' rows once, got ${vals.length}")
+      assert(vals.count(v => v >= 200.0 && v < 230.0) === 30, "late pre-watermark file not ingested exactly once")
+      assert(vals.count(v => v >= 300.0) === 30)
+      assert(vals.count(v => v < 30.0) === 30, "head file re-ingested")
+    } finally q2.stop()
+  }
+
+  test("streaming: pre-sidecar checkpoint falls back to loud at-most-once skip") {
+    val (_, ckpt, out, start) = lateArrivalFixture("presidecar")
+    // simulate a checkpoint written before the sidecar existed: the
+    // offset pointer has no log entry to resolve against, so recovery
+    // reconstructs {files <= watermark} — the documented fallback:
+    // the pre-watermark late file is treated as processed (skipped,
+    // warned), the post-watermark file is ingested exactly once
+    val logDir = new File(ckpt, "sources/0/graft_file_log")
+    logDir.listFiles().foreach(f => Files.delete(f.toPath))
+    Files.delete(logDir.toPath)
     val q2 = start()
     try {
       q2.processAllAvailable()

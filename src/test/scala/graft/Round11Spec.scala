@@ -43,14 +43,19 @@ class Round11Spec extends AnyFunSuite {
       val stage = dir.resolve(s"stage_$i")
       docs.toDF("doc_id", "text").coalesce(1)
         .write.mode("overwrite").parquet(stage.toString)
-      val part = Files.list(stage).filter(_.getFileName.toString.endsWith(".parquet"))
-        .findFirst().get()
+      val part = {
+        val st = Files.list(stage)
+        try st.filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        finally st.close()
+      }
       val dest = dir.resolve(f"f_$i%02d.parquet")
       Files.move(part, dest)
       dest.toFile.setLastModified(t0 + i * 10000L)
       // remove the staging dir so the glob below only sees f_*.parquet
-      Files.walk(stage).sorted(java.util.Comparator.reverseOrder())
+      val walk = Files.walk(stage)
+      try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => Files.delete(p))
+      finally walk.close()
     }
   }
 
@@ -69,8 +74,20 @@ class Round11Spec extends AnyFunSuite {
   private val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
   private val textB = "one two three four five six seven eight nine ten eleven twelve"
   private val textC = "corpus resident document about streaming admission state tables and relabel logs"
-  private def uniq(i: Int) =
-    s"unique filler document number $i with deliberately distinct trailing words w$i x$i y$i z$i"
+  // genuinely dissimilar filler texts: shingles are CHARACTER 5-grams
+  // (Dedup.shingles), so "unique doc number $i" templates that differ
+  // only in digits are in fact near-duplicates (J ≈ 0.7) and
+  // deterministically LSH-collide — each filler needs its own
+  // vocabulary, not its own suffix
+  private val uniqTexts: Map[Long, String] = Map(
+    21L -> "jade falcons orbit a crimson nebula beyond the quiet ridge tonight",
+    23L -> "maple syrup dripped onto warm pancakes while the kettle whistled softly",
+    25L -> "seven granite boulders guard the mossy trailhead above the fjord",
+    27L -> "the violinist tuned her strings as lanterns flickered across the plaza",
+    29L -> "rusty gears clattered inside the old mill beside the weir",
+    31L -> "a cartographer sketched dunes and oases on vellum by candlelight",
+    33L -> "penguins huddle against the katabatic wind on the brittle ice shelf")
+  private def uniq(i: Int) = uniqTexts(i.toLong)
 
   /** 10 micro-batches; the global-min clone of text A (doc 3) arrives
     * in batch 1, AFTER doc 7 (batch 0) was already admitted.
@@ -93,7 +110,11 @@ class Round11Spec extends AnyFunSuite {
     val bands = Dedup.lshBands(Dedup.minhashSignaturesFromHashes(
       Dedup.shingleHashes(Dedup.shingles(corpus, distinct = false)), k = 16))
     val bT = s"${prefix}_init_bands"; val cT = s"${prefix}_init_comps"
-    spark.sql(s"DROP TABLE IF EXISTS $bT"); spark.sql(s"DROP TABLE IF EXISTS $cT")
+    // dir-deleting drop: a fresh test JVM's catalog does not know a
+    // prior run's tables, so DROP TABLE alone leaves the warehouse
+    // dirs and the saveAsTable below dies with LOCATION_ALREADY_EXISTS
+    StreamingOps.dropTableAndDir(spark, bT)
+    StreamingOps.dropTableAndDir(spark, cT)
     bands.write.mode("overwrite").saveAsTable(bT)
     corpus.select(col("doc_id"), col("doc_id").as("cluster"))
       .write.mode("overwrite").saveAsTable(cT)
@@ -174,6 +195,31 @@ class Round11Spec extends AnyFunSuite {
     assert(compacted.get(1000L).contains(13L))
     assert(!compacted.contains(9L)) // 9 never retired
     assert(spark.table("graft_admit_delta_r11a_test").count() == 0)
+  }
+
+  test("persisted admission: rerun under the same tag survives >=2 prior compactions") {
+    val dir = Files.createTempDirectory("r11_rerun_")
+    writeBatchFiles(dir, fixtureBatches)
+    val (bT, cT) = initStateTables("r11d")
+    def run(): Map[Long, Boolean] = StreamingOps.runIncrementalAdmitPersisted(
+        batchStream(dir), bT, cT, tag = "r11d_test", compactEvery = 2)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val first = run()
+    def versionsNow: Array[String] = spark.catalog.listTables()
+      .collect().map(_.name)
+      .filter(_.startsWith("graft_admit_compacted_r11d_test"))
+    val v1 = versionsNow
+    assert(v1.length == 1)
+    // the guard is only meaningful if the first run really compacted
+    // at least twice — i.e. left a _v{n>=2} for the rerun to trip on
+    assert(v1.head.stripPrefix("graft_admit_compacted_r11d_test_v").toInt >= 2,
+      s"fixture no longer forces >=2 compactions: ${v1.head}")
+    // the rerun drops ALL prior _v* versions at start; before the fix
+    // it dropped only _v0 and died with LOCATION_ALREADY_EXISTS when
+    // compaction reached a version the first run left behind
+    val second = run()
+    assert(second == first)
+    assert(versionsNow.length == 1)
   }
 
   test("persisted admission matches the bounded harness under single-batch delivery") {
