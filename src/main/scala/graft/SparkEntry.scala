@@ -278,6 +278,20 @@ object SparkEntry {
       Similarity.residualPqCodebooks(emb(s, dir), trainedCents(s, dir),
         m = PQ_M, k = PQ_K, iters = PQ_ITERS, dims = 64))
 
+  /** OPQ rotation + codebooks over the residual table (FAISS
+    * OPQMatrix-before-IndexIVFPQ): same m/k/iters budget as the
+    * residual fit plus the learned orthogonal rotation — memoized per
+    * (session, dir); the extra driver payload is one dims×dims
+    * matrix.
+    */
+  private val opqCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (Array[Array[Double]], Array[Array[Array[Double]]])]
+  private def opqFit(s: SparkSession, dir: String)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) =
+    opqCache.getOrElseUpdate((s, dir),
+      Similarity.opqResidualTrain(emb(s, dir), trainedCents(s, dir),
+        m = PQ_M, k = PQ_K, iters = PQ_ITERS, dims = 64, alternations = 3))
+
   /** The trained BPE merge list, collected once per (session, dir):
     * the encode and token-count queries both replay it, and training
     * is the expensive sequential part (one driver top-1 per round).
@@ -1218,6 +1232,31 @@ object SparkEntry {
         .unionAll(recallPerQuery(truth,
           Similarity.rerankExact(e, cand, q, k = 10), "rpq_rerank"))
     }),
+    "q_opq_recall" -> ((s, dir) => {
+      // OPQ (alternating-SVD learned rotation, Ge et al. 2013) on the
+      // residual chain at IDENTICAL bytes/vector to
+      // q_pq_residual_recall: the ivf_opq leg vs that query's ivf_rpq
+      // leg is the measured value of the rotation (PLANS.md r12
+      // table). The training chain ends in an SVD, which no SQL
+      // engine replays — this query is deliberately oracle-less
+      // (rows-only check); every arithmetic leaf it shares with the
+      // oracled chain (coarse fit, Lloyd sub-fits, routing, scoring)
+      // is already hash-checked there, and Round12Spec pins the
+      // rotation's own invariants (orthogonality, objective descent,
+      // recall >= identity)
+      val e = emb(s, dir)
+      val q = e.filter(probePanel)
+      val truth = Similarity.bruteForceTopK(e, q, k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val cents = trainedCents(s, dir)
+      val (rot, books) = opqFit(s, dir)
+      val codes = Similarity.opqResidualEncode(e, cents, rot, books)
+      val ivf = Similarity.ivfTopKResidualOpq(codes, q, cents, rot, books, k = 10, nprobe = 4)
+      val cand = Similarity.ivfTopKResidualOpq(codes, q, cents, rot, books, k = 50, nprobe = 4)
+      recallPerQuery(truth, ivf, "ivf_opq")
+        .unionAll(recallPerQuery(truth,
+          Similarity.rerankExact(e, cand, q, k = 10), "opq_rerank"))
+    }),
     "q_simhash_neardups" -> ((s, dir) =>
       Dedup.simhashNearDups(docs(s, dir))),
     "q_kmeans" -> ((s, dir) =>
@@ -1299,6 +1338,18 @@ object SparkEntry {
       // stream, IDENTICAL pixel aHash (asserted in Round9Spec, where
       // the byte-level hash provably misses the pair)
       Multimodal.pixelPhash(Multimodal.syntheticPngs(docs(s, dir)))),
+    "q_media_video" -> ((s, dir) =>
+      // REAL video pipeline (r12): a corpus of actual AVI (RIFF)
+      // containers with raw-DIB frames encoded from a deterministic
+      // per-frame luma pattern, decoded back through the container
+      // walk in a partition-batched kernel, per-frame pixel aHash
+      // over the DECODED pixels. Raw DIB is lossless, so the oracle
+      // replays the pattern math while Spark runs the real container
+      // roundtrip (the MJPEG form of the same container is exercised
+      // in Round12Spec — JPEG loss makes it non-oracle-replayable).
+      // Ids = 9 mod 10 are brightness-shifted re-encodes of id-1:
+      // different AVI byte stream, identical per-frame pixel aHash
+      Multimodal.videoFrameHashes(Multimodal.syntheticAvis(docs(s, dir)))),
     "q_media_neardups" -> ((s, dir) => {
       // media near-dup detection: perceptual hashes through the SAME
       // banded-hamming machinery as SimHash (the near-dup tail is
@@ -2621,6 +2672,7 @@ object SparkEntry {
     "q_simhash_neardups" -> simhashNearDupsSql,
     "q_media_phash" -> mediaPhashSql,
     "q_media_pixel_phash" -> mediaPixelPhashSql,
+    "q_media_video" -> mediaVideoSql,
     "q_media_neardups" -> mediaNearDupsSql,
     // admission twin: bounded stream ≡ batch on the hashable universe
     "q_stream_phash" -> mediaNearDupsStreamSql,
@@ -4067,6 +4119,41 @@ object SparkEntry {
        |                     THEN (CAST(1 AS BIGINT) << c.cell) ELSE 0 END) AS BIGINT) AS phash
        |FROM cells c JOIN tot t USING (media_id)
        |GROUP BY c.media_id""".stripMargin
+
+  /** Per-frame pixel-aHash replay for the raw-DIB AVI fixture: the
+    * deterministic frame pattern recomputed directly (raw DIB is
+    * lossless, so decoded pixels == pattern — the roundtrip identity
+    * is unit-asserted in Round12Spec), 13×4 cell grid per frame,
+    * exact cross-multiplied compares. Frame count = 1 + seed % 5,
+    * same for both halves of a re-encode pair.
+    */
+  private def mediaVideoSql: String =
+    s"""WITH ids AS (
+       |  SELECT doc_id AS media_id,
+       |         CASE WHEN doc_id % 10 = 9 THEN doc_id - 1 ELSE doc_id END AS seed,
+       |         CASE WHEN doc_id % 10 = 9 THEN 8 ELSE 0 END AS delta
+       |  FROM documents),
+       |fr AS (
+       |  SELECT media_id, seed, delta,
+       |         unnest(generate_series(0, CAST(seed % 5 AS INT))) AS f
+       |  FROM ids),
+       |px AS (
+       |  SELECT media_id, f, (y // 8) * 13 + (x * 13 // 48) AS cell,
+       |         ((seed * 7919 + f * 131071 + (y * 48 + x) * 104729) % 200) + delta AS l
+       |  FROM fr,
+       |       (SELECT unnest(generate_series(0, 47)) AS x),
+       |       (SELECT unnest(generate_series(0, 31)) AS y)),
+       |cells AS (
+       |  SELECT media_id, f, cell, sum(l) AS cs, count(*) AS cn
+       |  FROM px GROUP BY media_id, f, cell),
+       |tot AS (SELECT media_id, f, sum(cs) AS ts, sum(cn) AS tn
+       |        FROM cells GROUP BY media_id, f)
+       |SELECT c.media_id, CAST(c.f AS INT) AS frame_idx,
+       |       CAST(48 AS INT) AS width, CAST(32 AS INT) AS height,
+       |       CAST(sum(CASE WHEN c.cs * t.tn > t.ts * c.cn
+       |                     THEN (CAST(1 AS BIGINT) << c.cell) ELSE 0 END) AS BIGINT) AS phash
+       |FROM cells c JOIN tot t ON c.media_id = t.media_id AND c.f = t.f
+       |GROUP BY c.media_id, c.f""".stripMargin
 
   /** Banded-hamming near-dups over the perceptual hashes — the
     * simhashNearDupsSql machinery verbatim, keyed on phash.

@@ -9,13 +9,16 @@ import org.apache.spark.sql.functions._
   * executor task streams many records through a vectorizable decode
   * function without per-row UDF overhead.
   *
-  * Decode reality (r9): AUDIO parses real RIFF/WAVE headers; IMAGE
+  * Decode reality: AUDIO parses real RIFF/WAVE headers (r9); IMAGE
   * decodes real PNG/BMP/JPEG via the JDK-built-in javax.imageio
   * (`decodeImage`, `pixelPhash` — the pixel-level aHash the byte
-  * fallback approximates); only VIDEO remains a deterministic stub
-  * (no container parser in the JDK). The Spark-side contract —
-  * schema, binary transport, partition-batched execution, feature
-  * array output — is real and tested end-to-end on generated PNGs.
+  * fallback approximates, r9); VIDEO parses real AVI (RIFF)
+  * containers with MJPEG or raw-DIB frames (`decodeAvi`,
+  * `videoFrameHashes`, r12). The deterministic stub survives only as
+  * the fallback for payloads that are not decodable media. The
+  * Spark-side contract — schema, binary transport, partition-batched
+  * execution, feature array output — is real and tested end-to-end
+  * on generated PNGs and AVIs.
   */
 object Multimodal {
 
@@ -65,6 +68,16 @@ object Multimodal {
     if (rec.kind == "image") decodeImage(rec.bytes) match {
       case Some((w, h, _)) =>
         return MediaFeatures(rec.media_id, rec.kind, n, w, h, 1,
+          histogram(rec.bytes))
+      case None => ()
+    }
+    // video decode is REAL since r12 (AVI container walk + MJPEG/raw
+    // frame decode): a payload that actually parses as an AVI reports
+    // its true dimensions and frame count. The synthetic text-byte
+    // fixtures never parse, so their oracle replays the stub branch.
+    if (rec.kind == "video") decodeAvi(rec.bytes) match {
+      case Some((w, h, frames)) =>
+        return MediaFeatures(rec.media_id, rec.kind, n, w, h, frames.length,
           histogram(rec.bytes))
       case None => ()
     }
@@ -290,6 +303,209 @@ object Multimodal {
       .mapPartitions(_.flatMap { case (id, bytes) =>
         decodeImage(bytes).map { case (w, h, luma) =>
           PixelHash(id, w, h, pixelAHash52(w, h, luma)) }
+      })
+      .toDF()
+  }
+
+  // ------------------------------------------------------------------
+  // REAL video decode (r12): MJPEG / raw-DIB frames in an AVI (RIFF)
+  // container. The RIFF walk is the WAV parser's structure applied to
+  // nested LISTs; '00dc' frames are real JPEGs decoded by the same
+  // javax.imageio path as images, '00db' frames are raw bottom-up
+  // 8-bit DIB rows. The ORACLE corpus uses raw-DIB frames (lossless,
+  // so decoded pixels == the deterministic pattern, replayed by SQL
+  // exactly as the PNG tier does); the MJPEG form exercises the lossy
+  // real-codec roundtrip in unit tests.
+  // ------------------------------------------------------------------
+
+  val VidW = 48
+  val VidH = 32
+
+  /** Frame count per media id — derived from the CONTENT seed, so a
+    * brightness-shifted re-encode pair (id ≡ 9 mod 10, see
+    * [[contentSeed]]) has identical frame structure.
+    */
+  def videoFrames(id: Long): Int = (1 + contentSeed(id) % 5).toInt
+
+  /** Deterministic 8-bit luma of frame `f` at (x, y) — exact integer
+    * arithmetic, replayed verbatim by the SQL oracle.
+    */
+  def videoLumaAt(id: Long, f: Int, x: Int, y: Int): Int =
+    (((contentSeed(id) * 7919L + f.toLong * 131071L +
+      (y.toLong * VidW + x) * 104729L) % 200L) + brightShift(id)).toInt
+
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def fcc(s: String): Array[Byte] = s.getBytes("ASCII")
+  private def riffChunk(id: String, body: Array[Byte]): Array[Byte] =
+    fcc(id) ++ le32(body.length) ++ body ++
+      (if (body.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray)
+  private def riffList(typ: String, body: Array[Byte]): Array[Byte] =
+    riffChunk("LIST", fcc(typ) ++ body)
+
+  /** REAL AVI encode of the deterministic frame patterns. `mjpeg`
+    * selects the codec: raw 8-bit DIB ('00db', lossless — the oracle
+    * corpus) or MJPEG ('00dc', each frame an actual ImageIO-encoded
+    * JPEG). Container structure per the public AVI RIFF spec:
+    * hdrl(avih, strl(strh, strf)) + movi(frame chunks).
+    */
+  def encodeAvi(id: Long, mjpeg: Boolean = false): Array[Byte] = {
+    val n = videoFrames(id)
+    val stride = (VidW + 3) & ~3
+    val frames: Seq[Array[Byte]] = (0 until n).map { f =>
+      if (mjpeg) {
+        val img = new java.awt.image.BufferedImage(VidW, VidH,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val r = img.getRaster
+        var y = 0
+        while (y < VidH) {
+          var x = 0
+          while (x < VidW) { r.setSample(x, y, 0, videoLumaAt(id, f, x, y)); x += 1 }
+          y += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", baos)
+        riffChunk("00dc", baos.toByteArray)
+      } else {
+        // bottom-up rows, 4-byte-aligned stride — the DIB contract
+        val body = new Array[Byte](stride * VidH)
+        var y = 0
+        while (y < VidH) {
+          var x = 0
+          while (x < VidW) {
+            body((VidH - 1 - y) * stride + x) = videoLumaAt(id, f, x, y).toByte
+            x += 1
+          }
+          y += 1
+        }
+        riffChunk("00db", body)
+      }
+    }
+    val frameBytes = if (mjpeg) frames.map(_.length - 8).max else stride * VidH
+    val avih = riffChunk("avih",
+      le32(40000) ++ le32(frameBytes * 25) ++ le32(0) ++ le32(0) ++ // usec/frame, bytes/s, pad, flags
+      le32(n) ++ le32(0) ++ le32(1) ++ le32(frameBytes) ++          // frames, initial, streams, bufsize
+      le32(VidW) ++ le32(VidH) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+    val strh = riffChunk("strh",
+      fcc("vids") ++ (if (mjpeg) fcc("MJPG") else le32(0)) ++
+      le32(0) ++ le16(0) ++ le16(0) ++ le32(0) ++                    // flags, prio, lang, initial
+      le32(1) ++ le32(25) ++ le32(0) ++ le32(n) ++                   // scale, rate, start, length
+      le32(frameBytes) ++ le32(-1) ++ le32(0) ++                     // bufsize, quality, samplesize
+      le16(0) ++ le16(0) ++ le16(VidW) ++ le16(VidH))                // rcFrame
+    val bmih =
+      le32(40) ++ le32(VidW) ++ le32(VidH) ++ le16(1) ++
+      le16(if (mjpeg) 24 else 8) ++
+      (if (mjpeg) fcc("MJPG") else le32(0)) ++                       // biCompression
+      le32(stride * VidH) ++ le32(0) ++ le32(0) ++
+      le32(if (mjpeg) 0 else 256) ++ le32(0)
+    val palette =
+      if (mjpeg) Array.emptyByteArray
+      else Array.tabulate(256 * 4) { i =>
+        if (i % 4 == 3) 0.toByte else (i / 4).toByte }               // grayscale RGBQUADs
+    val strf = riffChunk("strf", bmih ++ palette)
+    val hdrl = riffList("hdrl", avih ++ riffList("strl", strh ++ strf))
+    val movi = riffList("movi", frames.flatten.toArray)
+    val body = fcc("AVI ") ++ hdrl ++ movi
+    fcc("RIFF") ++ le32(body.length) ++ body
+  }
+
+  /** REAL AVI decode: walk the RIFF tree for the video stream's
+    * BITMAPINFOHEADER, then decode every movi frame — '00dc' chunks
+    * through javax.imageio (MJPEG = a JPEG per frame), '00db' chunks
+    * as raw bottom-up 8-bit DIB rows. Returns (width, height,
+    * row-major luma per frame); None when the payload is not a
+    * parseable AVI.
+    */
+  def decodeAvi(bytes: Array[Byte]): Option[(Int, Int, Seq[Array[Int]])] =
+    try decodeAviUnsafe(bytes) catch { case scala.util.control.NonFatal(_) => None }
+
+  private def decodeAviUnsafe(bytes: Array[Byte]): Option[(Int, Int, Seq[Array[Int]])] = {
+    if (bytes.length < 12) return None
+    val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = { val a = new Array[Byte](4); b.get(a); new String(a, "ASCII") }
+    if (tag() != "RIFF") return None
+    b.getInt()
+    if (tag() != "AVI ") return None
+    var dims: Option[(Int, Int, Int)] = None // (w, h, bitCount)
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+    def walk(end: Int): Unit = {
+      while (b.position() + 8 <= end) {
+        val id = tag()
+        val len = b.getInt()
+        val start = b.position()
+        if (len < 0 || start + len > end) return
+        if (id == "LIST") { tag(); walk(start + len); }
+        else if (id == "strf" && dims.isEmpty && len >= 40) {
+          b.getInt() // biSize
+          val w = b.getInt(); val h = b.getInt()
+          b.getShort()
+          val bits = b.getShort() & 0xffff
+          dims = Some((w, h, bits))
+        } else if (id.length == 4 && id.endsWith("dc")) {
+          val payload = java.util.Arrays.copyOfRange(bytes, start, start + len)
+          decodeImage(payload).foreach { case (_, _, luma) => frames += luma }
+        } else if (id.length == 4 && id.endsWith("db")) {
+          dims.foreach { case (w, h, bits) =>
+            if (bits == 8) {
+              val stride = (w + 3) & ~3
+              if (len >= stride * h) {
+                val luma = new Array[Int](w * h)
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    luma(y * w + x) = bytes(start + (h - 1 - y) * stride + x) & 0xff
+                    x += 1
+                  }
+                  y += 1
+                }
+                frames += luma
+              }
+            }
+          }
+        }
+        b.position(start + len + (len & 1))
+      }
+    }
+    walk(bytes.length)
+    dims.map { case (w, h, _) => (w, h, frames.toSeq) }
+  }
+
+  /** Synthetic AVI corpus keyed by the documents fixture's ids:
+    * (media_id, kind='video', bytes=real raw-DIB AVI), encoded in a
+    * partition-batched kernel. Ids ≡ 9 (mod 10) are brightness-
+    * shifted re-encodes of id−1's frames — different byte stream,
+    * identical per-frame pixel aHash (the PNG pair's property, now
+    * per frame).
+    */
+  def syntheticAvis(docs: DataFrame, mjpeg: Boolean = false): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map(id => (id, "video", encodeAvi(id, mjpeg))))
+      .toDF("media_id", "kind", "bytes")
+  }
+
+  case class FrameHash(media_id: Long, frame_idx: Int, width: Int,
+                       height: Int, phash: Long)
+
+  /** Decode + per-frame pixel-aHash in one partition-batched kernel
+    * over a (media_id, bytes) table of real AVIs; unparseable
+    * payloads are dropped (same contract as [[pixelPhash]]).
+    */
+  def videoFrameHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeAvi(bytes).toSeq.flatMap { case (w, h, frames) =>
+          frames.iterator.zipWithIndex.map { case (luma, f) =>
+            FrameHash(id, f, w, h, pixelAHash52(w, h, luma)) }
+        }
       })
       .toDF()
   }

@@ -863,6 +863,304 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 
+  // ------------------------------------------------------------------
+  // OPQ (Ge et al., "Optimized Product Quantization", CVPR 2013,
+  // non-parametric solution): learn an orthogonal rotation R that
+  // minimizes ‖XR − X̂‖² by alternating (a) PQ codebook training on
+  // the rotated data with (b) the orthogonal-Procrustes update
+  // R = U Vᵀ from the SVD of M = Xᵀ X̂. The rotation redistributes
+  // correlated variance across the m sub-spaces, so the same m×k code
+  // budget quantizes tighter — measurably higher recall at identical
+  // bytes/vector (the PLANS.md r12 recall table). Applied to the
+  // RESIDUALS (FAISS OPQ-before-IVFPQ shape): coarse assignment stays
+  // unrotated L2; the residual is rotated before the sub-space split
+  // and rotated back (Rᵀ) at reconstruction.
+  // ------------------------------------------------------------------
+
+  /** y = x·R over an embedding column: y_j = Σ_i x_i R_ij, each
+    * output component one zip_with/aggregate against a column-literal
+    * of R — pure map-side, deterministic left-to-right accumulation.
+    */
+  def rotateEmbedding(r: Array[Array[Double]], e: Column): Column = {
+    val d = r.length
+    array((0 until d).map { j =>
+      val colJ = r.map(_(j))
+      aggregate(zip_with(e.cast("array<double>"), typedLit(colJ), (x, p) => x * p),
+        lit(0.0), (acc, x) => acc + x)
+    }: _*)
+  }
+
+  private def matT(a: Array[Array[Double]]): Array[Array[Double]] =
+    Array.tabulate(a(0).length, a.length)((i, j) => a(j)(i))
+
+  private def matMulSmall(a: Array[Array[Double]], b: Array[Array[Double]]): Array[Array[Double]] =
+    Array.tabulate(a.length, b(0).length) { (i, j) =>
+      var s = 0.0; var k = 0
+      while (k < b.length) { s += a(i)(k) * b(k)(j); k += 1 }
+      s
+    }
+
+  private def eye(d: Int): Array[Array[Double]] =
+    Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+
+  /** One-sided Jacobi (Hestenes) sweeps: returns (A, V) with
+    * A = M·V having orthogonal columns — i.e. A = U·Σ of M's SVD.
+    * Deterministic fixed sweep order.
+    */
+  private def oneSidedJacobi(m0: Array[Array[Double]])
+      : (Array[Array[Double]], Array[Array[Double]]) = {
+    val d = m0.length
+    val a = m0.map(_.clone())
+    val v = eye(d)
+    def colDot(x: Int, y: Int): Double = {
+      var s = 0.0; var i = 0
+      while (i < d) { s += a(i)(x) * a(i)(y); i += 1 }
+      s
+    }
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 30 && off > 1e-14) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val app = colDot(p, p); val aqq = colDot(q, q); val apq = colDot(p, q)
+          if (math.abs(apq) > 1e-15 * math.sqrt(app * aqq) && apq != 0.0) {
+            off = math.max(off, math.abs(apq) / math.max(math.sqrt(app * aqq), 1e-300))
+            val tau = (aqq - app) / (2.0 * apq)
+            val t = math.signum(tau) / (math.abs(tau) + math.sqrt(1.0 + tau * tau))
+            val c = 1.0 / math.sqrt(1.0 + t * t)
+            val s = c * t
+            var i = 0
+            while (i < d) {
+              val ap = a(i)(p); val aq = a(i)(q)
+              a(i)(p) = c * ap - s * aq; a(i)(q) = s * ap + c * aq
+              val vp = v(i)(p); val vq = v(i)(q)
+              v(i)(p) = c * vp - s * vq; v(i)(q) = s * vp + c * vq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (a, v)
+  }
+
+  /** Orthogonal-Procrustes factor of a small square matrix M: the
+    * R = U Vᵀ of M's SVD (one-sided Jacobi), with rank-deficient M's
+    * null-space columns completed by Gram–Schmidt so R is always a
+    * true rotation.
+    */
+  def procrustesRotation(m0: Array[Array[Double]]): Array[Array[Double]] = {
+    val d = m0.length
+    val (a, v) = oneSidedJacobi(m0)
+    def colDot(x: Int, y: Int): Double = {
+      var s = 0.0; var i = 0
+      while (i < d) { s += a(i)(x) * a(i)(y); i += 1 }
+      s
+    }
+    // U columns = normalized columns of A (σ_j = ‖a_j‖). M from a
+    // low-rank reconstruction is rank-deficient, so zero columns are
+    // completed to an orthonormal basis by Gram–Schmidt over the
+    // canonical vectors — any orthogonal completion is a valid
+    // Procrustes solution on the null space, but it MUST be orthogonal
+    // to the data columns or R stops being a rotation.
+    val norms = Array.tabulate(d)(j => math.sqrt(colDot(j, j)))
+    val tol = 1e-10 * math.max(norms.max, 1e-300)
+    val uCols = Array.ofDim[Double](d, d) // uCols(j) = column j
+    val defined = Array.fill(d)(false)
+    var j = 0
+    while (j < d) {
+      if (norms(j) > tol) {
+        var i = 0
+        while (i < d) { uCols(j)(i) = a(i)(j) / norms(j); i += 1 }
+        defined(j) = true
+      }
+      j += 1
+    }
+    var basis = 0
+    j = 0
+    while (j < d) {
+      if (!defined(j)) {
+        var done = false
+        while (!done && basis < d) {
+          val cand = new Array[Double](d)
+          cand(basis) = 1.0
+          var jj = 0
+          while (jj < d) {
+            if (defined(jj)) {
+              var dp = 0.0; var i = 0
+              while (i < d) { dp += cand(i) * uCols(jj)(i); i += 1 }
+              i = 0
+              while (i < d) { cand(i) -= dp * uCols(jj)(i); i += 1 }
+            }
+            jj += 1
+          }
+          val n2 = math.sqrt(cand.map(x => x * x).sum)
+          basis += 1
+          if (n2 > 0.5) { // e_basis was not (nearly) in the span
+            var i = 0
+            while (i < d) { uCols(j)(i) = cand(i) / n2; i += 1 }
+            defined(j) = true
+            done = true
+          }
+        }
+        require(defined(j), "orthogonal completion failed") // cannot happen: rank < d ⇒ some e_m survives
+      }
+      j += 1
+    }
+    val u = Array.tabulate(d, d)((i, jj) => uCols(jj)(i))
+    matMulSmall(u, matT(v))
+  }
+
+  /** Accumulate M(i,j) = Σ_n a_n(i)·b_n(j) over a two-array-column
+    * frame — distributed outer-product sum; only the d×d matrix ever
+    * reaches the driver.
+    */
+  private def outerSum(df: DataFrame, dims: Int): Array[Array[Double]] = {
+    val flat = df.rdd.treeAggregate(new Array[Double](dims * dims))(
+      (acc, row) => {
+        val x = row.getSeq[Double](0); val y = row.getSeq[Double](1)
+        var i = 0
+        while (i < dims) {
+          val xi = x(i); var j = 0
+          while (j < dims) { acc(i * dims + j) += xi * y(j); j += 1 }
+          i += 1
+        }
+        acc
+      },
+      (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
+    Array.tabulate(dims, dims)((i, j) => flat(i * dims + j))
+  }
+
+  /** Parametric OPQ initialization (Ge et al. §4, "eigenvalue
+    * allocation"): PCA-rotate, then deal the principal directions to
+    * the m sub-spaces in snake order of variance so every sub-space
+    * gets a balanced share of (few, dominant) directions. This is the
+    * init that lets the non-parametric alternation escape the
+    * identity fixed point (codebooks trained on the unrotated split
+    * are self-consistent, so the Procrustes update alone barely moves
+    * R).
+    */
+  def pcaSnakeInit(vectors: DataFrame, m: Int, dims: Int): Array[Array[Double]] = {
+    val x = vectors.select(col("embedding").cast("array<double>").as("x"))
+      .select(col("x"), col("x").as("y"))
+    val cov = outerSum(x, dims) // second moment — PCA about the origin
+    val (a, v) = oneSidedJacobi(cov)
+    val sigma = Array.tabulate(dims) { j =>
+      var s = 0.0; var i = 0
+      while (i < dims) { s += a(i)(j) * a(i)(j); i += 1 }
+      math.sqrt(s)
+    }
+    val order = (0 until dims).sortBy(j => (-sigma(j), j))
+    val sub = dims / m
+    val buckets = Array.fill(m)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    order.zipWithIndex.foreach { case (j, pos) =>
+      val cycle = pos / m; val rr = pos % m
+      val b = if (cycle % 2 == 0) rr else m - 1 - rr
+      if (buckets(b).length < sub) buckets(b) += j
+      else buckets.minBy(_.length) += j // snake overflow guard (uneven tails)
+    }
+    val colOrder = buckets.flatMap(_.toSeq)
+    Array.tabulate(dims, dims)((i, jj) => v(i)(colOrder(jj)))
+  }
+
+  /** Non-parametric OPQ training over a (vec_id, embedding) table:
+    * PCA/eigenvalue-allocation init, then `alternations` rounds of
+    * [distributed Lloyd codebooks on X·R] and [Procrustes update from
+    * M = Xᵀ X̂]. M is a d×d accumulation — computed distributed
+    * (treeAggregate of per-row outer products), only the 4 KB matrix
+    * ever reaches the driver. Returns (R, codebooks trained on the
+    * FINAL rotation) — both plan literals downstream, same artifact
+    * contract as `pqCodebooks`.
+    */
+  def opqTrain(vectors: DataFrame, m: Int = 4, k: Int = 16, iters: Int = 2,
+               dims: Int = 64, alternations: Int = 3)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    var r = pcaSnakeInit(vectors, m, dims)
+    var books: Array[Array[Array[Double]]] = null
+    for (_ <- 0 until alternations) {
+      val rotated = vectors.select(col("vec_id"),
+        rotateEmbedding(r, col("embedding")).as("embedding"))
+      books = pqCodebooks(rotated, m, k, iters, dims)
+      // M = Σ_n x_n ŷ_nᵀ (original-frame x, rotated-frame reconstruction)
+      val xy = vectors
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("x"),
+          rotateEmbedding(r, col("embedding")).as("embedding"))
+        .select(Seq(col("vec_id"), col("x")) ++ pqCodeCols(books): _*)
+        .select(col("x"), pqDecode(books).as("y"))
+      r = procrustesRotation(outerSum(xy, dims))
+    }
+    val rotated = vectors.select(col("vec_id"),
+      rotateEmbedding(r, col("embedding")).as("embedding"))
+    (r, pqCodebooks(rotated, m, k, iters, dims))
+  }
+
+  /** OPQ training on the RESIDUAL table — the FAISS
+    * OPQMatrix-before-IndexIVFPQ chain at identical bytes/vector to
+    * `residualPqCodebooks`.
+    */
+  def opqResidualTrain(vectors: DataFrame, centroids: Array[Array[Double]],
+                       m: Int = 4, k: Int = 16, iters: Int = 2, dims: Int = 64,
+                       alternations: Int = 3)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) =
+    opqTrain(residualTable(vectors, centroids, dims), m, k, iters, dims, alternations)
+
+  /** Residual-OPQ encode: (vec_id, list, c0..c{m-1}) — the residual
+    * is rotated by R before the sub-space split; payload identical to
+    * `residualPqEncode`.
+    */
+  def opqResidualEncode(vectors: DataFrame, centroids: Array[Array[Double]],
+                        r: Array[Array[Double]],
+                        codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val dims = codebooks.map(_(0).length).sum
+    residualTable(vectors, centroids, dims)
+      .select(col("vec_id"), col("list"),
+        rotateEmbedding(r, col("embedding")).as("embedding"))
+      .select(col("vec_id") +: col("list") +: pqCodeCols(codebooks): _*)
+  }
+
+  /** IVF search over a residual-OPQ codes table: reconstruction is
+    * x̂ = c(list) + (codebook lookups)·Rᵀ — the rotate-back is one
+    * more matrix-literal map — then the identical routing/scoring
+    * shape as `ivfTopKResidualPq`.
+    */
+  def ivfTopKResidualOpq(codes: DataFrame, queries: DataFrame,
+                         centroids: Array[Array[Double]],
+                         r: Array[Array[Double]],
+                         codebooks: Array[Array[Array[Double]]],
+                         k: Int = 10, nprobe: Int = 4): DataFrame = {
+    require(nprobe >= 1 && nprobe <= centroids.length, "nprobe must be in [1, nlist]")
+    val dims = codebooks.map(_(0).length).sum
+    require(centroids.forall(_.length == dims), s"centroid dims must all be $dims")
+    val centsLit = typedLit(centroids.map(_.toSeq).toSeq)
+    val de = zip_with(element_at(centsLit, col("list") + 1),
+      rotateEmbedding(matT(r), pqDecode(codebooks)), (c, rr) => c + rr)
+    val c = codes.select(col("vec_id").as("neighbor_id"), col("list"), de.as("de"))
+      .select(col("neighbor_id"), col("list"), col("de"),
+        sqrt(dot(col("de"), col("de"))).as("cn"))
+    val qDists = ivfL2For(centroids, col("qe"))
+    val q = queries.select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qe"))
+      .select(col("query_id"), col("qe"), sqrt(dot(col("qe"), col("qe"))).as("qn"),
+        posexplode(slice(array_sort(qDists), 1, nprobe)))
+      .select(col("query_id"), col("qe"), col("qn"), col("col.list").as("list"))
+    val scored = c.join(broadcast(q), "list")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qe"), col("de")) / (col("qn") * col("cn"))).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(round(col("cos"), 6).desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /** Exact-float rerank of an arbitrary candidate list — the refine
     * stage of any two-stage ANN (shared by the PQ and residual-PQ
     * paths): candidates equi-join the float corpus on neighbor_id
