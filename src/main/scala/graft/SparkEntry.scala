@@ -937,6 +937,17 @@ object SparkEntry {
       // q_substr_rewrite, so the two INDEPENDENT implementations
       // share one oracle (cross-implementation check)
       Dedup.saSubstrDedup(docs(s, dir), w = 10)),
+    "q_substr_w50" -> ((s, dir) =>
+      // Lee et al.'s PUBLISHED window length (w=50), windowed-hash
+      // form: 50x hash input per token, one span exchange — the
+      // w-scaling half of the measured SA-vs-windowed crossover
+      // (PLANS.md r12)
+      Dedup.substrDedup(docs(s, dir), w = 50)),
+    "q_sa_substr_w50" -> ((s, dir) =>
+      // the SA-class form at w=50: ceil(log2 50)+1 = 7 integer-only
+      // refinement rounds, hash-free — shares the w=50 oracle with
+      // q_substr_w50 (same covered set by construction)
+      Dedup.saSubstrDedup(docs(s, dir), w = 50)),
     "q_chunk_dedup" -> ((s, dir) =>
       // the REWRITE stage the span statistics motivate: line-level
       // dedup at 20-token chunk grain — drop every repeated chunk's
@@ -2698,6 +2709,8 @@ object SparkEntry {
     "q_dup_spans" -> dupSpansSql,
     "q_substr_rewrite" -> substrRewriteSql,
     "q_sa_substr" -> substrRewriteSql,
+    "q_substr_w50" -> substrRewriteSqlW(50),
+    "q_sa_substr_w50" -> substrRewriteSqlW(50),
     "q_chunk_dedup" -> chunkDedupSql,
     "q_span_sweep" -> spanSweepSql,
     "q_dup_span_top" -> dupSpanTopSql,
@@ -4338,17 +4351,17 @@ object SparkEntry {
     * single spaces, windows joined back with single spaces, hashed
     * to the md5 52-bit key exactly as Spark does.
     */
-  private def spansSqlFrom(table: String): String =
+  private def spansSqlFrom(table: String, w: Int = 10): String =
     s"""toks AS (
        |  SELECT doc_id, string_split($normSql, ' ') AS t
        |  FROM $table WHERE text IS NOT NULL
        |),
        |spans AS (
        |  SELECT doc_id, pos,
-       |         array_to_string(t[pos:pos+9], ' ') AS span
+       |         array_to_string(t[pos:pos+${w - 1}], ' ') AS span
        |  FROM (SELECT doc_id, t,
-       |               unnest(generate_series(1, len(t) - 9)) AS pos
-       |        FROM toks WHERE len(t) >= 10)
+       |               unnest(generate_series(1, len(t) - ${w - 1})) AS pos
+       |        FROM toks WHERE len(t) >= $w)
        |)""".stripMargin
 
   /** Window-length-sweep replay: same normalize/tokenize as the spans
@@ -4412,8 +4425,15 @@ object SparkEntry {
     * same 52-bit hash stand-in (the span STRING partition) as every
     * span oracle.
     */
-  private def substrRewriteSql: String =
-    s"""WITH ${spansSqlFrom("documents")},
+  private def substrRewriteSql: String = substrRewriteSqlW(10)
+
+  /** The exact-substring rewrite replay at window length `w` — shared
+    * verbatim by the windowed-hash AND suffix-array-class queries at
+    * each w (the two independent implementations compute the same
+    * covered set by construction).
+    */
+  private def substrRewriteSqlW(w: Int): String =
+    s"""WITH ${spansSqlFrom("documents", w)},
        |hs AS (SELECT doc_id, pos,
        |              ('0x' || substr(md5(span), 1, 13))::BIGINT AS h
        |       FROM spans),
@@ -4426,7 +4446,7 @@ object SparkEntry {
        |),
        |cov AS (
        |  SELECT DISTINCT doc_id, pos FROM (
-       |    SELECT doc_id, unnest(generate_series(pos, pos + 9)) AS pos FROM dr)
+       |    SELECT doc_id, unnest(generate_series(pos, pos + ${w - 1})) AS pos FROM dr)
        |),
        |tq AS (
        |  SELECT doc_id, pos, t[pos] AS tok

@@ -795,12 +795,19 @@ object Dedup {
     * w-window and vice versa, so the covered-position set equals the
     * windowed `substrDedup`'s (same first-occurrence-kept tie-break:
     * min (doc_id, pos) per class) — which is exactly what lets the
-    * two INDEPENDENT implementations share one oracle. Scale trade:
-    * ⌈log₂ w⌉ × (one groupBy + one self-join) integer-only exchanges
-    * over the token stream, vs ONE exchange but w× string-hash CPU
-    * for the windowed form — the SA form wins as w grows (Lee et
-    * al.'s w=50 pays 50× hash input per token; log₂ 50 = 6 rounds of
-    * 24-byte rows), the windowed form wins on shuffle count.
+    * two INDEPENDENT implementations share one oracle. Scale trade,
+    * MEASURED (r12, PLANS.md "SA vs windowed" table): the windowed
+    * form wins at every tested shape — 0.3–0.4 s vs 4.1–5.1 s at
+    * sf0.1, 1.2 s vs 19.5–26.8 s at sf1, and 1.6 s vs 31–40 s on a
+    * long-doc fixture (1083-token avg, where w=50 hashing reaches its
+    * full 270M-token input) — because md5 over the span stream is
+    * map-side CPU at GB/s while each of the ⌈log₂ w⌉+1 refinement
+    * rounds pays a full groupBy + self-join exchange over every token
+    * position. w barely moves the windowed cost (1.6 s at BOTH w=10
+    * and w=50 on long docs). The SA form's value is EXACTNESS (zero
+    * hash collisions by construction) and its round count's scale
+    * invariance (exponent 0.51–0.72), not throughput; the windowed
+    * 52-bit-hash form is the production path at any w ≤ 50.
     *
     * Intermediate classes of positions within w of their document's
     * end may conflate across documents (null next-class sentinel);

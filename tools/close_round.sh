@@ -70,6 +70,14 @@ EOF
     sbt -batch "runMain graft.Bench" > target/bench_ladder_sf1.log 2>&1
   cp BENCH_LAST.json target/ladder_sf1.json
   python3 tools/scale_ladder.py target/ladder_sf01.json target/ladder_sf1.json BENCH_sf1.json
+  # the multi-batch persisted-admission harness is a separate main
+  # (its stream staging can't live in Bench's query map) — same
+  # warm-min discipline, merged into the ladder afterwards
+  SPARK_GRAFT_CPUS=4 sbt -batch "runMain graft.AdmitLadder /root/testdata/sf0.1 10" \
+    2>&1 | grep '"metric"' > target/admit_sf01.json
+  SPARK_GRAFT_CPUS=4 sbt -batch "runMain graft.AdmitLadder $PWD/fixtures/sf1 10" \
+    2>&1 | grep '"metric"' > target/admit_sf1.json
+  python3 tools/merge_ladder.py BENCH_sf1.json target/admit_sf01.json target/admit_sf1.json
 fi
 
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" \
