@@ -1857,6 +1857,13 @@ object SparkEntry {
     "q_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(docs(s, dir), tc = Some(docTermCounts(s, dir)))),
 
+    "q_dup_ngram_cov" -> ((s, dir) =>
+      // Gopher's duplicate-n-gram coverage (Rae et al. 2021 §A1.1):
+      // fraction of token positions covered by a WITHIN-doc repeated
+      // 6-gram — overlap-aware via the covered-position union, the
+      // same coverage algebra as the exact-substring rewrite
+      TextAnalysis.dupNgramCoverage(docs(s, dir), n = 6)),
+
     "q_lm_score" -> ((s, dir) =>
       // CCNet-style LM quality filter: corpus-trained add-one bigram
       // model, per-doc mean conditional log-probability — the model is
@@ -2784,6 +2791,37 @@ object SparkEntry {
         |       CAST(top_tok_n AS DOUBLE) / n_tokens AS top_tok_frac,
         |       CAST(top_bigram_n AS DOUBLE) / n_bigrams AS top_bigram_frac
         |FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id""".stripMargin,
+
+    // duplicate-6-gram coverage replay: same tokenize as
+    // q_repetition; within-doc duplicated classes via a window count,
+    // covered positions union'd before counting (overlap-aware) —
+    // the ratio is one exact IEEE division of integers
+    "q_dup_ngram_cov" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS a FROM documents
+        |),
+        |base AS (SELECT doc_id, len(a) AS n_tokens, a FROM toks),
+        |grams AS (
+        |  SELECT doc_id, pos, array_to_string(a[pos:pos+5], ' ') AS g
+        |  FROM (SELECT doc_id, a,
+        |               unnest(generate_series(1, n_tokens - 5)) AS pos
+        |        FROM base WHERE n_tokens >= 6)
+        |),
+        |dup AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |           count(*) OVER (PARTITION BY doc_id, g) AS c FROM grams)
+        |  WHERE c >= 2
+        |),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, p FROM (
+        |    SELECT doc_id, unnest(generate_series(pos, pos + 5)) AS p FROM dup)
+        |),
+        |cc AS (SELECT doc_id, count(*) AS dup_cov FROM cov GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_tokens,
+        |       COALESCE(cc.dup_cov, 0) AS dup_cov,
+        |       CAST(COALESCE(cc.dup_cov, 0) AS DOUBLE) / b.n_tokens AS dup_frac
+        |FROM base b LEFT JOIN cc ON b.doc_id = cc.doc_id""".stripMargin,
 
     // bigram-LM replay: same tokenize as q_repetition, model counts
     // rebuilt in CTEs, ln of integer-valued arguments on both engines

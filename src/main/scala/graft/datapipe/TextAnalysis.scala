@@ -159,6 +159,52 @@ object TextAnalysis {
         (col("top_bigram_n").cast("double") / col("n_bigrams")).as("top_bigram_frac"))
   }
 
+  /** Gopher-style duplicate n-gram COVERAGE per document (Rae et al.
+    * 2021 §A1.1: "fraction of characters in duplicate n-grams", here
+    * at token grain): the fraction of a document's token positions
+    * covered by at least one n-gram that occurs ≥ 2 times WITHIN the
+    * document. Complements [[repetition]]'s top-1-gram fractions: a
+    * doc can have a flat gram histogram and still be 90% covered by
+    * a rotating set of repeated phrases — this is the signal that
+    * catches lyrics/boilerplate/template spam. Distinct from the
+    * cross-corpus `Dedup.substrDedup` family: duplication is judged
+    * per document, and overlapping duplicate occurrences are counted
+    * once via the covered-position union (the same coverage algebra
+    * as the exact-substring rewrite).
+    *
+    * Scale shape: three doc-keyed linear exchanges — gram rows
+    * windowed on (doc, gram) for the within-doc class count, covered
+    * positions de-duplicated on (doc, pos), one per-doc count — no
+    * self-joins, nothing corpus-quadratic; gram construction is
+    * map-side `transform`+`slice` over the token array. Ratios are
+    * exact IEEE divisions of integers (bit-identical in DuckDB).
+    */
+  def dupNgramCoverage(docs: DataFrame, n: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"), tokensOf(col("text")).as("t"))
+      // long to match the oracle's BIGINT len() — the driver's value
+      // hash is dtype-sensitive
+      .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("n_tokens"))
+    val grams = base.filter(col("n_tokens") >= n)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), col("n_tokens") - (n - 1)),
+          p => concat_ws(" ", slice(col("t"), p, lit(n))))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("g"))
+    val dup = grams
+      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("doc_id"), col("g"))))
+      .filter(col("c") >= 2)
+    val cc = dup
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (n - 1))).as("p"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("dup_cov"))
+    base.select(col("doc_id"), col("n_tokens"))
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_cov"), lit(0L)).as("dup_cov"),
+        (coalesce(col("dup_cov"), lit(0L)).cast("double") / col("n_tokens"))
+          .as("dup_frac"))
+  }
+
   /** Word-bigram language-model score per document — the CCNet-style
     * "LM filter" quality signal (CCNet uses KenLM perplexity; the
     * distributed analog is a corpus-trained bigram model, which needs

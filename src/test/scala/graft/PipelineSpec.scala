@@ -63,6 +63,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(3L).isNullAt(5))
   }
 
+  test("dupNgramCoverage: overlap-aware union, short docs zero, all-repeat full") {
+    import spark.implicits._
+    val df = Seq(
+      // 3-grams: abc bca cab abc bca cab — every class twice, every
+      // position covered
+      (0L, "a b c a b c a b"),
+      // all 3-grams distinct
+      (1L, "one two three four five six"),
+      // shorter than n
+      (2L, "x y"),
+      // dup class "p q r" at pos 1 and 5 -> covered {1,2,3,5,6,7}:
+      // overlapping occurrences must not double-count
+      (3L, "p q r s p q r t u v"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.dupNgramCoverage(df, n = 3).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getLong(1) == 8 && out(0L).getLong(2) == 8 &&
+      out(0L).getDouble(3) == 1.0)
+    assert(out(1L).getLong(2) == 0 && out(1L).getDouble(3) == 0.0)
+    assert(out(2L).getLong(2) == 0 && out(2L).getDouble(3) == 0.0)
+    assert(out(3L).getLong(2) == 6 && out(3L).getDouble(3) == 0.6)
+  }
+
   test("tfidf: integer-keyed ranks, rare terms outrank common ones at equal tf") {
     val rows = Ranking.tfidfTopK(docsDf, k = 2).collect()
     val byDoc = rows.groupBy(_.getLong(0))
