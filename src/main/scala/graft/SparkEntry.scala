@@ -1861,14 +1861,37 @@ object SparkEntry {
       // Gopher's duplicate-n-gram coverage (Rae et al. 2021 §A1.1):
       // fraction of token positions covered by a WITHIN-doc repeated
       // 6-gram — overlap-aware via the covered-position union, the
-      // same coverage algebra as the exact-substring rewrite
+      // same coverage algebra as the exact-substring rewrite.
+      // Computed entirely map-side (sort-walk expression, zero
+      // exchanges)
       TextAnalysis.dupNgramCoverage(docs(s, dir), n = 6)),
+
+    "q_stream_dup_ngram" -> ((s, dir) => {
+      // the same coverage signal ON THE STREAM: duplication is a
+      // within-document property and the sort-walk form is a pure
+      // projection, so this runs append-mode with no state store —
+      // ingest-throughput shape at any scale; bounded stream ≡ the
+      // batch query, one shared oracle
+      import graft.streaming.StreamingOps._
+      runToMemorySink(
+        TextAnalysis.dupNgramCoverage(documentsStream(s, dir), n = 6),
+        "stream_dup_ngram")
+    }),
 
     "q_lm_score" -> ((s, dir) =>
       // CCNet-style LM quality filter: corpus-trained add-one bigram
       // model, per-doc mean conditional log-probability — the model is
       // an aggregate of the same job, no external artifacts
       TextAnalysis.lmScore(docs(s, dir), tc = Some(docTermCounts(s, dir)))),
+
+    "q_dsir_score" -> ((s, dir) =>
+      // DSIR hashed-n-gram importance weights (Xie et al. 2023):
+      // "how much more does this doc look like the target (here:
+      // lang='en') than like the raw pool" — the selection score
+      // behind importance resampling; both multinomials are
+      // aggregates of one corpus scan, scoring is a broadcast join
+      // on the 4096-slot bucket key
+      TextAnalysis.dsirScore(docs(s, dir), isTarget = col("lang") === "en")),
 
     // -- corpus vocabulary (top-K terms — tokenizer/BPE seeding) --
     "q_vocab" -> ((s, dir) =>
@@ -2796,32 +2819,11 @@ object SparkEntry {
     // q_repetition; within-doc duplicated classes via a window count,
     // covered positions union'd before counting (overlap-aware) —
     // the ratio is one exact IEEE division of integers
-    "q_dup_ngram_cov" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS a FROM documents
-        |),
-        |base AS (SELECT doc_id, len(a) AS n_tokens, a FROM toks),
-        |grams AS (
-        |  SELECT doc_id, pos, array_to_string(a[pos:pos+5], ' ') AS g
-        |  FROM (SELECT doc_id, a,
-        |               unnest(generate_series(1, n_tokens - 5)) AS pos
-        |        FROM base WHERE n_tokens >= 6)
-        |),
-        |dup AS (
-        |  SELECT doc_id, pos FROM (
-        |    SELECT doc_id, pos,
-        |           count(*) OVER (PARTITION BY doc_id, g) AS c FROM grams)
-        |  WHERE c >= 2
-        |),
-        |cov AS (
-        |  SELECT DISTINCT doc_id, p FROM (
-        |    SELECT doc_id, unnest(generate_series(pos, pos + 5)) AS p FROM dup)
-        |),
-        |cc AS (SELECT doc_id, count(*) AS dup_cov FROM cov GROUP BY doc_id)
-        |SELECT b.doc_id, b.n_tokens,
-        |       COALESCE(cc.dup_cov, 0) AS dup_cov,
-        |       CAST(COALESCE(cc.dup_cov, 0) AS DOUBLE) / b.n_tokens AS dup_frac
-        |FROM base b LEFT JOIN cc ON b.doc_id = cc.doc_id""".stripMargin,
+    "q_dup_ngram_cov" -> dupNgramCovSql,
+
+    // the streaming twin is the same pure projection over the bounded
+    // stream — one shared oracle
+    "q_stream_dup_ngram" -> dupNgramCovSql,
 
     // bigram-LM replay: same tokenize as q_repetition, model counts
     // rebuilt in CTEs, ln of integer-valued arguments on both engines
@@ -2846,6 +2848,39 @@ object SparkEntry {
         |FROM db JOIN cb USING (g)
         |JOIN cw ON split_part(g, ' ', 1) = cw.w1 CROSS JOIN v
         |GROUP BY doc_id""".stripMargin,
+
+    // DSIR replay: same tokenize + the 52-bit md5 bucket trick as
+    // minhash/IVF; every ln takes an integer argument on both
+    // engines (counts + literal totals), the per-doc sum's 1e-14
+    // order drift is absorbed by round(·, 6) — the q_lm_score
+    // discipline exactly
+    "q_dsir_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\s+') AS a
+        |  FROM documents WHERE text IS NOT NULL
+        |),
+        |feats AS (
+        |  SELECT doc_id, (lang = 'en') AS is_tgt,
+        |         ('0x' || substr(md5(g), 1, 13))::BIGINT % 4096 AS b
+        |  FROM (SELECT doc_id, lang,
+        |               unnest(a || list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i + 1])) AS g
+        |        FROM toks)
+        |),
+        |docb AS (
+        |  SELECT doc_id, b, count(*) AS c, any_value(is_tgt) AS is_tgt
+        |  FROM feats GROUP BY doc_id, b
+        |),
+        |model AS (
+        |  SELECT b, CAST(sum(c) AS BIGINT) AS rc,
+        |         CAST(sum(CASE WHEN is_tgt THEN c ELSE 0 END) AS BIGINT) AS tc
+        |  FROM docb GROUP BY b
+        |),
+        |tot AS (SELECT CAST(sum(rc) + 4096 AS BIGINT) AS rt,
+        |               CAST(sum(tc) + 4096 AS BIGINT) AS tt FROM model)
+        |SELECT d.doc_id, CAST(sum(d.c) AS BIGINT) AS n_feats,
+        |       round(sum(d.c * ((ln(m.tc + 1) - ln(t.tt)) - (ln(m.rc + 1) - ln(t.rt)))) / sum(d.c), 6) AS dsir_score
+        |FROM docb d JOIN model m ON d.b = m.b CROSS JOIN tot t
+        |GROUP BY d.doc_id""".stripMargin,
 
     // -- lexical ranking: rank keys are integers/strings (tf desc, df
     // asc, term asc) so the selected rows are engine-exact; only the
@@ -4024,6 +4059,40 @@ object SparkEntry {
        |SELECT word, seg,
        |       CAST(len(string_split(trim(seg, '<>'), '><')) AS INT) AS n_tokens
        |FROM v$BPE_ROUNDS""".stripMargin
+
+  /** Duplicate-6-gram coverage replay (q_dup_ngram_cov and its
+    * streaming twin): same tokenize as q_repetition; within-doc
+    * duplicated classes via a window count, covered positions
+    * union'd before counting (overlap-aware — matches the sort-walk
+    * expression's covered-position union exactly); the ratio is one
+    * exact IEEE division of integers.
+    */
+  private def dupNgramCovSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS a FROM documents
+      |),
+      |base AS (SELECT doc_id, len(a) AS n_tokens, a FROM toks),
+      |grams AS (
+      |  SELECT doc_id, pos, array_to_string(a[pos:pos+5], ' ') AS g
+      |  FROM (SELECT doc_id, a,
+      |               unnest(generate_series(1, n_tokens - 5)) AS pos
+      |        FROM base WHERE n_tokens >= 6)
+      |),
+      |dup AS (
+      |  SELECT doc_id, pos FROM (
+      |    SELECT doc_id, pos,
+      |           count(*) OVER (PARTITION BY doc_id, g) AS c FROM grams)
+      |  WHERE c >= 2
+      |),
+      |cov AS (
+      |  SELECT DISTINCT doc_id, p FROM (
+      |    SELECT doc_id, unnest(generate_series(pos, pos + 5)) AS p FROM dup)
+      |),
+      |cc AS (SELECT doc_id, count(*) AS dup_cov FROM cov GROUP BY doc_id)
+      |SELECT b.doc_id, b.n_tokens,
+      |       COALESCE(cc.dup_cov, 0) AS dup_cov,
+      |       CAST(COALESCE(cc.dup_cov, 0) AS DOUBLE) / b.n_tokens AS dup_frac
+      |FROM base b LEFT JOIN cc ON b.doc_id = cc.doc_id""".stripMargin
 
   private def bpeTokensSql: String =
     s"""$bpeCtePrefix,

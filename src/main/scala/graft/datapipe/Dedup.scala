@@ -809,11 +809,30 @@ object Dedup {
     * invariance (exponent 0.51–0.72), not throughput; the windowed
     * 52-bit-hash form is the production path at any w ≤ 50.
     *
-    * Intermediate classes of positions within w of their document's
-    * end may conflate across documents (null next-class sentinel);
-    * harmless by induction — a FULL-length class only ever refines
-    * from full-length classes, and only full windows
-    * (pos + w − 1 ≤ len) are eligible for duplication.
+    * Refinement is UNRESOLVED-ONLY (the Larsson–Sadakane trick from
+    * the suffix-sorting literature): a position whose class is
+    * singleton at ANY length sits inside no duplicated window of any
+    * longer length (refinement only ever splits classes), so it exits
+    * the loop immediately — singleton classes are dropped after every
+    * round, and a head whose partner was dropped (inner join finds no
+    * (doc, pos−shift) row: the partner's sub-block is corpus-unique,
+    * or the head is within w of its document's end and heads no full
+    * window) is itself provably singleton and dropped with it. On
+    * real text the alive set collapses within a few rounds — unique
+    * prose dominates any corpus — so the later (and previously most
+    * expensive, full-token-table) rounds run over a small residue;
+    * the measured effect is in PLANS.md's "SA vs windowed" table.
+    * Dropping whole classes never perturbs a surviving class's min
+    * (doc_id, pos) id, so the keep-first tie-break is unchanged.
+    *
+    * Positions within w of their document's end can never conflate
+    * with full-window classes: their refined key pairs a class whose
+    * block crosses the document end, and class ids (min member) are
+    * distinct across distinct classes — only full windows
+    * (pos + w − 1 ≤ len) are eligible for duplication, and a partner
+    * needed by a full-window head always has its whole sub-block
+    * inside the head's window, so the inner join never starves a
+    * valid head.
     */
   def saSubstrDedup(docs: DataFrame, w: Int = 10): DataFrame = {
     require(w >= 2, "saSubstrDedup needs w >= 2")
@@ -838,16 +857,23 @@ object Dedup {
       .otherwise(raise_error(concat(
         lit(s"saSubstrDedup: pos >= 2^$posBits for doc_id="), col("doc_id"))))
       .cast("long")
-    // length-1 classes: min packed (doc_id, pos) per distinct token
-    val tokCls = toks.groupBy("tok").agg(min(packed).as("cid"))
-    var cur = snap(toks.join(tokCls, "tok").select(col("doc_id"), col("pos"), col("cid")))
+    // length-1 classes: min packed (doc_id, pos) per distinct token;
+    // corpus-unique tokens exit before the first refinement round
+    val tokCls = toks.groupBy("tok")
+      .agg(min(packed).as("cid"), count(lit(1)).as("n"))
+    var cur = snap(toks.join(tokCls, "tok").filter(col("n") >= 2)
+      .select(col("doc_id"), col("pos"), col("cid")))
     var k = 1
     def refine(shift: Int): Unit = {
       val right = cur.select(col("doc_id"), (col("pos") - shift).as("pos"),
         col("cid").as("cid2"))
-      val paired = cur.join(right, Seq("doc_id", "pos"), "left")
-      val grp = paired.groupBy("cid", "cid2").agg(min(packed).as("ncid"))
-      cur = snap(paired.join(grp, Seq("cid", "cid2"))
+      // inner: a missing partner row means the head's refined class is
+      // singleton (partner pruned as unique, or head too close to the
+      // document end to head a full window) — drop it now
+      val paired = cur.join(right, Seq("doc_id", "pos"))
+      val grp = paired.groupBy("cid", "cid2")
+        .agg(min(packed).as("ncid"), count(lit(1)).as("n"))
+      cur = snap(paired.join(grp.filter(col("n") >= 2), Seq("cid", "cid2"))
         .select(col("doc_id"), col("pos"), col("ncid").as("cid")))
     }
     while (k * 2 <= w) { refine(k); k *= 2 }

@@ -172,37 +172,52 @@ object TextAnalysis {
     * once via the covered-position union (the same coverage algebra
     * as the exact-substring rewrite).
     *
-    * Scale shape: three doc-keyed linear exchanges — gram rows
-    * windowed on (doc, gram) for the within-doc class count, covered
-    * positions de-duplicated on (doc, pos), one per-doc count — no
-    * self-joins, nothing corpus-quadratic; gram construction is
-    * map-side `transform`+`slice` over the token array. Ratios are
-    * exact IEEE divisions of integers (bit-identical in DuckDB).
+    * Scale shape: ZERO exchanges — duplication is a per-document
+    * property and the document's tokens live in one row, so the whole
+    * signal is a map-side expression: build (gram, pos) structs,
+    * `array_sort` (struct ordering = by gram then pos), mark
+    * positions whose gram equals a sorted neighbor's (an occurrence
+    * is duplicated iff it touches an equal neighbor in sorted order —
+    * O(L log L), no per-gram counting), union the covered windows via
+    * flatten + `array_distinct`. Also makes the operator a pure
+    * PROJECTION, so the streaming twin runs append-mode with no state
+    * store. Ratios are exact IEEE divisions of integers
+    * (bit-identical in DuckDB).
     */
-  def dupNgramCoverage(docs: DataFrame, n: Int = 6): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val base = docs.select(col("doc_id"), tokensOf(col("text")).as("t"))
+  def dupNgramCoverage(docs: DataFrame, n: Int = 6): DataFrame =
+    docs.select(col("doc_id"), tokensOf(col("text")).as("t"))
       // long to match the oracle's BIGINT len() — the driver's value
       // hash is dtype-sensitive
-      .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("n_tokens"))
-    val grams = base.filter(col("n_tokens") >= n)
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(1), col("n_tokens") - (n - 1)),
-          p => concat_ws(" ", slice(col("t"), p, lit(n))))))
-      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("g"))
-    val dup = grams
-      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("doc_id"), col("g"))))
-      .filter(col("c") >= 2)
-    val cc = dup
-      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (n - 1))).as("p"))
-      .distinct()
-      .groupBy("doc_id").agg(count(lit(1)).as("dup_cov"))
-    base.select(col("doc_id"), col("n_tokens"))
-      .join(cc, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("dup_cov"), lit(0L)).as("dup_cov"),
-        (coalesce(col("dup_cov"), lit(0L)).cast("double") / col("n_tokens"))
-          .as("dup_frac"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+        dupNgramCov(col("t"), n).as("dup_cov"))
+      .select(col("doc_id"), col("n_tokens"), col("dup_cov"),
+        (col("dup_cov").cast("double") / col("n_tokens")).as("dup_frac"))
+
+  /** The covered-position count behind [[dupNgramCoverage]], as a
+    * single Column over the token array (usable on streams and inside
+    * other projections). ANSI-safe: every `element_at` at a sorted
+    * boundary and the empty-gram case are guarded by lazily-evaluated
+    * `when` branches (CaseWhen only evaluates the taken branch).
+    */
+  def dupNgramCov(t: Column, n: Int): Column = {
+    val lastStart = size(t) - (n - 1)
+    val grams = filter(
+      transform(sequence(lit(1), size(t)), p =>
+        struct(concat_ws(" ", slice(t, p, lit(n))).as("g"), p.as("pos"))),
+      s => s("pos") <= lastStart)
+    val sorted = array_sort(grams)
+    val m = size(sorted)
+    val dupPos = filter(
+      transform(sequence(lit(1), m), i =>
+        when(
+          when(i === 1, lit(false))
+            .otherwise(element_at(sorted, i - 1)("g") === element_at(sorted, i)("g"))
+            || when(i === m, lit(false))
+              .otherwise(element_at(sorted, i + 1)("g") === element_at(sorted, i)("g")),
+          element_at(sorted, i)("pos"))),
+      p => p.isNotNull)
+    val cov = array_distinct(flatten(transform(dupPos, p => sequence(p, p + (n - 1)))))
+    when(m > 0, size(cov).cast("long")).otherwise(lit(0L))
   }
 
   /** Word-bigram language-model score per document — the CCNet-style
@@ -286,6 +301,56 @@ object TextAnalysis {
           log(coalesce(col("cw"), lit(0L)) + v))).as("ll"))
       .select(col("doc_id"), col("n_bigrams"),
         round(col("ll") / col("n_bigrams"), 6).as("lm_score"))
+  }
+
+  /** DSIR-style importance score (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): hashed-n-gram
+    * bag-of-words importance weights for selecting raw data that
+    * looks like a TARGET corpus. Features are unigrams + adjacent
+    * bigrams hashed into `buckets` slots; the raw and target bucket
+    * distributions are add-one-smoothed multinomials fit on the full
+    * corpus and on the `isTarget` subset; a document's log importance
+    * weight is Σ_b c_b·(ln p̂_tgt[b] − ln p̂_raw[b]). The paper
+    * resamples with Gumbel noise; the deterministic engine surface is
+    * the per-feature-mean log weight (rank/threshold it for
+    * selection), `lmScore`'s exact discipline: every ln takes an
+    * INTEGER argument (identical in both engines), the one
+    * order-sensitive per-doc sum is absorbed by round(·, 6).
+    *
+    * Scale shape: one corpus tokenize → hashed features at (doc,
+    * bucket) grain (map-side partial agg; ≤ `buckets` rows per doc);
+    * both model distributions are aggregates OF THAT TABLE (no second
+    * text scan, the `lmScore` discipline) at `buckets` rows each, so
+    * the scoring join is a broadcast on the bucket key regardless of
+    * corpus size; totals fold as two collected scalar literals. The
+    * target predicate rides the feature table as a boolean column —
+    * at 100 TB the target corpus is typically a separate small input,
+    * which composes the same way (union with a flag column).
+    */
+  def dsirScore(docs: DataFrame, isTarget: Column,
+                buckets: Int = 4096): DataFrame = {
+    val feats = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), isTarget.as("is_tgt"), tokensOf(col("text")).as("toks"))
+      .select(col("doc_id"), col("is_tgt"),
+        explode(concat(col("toks"), bigramsOf(col("toks")))).as("g"))
+      .select(col("doc_id"), col("is_tgt"),
+        pmod(hash52(col("g")), lit(buckets)).as("b"))
+    val docB = feats.groupBy("doc_id", "b")
+      .agg(count(lit(1)).as("c"), first(col("is_tgt")).as("is_tgt"))
+    val raw = docB.groupBy("b").agg(sum("c").as("rc"))
+    val tgt = docB.filter(col("is_tgt")).groupBy("b").agg(sum("c").as("tc"))
+    val model = raw.join(tgt, Seq("b"), "left")
+      .select(col("b"), col("rc"), coalesce(col("tc"), lit(0L)).as("tc"))
+    val totals = model.agg(sum("rc"), sum("tc")).head()
+    val rTot = totals.getLong(0) + buckets
+    val tTot = totals.getLong(1) + buckets
+    docB.join(broadcast(model), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_feats"),
+        sum(col("c") * ((log(col("tc") + 1) - log(lit(tTot))) -
+          (log(col("rc") + 1) - log(lit(rTot))))).as("lw"))
+      .select(col("doc_id"), col("n_feats"),
+        round(col("lw") / col("n_feats"), 6).as("dsir_score"))
   }
 
   /** PII redaction patterns — deliberately the common subset of Java
