@@ -1274,6 +1274,11 @@ object SparkEntry {
       // deterministic Lloyd's over the embedding table (md5 seeds,
       // per-iteration centroid rounding = exact cross-engine replay)
       Clustering.kmeans(emb(s, dir), k = 8, iters = 3, dims = 64)),
+    "q_semdedup" -> ((s, dir) =>
+      // SemDedup (arXiv:2303.09540): cluster-then-prune semantic
+      // dedup — map-side kmeans assignment, one cluster-key pair
+      // join, keep the far-from-centroid representative
+      Clustering.semDedup(emb(s, dir), k = 8, iters = 2, tau = 0.3, dims = 64)),
     "q_minhash_lsh_neardups" -> ((s, dir) => {
       val d = docs(s, dir)
       val cands = lshCands(s, dir)
@@ -2734,6 +2739,7 @@ object SparkEntry {
     "q_ivf_probe_sweep" -> ivfProbeSweepSql,
     "q_ann_plane_sweep" -> annPlaneSweepSql,
     "q_kmeans" -> kmeansSql,
+    "q_semdedup" -> semDedupSql,
     "q_ngram_jaccard" -> ngramJaccardSql,
     "q_containment" -> containmentSql,
     "q_dup_spans" -> dupSpansSql,
@@ -4840,6 +4846,37 @@ object SparkEntry {
        |  FROM embeddings e, c$iters c
        |)
        |SELECT vec_id, cluster, round(sqrt(dist), 6) AS dist FROM fin WHERE pr = 1""".stripMargin
+  }
+
+  /** SemDedup oracle: replay the k=8 x 2-iteration Lloyd fit via the
+    * shared CTE chain, assign + centroid distance, then the paper's
+    * within-cluster prune — b is a duplicate iff some cluster-mate a
+    * earlier in (dist DESC, vec_id ASC) order has round(cos,6) >= tau.
+    */
+  private def semDedupSql: String = {
+    val dist = kmeansDistSql(64) _
+    val tau = "0.3"
+    s"""WITH ${kmeansChainSql(k = 8, dims = 64, iters = 2, prefix = "sd_")},
+       |sd_fin AS (
+       |  SELECT e.vec_id, c.cluster, ${dist("e", "c")} AS d2,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY ${dist("e", "c")} ASC, c.cluster ASC) AS pr
+       |  FROM embeddings e, sd_c2 c
+       |),
+       |sd_asg AS (SELECT vec_id, cluster, round(sqrt(d2), 6) AS dist FROM sd_fin WHERE pr = 1),
+       |sd_vec AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |sd_dups AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM sd_asg a JOIN sd_asg b ON a.cluster = b.cluster
+       |   AND (a.dist > b.dist OR (a.dist = b.dist AND a.vec_id < b.vec_id))
+       |  JOIN sd_vec va ON va.vec_id = a.vec_id
+       |  JOIN sd_vec vb ON vb.vec_id = b.vec_id
+       |  WHERE round(list_dot_product(va.e, vb.e) /
+       |        (sqrt(list_dot_product(va.e, va.e)) *
+       |         sqrt(list_dot_product(vb.e, vb.e))), 6) >= $tau
+       |)
+       |SELECT s.vec_id, s.cluster, s.dist, (d.vec_id IS NULL) AS keep
+       |FROM sd_asg s LEFT JOIN sd_dups d ON d.vec_id = s.vec_id""".stripMargin
   }
 
   /** Trained-IVF oracle: re-trains the k=16 x 2-iteration Lloyd fit

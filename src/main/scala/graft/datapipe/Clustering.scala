@@ -104,6 +104,55 @@ object Clustering {
       round(sqrt(best.getField("dist")), 6).as("dist"))
   }
 
+  /** SemDedup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication = k-means cluster the embeddings, then inside each
+    * cluster drop every vector whose cosine to a higher-keep-priority
+    * cluster-mate is >= `tau`. Keep-priority follows the paper's rule
+    * (keep the examples with LOW similarity to the centroid, i.e.
+    * FAR from it — they carry the cluster's diversity): canonical
+    * order is (dist DESC, vec_id ASC), and a vector is a duplicate
+    * iff some earlier vector in that order is within `tau` cosine.
+    *
+    * Spark-first shape: assignment is the same map-side
+    * centroid-literal argmin as `kmeans` (no shuffle); the pair stage
+    * is ONE cluster-key equi-join (both sides hash-partitioned by
+    * cluster, quadratic only within a cluster) plus a distinct and a
+    * final vec_id join-back. Total pair work is sum(m_c^2); at 100 TB
+    * the paper's own recipe bounds it — k scales with the corpus
+    * (they use 110k clusters for LAION) so cluster sizes stay ~10^4
+    * and no join key can explode. A skew-capped star variant (via
+    * `Dedup.bandedPairs`) would change which duplicate survives, so
+    * the exact within-cluster join is kept and k is the scale knob.
+    *
+    * Rounding contract: dist and cos are rounded to 6 decimals before
+    * any comparison, so the ordering and the tau cut select the same
+    * rows in the DuckDB oracle. Returns (vec_id, cluster, dist, keep).
+    */
+  def semDedup(vectors: DataFrame, k: Int = 8, iters: Int = 2,
+               tau: Double = 0.3, dims: Int = 64): DataFrame = {
+    import graft.functions.FloatDot.floatDot
+    val centroids = kmeansCentroids(vectors, k, iters, dims)
+    val best = array_min(array(centroids.zipWithIndex.map { case (c, j) =>
+      struct(sqDist(c).as("dist"), lit(j).as("cluster"))
+    }: _*))
+    val asg = vectors.select(col("vec_id"), col("embedding"),
+      guard(dims, best.getField("cluster")).as("cluster"),
+      round(sqrt(best.getField("dist")), 6).as("dist"),
+      sqrt(floatDot(col("embedding"), col("embedding"))).as("nrm"))
+    val a = asg.select(col("cluster"), col("vec_id").as("a"), col("dist").as("dist_a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = asg.select(col("cluster"), col("vec_id").as("b"), col("dist").as("dist_b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val dups = a.join(b, Seq("cluster"))
+      .filter(col("dist_a") > col("dist_b") ||
+        (col("dist_a") === col("dist_b") && col("a") < col("b")))
+      .filter(round(floatDot(col("ea"), col("eb")) / (col("na") * col("nb")), 6) >= tau)
+      .select(col("b").as("vec_id")).distinct()
+    asg.join(dups.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("dist"),
+        not(coalesce(col("dup"), lit(false))).as("keep"))
+  }
+
   /** Ragged inputs would null-pad the zip_with and silently corrupt
     * every distance — fail loudly instead (same contract as
     * `Similarity.lshBuckets`).
