@@ -198,6 +198,16 @@ object TextAnalysis {
     * other projections). ANSI-safe: every `element_at` at a sorted
     * boundary and the empty-gram case are guarded by lazily-evaluated
     * `when` branches (CaseWhen only evaluates the taken branch).
+    *
+    * Evaluation shape: the sorted gram array is LET-BOUND once per
+    * row via a single-element `transform` (the lambda variable is
+    * computed once; every `element_at(sorted, i)` inside the body is
+    * then an O(1) read). The naive inline form re-evaluated the
+    * `array_sort(grams)` subtree for every index access — higher-order
+    * lambdas get no common-subexpression elimination, so that was
+    * O(L² log L) per document and made the streaming twin (which
+    * really materializes the column; batch `.count()` prunes the
+    * projection) ~1000× slower than this O(L log L) form.
     */
   def dupNgramCov(t: Column, n: Int): Column = {
     val lastStart = size(t) - (n - 1)
@@ -205,19 +215,26 @@ object TextAnalysis {
       transform(sequence(lit(1), size(t)), p =>
         struct(concat_ws(" ", slice(t, p, lit(n))).as("g"), p.as("pos"))),
       s => s("pos") <= lastStart)
-    val sorted = array_sort(grams)
-    val m = size(sorted)
-    val dupPos = filter(
-      transform(sequence(lit(1), m), i =>
-        when(
-          when(i === 1, lit(false))
-            .otherwise(element_at(sorted, i - 1)("g") === element_at(sorted, i)("g"))
-            || when(i === m, lit(false))
-              .otherwise(element_at(sorted, i + 1)("g") === element_at(sorted, i)("g")),
-          element_at(sorted, i)("pos"))),
-      p => p.isNotNull)
-    val cov = array_distinct(flatten(transform(dupPos, p => sequence(p, p + (n - 1)))))
-    when(m > 0, size(cov).cast("long")).otherwise(lit(0L))
+    // let-bind the sort result: transform over a 1-element wrapper
+    // evaluates `array_sort(grams)` exactly once per row and exposes
+    // it to the body as a cheap lambda-variable reference
+    element_at(
+      transform(array(array_sort(grams)), sorted => {
+        val m = size(sorted)
+        val dupPos = filter(
+          transform(sequence(lit(1), m), i =>
+            when(
+              when(i === 1, lit(false))
+                .otherwise(element_at(sorted, i - 1)("g") === element_at(sorted, i)("g"))
+                || when(i === m, lit(false))
+                  .otherwise(element_at(sorted, i + 1)("g") === element_at(sorted, i)("g")),
+              element_at(sorted, i)("pos"))),
+          p => p.isNotNull)
+        val cov = array_distinct(
+          flatten(transform(dupPos, p => sequence(p, p + (n - 1)))))
+        when(m > 0, size(cov).cast("long")).otherwise(lit(0L))
+      }),
+      1)
   }
 
   /** Word-bigram language-model score per document — the CCNet-style
