@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.signal.{Channels, Signal, Spectrum}
-import graft.datapipe.{Bpe, Clustering, Dedup, Multimodal, Packing, Ranking, Sampling, Sessions, Similarity, TextAnalysis}
+import graft.datapipe.{Bpe, Clustering, Dedup, Multimodal, Packing, Ranking, Sampling, Sessions, Similarity, Sketches, Skew, TextAnalysis}
 import graft.ops.{Interp, Kernels, Psd}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -559,6 +559,89 @@ object SparkEntry {
       |        FROM documents)
       |  GROUP BY doc_id, g
       |)""".stripMargin
+
+  /** HLL estimator CTE chain replaying Sketches.hllRegisters +
+    * hllEstimate bit-for-bit: `src` must expose columns ($grp, k);
+    * yields a relation ($grp, hll_est). The α·m² literal is folded in
+    * Scala (Double.toString round-trips, so DuckDB parses the
+    * identical double); the harmonic sum stays integer (1 << (45−M))
+    * exactly as the Spark side does.
+    */
+  private def hllSql(src: String, grp: String, m: Int): String = {
+    val aM2 = Sketches.alpha(m) * m * m
+    val p45 = 1L << 45
+    s"""hreg AS (
+       |  SELECT $grp, h % $m AS j,
+       |         max(CASE WHEN h // $m = 0 THEN 45
+       |                  ELSE 45 - length(bin(h // $m)) END) AS M
+       |  FROM (SELECT $grp,
+       |               ('0x' || substr(md5('hll:' || k), 1, 13))::BIGINT AS h
+       |        FROM $src)
+       |  GROUP BY $grp, h % $m
+       |),
+       |hagg AS (
+       |  SELECT $grp, count(*) AS n_reg,
+       |         sum(1::BIGINT << (45 - M)) AS s_int
+       |  FROM hreg GROUP BY $grp
+       |),
+       |hll AS (
+       |  SELECT $grp,
+       |         round(CASE WHEN raw <= ${2.5 * m} AND v > 0
+       |                    THEN ${m.toDouble} * ln(${m.toDouble} / v)
+       |                    ELSE raw END, 4) AS hll_est
+       |  FROM (SELECT $grp, ($m - n_reg) AS v,
+       |               $aM2 / ((s_int + ($m - n_reg) * $p45)::DOUBLE
+       |                       / ${p45.toDouble}) AS raw
+       |        FROM hagg)
+       |)""".stripMargin
+  }
+
+  private lazy val hllDistinctSql =
+    s"""WITH f AS (SELECT source, md5($normSql) AS k FROM documents),
+       |${hllSql("f", "source", 256)},
+       |exact AS (SELECT source, count(DISTINCT k) AS n_exact FROM f GROUP BY source)
+       |SELECT source, n_exact, hll_est FROM exact JOIN hll USING (source)""".stripMargin
+
+  private lazy val hllStreamSql =
+    s"""WITH f AS (SELECT source, md5($normSql) AS k FROM documents),
+       |${hllSql("f", "source", 256)}
+       |SELECT source, hll_est FROM hll""".stripMargin
+
+  private lazy val hllUsersSql =
+    s"""WITH f AS (SELECT event_type, CAST(user_id AS VARCHAR) AS k FROM events),
+       |${hllSql("f", "event_type", 64)},
+       |exact AS (SELECT event_type, count(DISTINCT k) AS n_exact FROM f GROUP BY event_type)
+       |SELECT event_type, n_exact, hll_est FROM exact JOIN hll USING (event_type)""".stripMargin
+
+  private lazy val cmsHeavySql =
+    s"""WITH $TERM_COUNTS,
+       |agg AS (SELECT term, CAST(sum(tf) AS BIGINT) AS exact_cnt FROM tc GROUP BY term),
+       |cand AS (SELECT term, exact_cnt FROM agg
+       |         ORDER BY exact_cnt DESC, term ASC LIMIT 20),
+       |cells AS (
+       |  SELECT i,
+       |         ('0x' || substr(md5('cms' || CAST(i AS VARCHAR) || ':' || term), 1, 13))::BIGINT
+       |           % 1024 AS b,
+       |         CAST(sum(tf) AS BIGINT) AS c
+       |  FROM tc CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
+       |  GROUP BY 1, 2
+       |),
+       |probe AS (
+       |  SELECT term, i,
+       |         ('0x' || substr(md5('cms' || CAST(i AS VARCHAR) || ':' || term), 1, 13))::BIGINT
+       |           % 1024 AS b
+       |  FROM (SELECT term FROM cand) CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
+       |),
+       |est AS (SELECT term, min(c) AS cms_est FROM probe JOIN cells USING (i, b) GROUP BY term)
+       |SELECT cand.term, exact_cnt, cms_est, cms_est >= exact_cnt AS overest_ok
+       |FROM cand JOIN est USING (term)""".stripMargin
+
+  private lazy val saltedJoinSql =
+    """WITH dim AS (SELECT event_type, avg(value) AS type_avg FROM events GROUP BY 1)
+      |SELECT e.event_type, count(*) AS n,
+      |       round(sum(abs(e.value - d.type_avg)) + 1e-7, 2) AS sum_absdev
+      |FROM events e JOIN dim d USING (event_type)
+      |GROUP BY e.event_type""".stripMargin
 
   // ---- flagship ----------------------------------------------------------
 
@@ -1909,6 +1992,75 @@ object SparkEntry {
         .orderBy(col("n_tokens").desc, col("n_docs").desc, col("term").asc)
         .limit(100)),
 
+    // -- mergeable sketches: profiling at constant exchange width --
+    "q_hll_distinct" -> ((s, dir) => {
+      // per-source distinct-content estimate (the dedup-rate profile
+      // a crawl pipeline reads before committing to a full dedup):
+      // HLL register table = 256 longs/source regardless of corpus
+      // size, vs count(DISTINCT fp)'s every-distinct-key exchange.
+      // Both emitted side by side; the md5-derived sketch replays
+      // value-exactly in DuckDB (Sketches.scala scaladoc)
+      val f = docs(s, dir).select(col("source"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      val exact = f.groupBy("source").agg(countDistinct("fp").as("n_exact"))
+      exact.join(Sketches.hllDistinct(f, col("fp"), Seq("source")), Seq("source"))
+    }),
+    "q_hll_users" -> ((s, dir) => {
+      // distinct-user estimate per event type — the raw-regime leg
+      // (n per key outgrows 2.5m at sf0.1, exercising the harmonic
+      // estimator; q_hll_distinct stays in the linear-counting leg)
+      val e = rawEvents(s, dir).select(col("event_type"),
+        col("user_id").cast("string").as("uid"))
+      val exact = e.groupBy("event_type").agg(countDistinct("uid").as("n_exact"))
+      exact.join(Sketches.hllDistinct(e, col("uid"), Seq("event_type"), m = 64),
+        Seq("event_type"))
+    }),
+    "q_stream_hll" -> ((s, dir) => {
+      // the same register aggregate ON THE STREAM: max-merge registers
+      // are the canonical bounded-state streaming distinct — state is
+      // ≤ 256 rows per source FOREVER, vs dropDuplicates' state that
+      // grows with every distinct key seen. Bounded stream ≡ batch,
+      // shared estimator SQL
+      import graft.streaming.StreamingOps._
+      val regs = runToMemorySink(
+        Sketches.hllRegisters(
+          documentsStream(s, dir).select(col("source"),
+            TextAnalysis.fingerprint(col("text")).as("fp")),
+          col("fp"), Seq("source")),
+        "stream_hll", mode = "complete")
+      Sketches.hllEstimate(regs, Seq("source"))
+    }),
+    "q_cms_heavy" -> ((s, dir) => {
+      // count-min heavy hitters: the 4×1024 cell grid caps every
+      // map-side partial at 4096 rows no matter the vocabulary; the
+      // exact top-20 (computed here only to grade the sketch) is what
+      // the sketch replaces at scale. overest_ok pins the one-sided
+      // guarantee row by row
+      val tc = docTermCounts(s, dir)
+      val cells = Sketches.cmsCells(tc, col("term"), col("tf"))
+      val top = tc.groupBy("term").agg(sum("tf").cast("long").as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("term").asc).limit(20)
+      top.join(Sketches.cmsEstimate(cells, top.select(col("term").as("k"))),
+          top("term") === col("k"))
+        .select(col("term"), col("exact_cnt"), col("cms_est"),
+          (col("cms_est") >= col("exact_cnt")).as("overest_ok"))
+    }),
+
+    // -- skew-salted join --
+    "q_salted_join" -> ((s, dir) => {
+      // 5 event types into 32 shuffle partitions = 27 idle tasks and 5
+      // hot ones; salting ×8 spreads each key over 8 sub-keys (result
+      // provably identical to the plain join — the oracle IS the
+      // plain join; Round13Spec pins the partition-balance claim)
+      val e = rawEvents(s, dir).select(col("event_id"), col("event_type"),
+        col("value"))
+      val dim = e.groupBy("event_type").agg(avg("value").as("type_avg"))
+      Skew.saltedJoin(e, dim, "event_type", salts = 8)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum(abs(col("value") - col("type_avg"))) + 1e-7, 2).as("sum_absdev"))
+    }),
+
     // -- lexical ranking: TF-IDF salient terms, BM25 retrieval --
     "q_tfidf_topk" -> ((s, dir) =>
       Ranking.tfidfTopK(docs(s, dir), k = 3, tc = Some(docTermCounts(s, dir)))
@@ -2898,6 +3050,14 @@ object SparkEntry {
          |FROM tc GROUP BY term
          |ORDER BY n_tokens DESC, n_docs DESC, term ASC
          |LIMIT 100""".stripMargin,
+    // -- sketches: md5-derived registers/cells replay value-exactly --
+    "q_hll_distinct" -> hllDistinctSql,
+    "q_hll_users" -> hllUsersSql,
+    // bounded stream ≡ batch: max-merged registers are order-blind
+    "q_stream_hll" -> hllStreamSql,
+    "q_cms_heavy" -> cmsHeavySql,
+    // salting is result-invariant: the oracle IS the plain join
+    "q_salted_join" -> saltedJoinSql,
     "q_bpe_merges" -> bpeMergesSql,
     "q_bpe_encode" -> bpeEncodeSql,
     "q_bpe_tokens" -> bpeTokensSql,

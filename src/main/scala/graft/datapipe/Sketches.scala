@@ -1,0 +1,127 @@
+package graft.datapipe
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable sketches for corpus profiling — the constant-state
+  * alternative to per-key shuffles when the question is "how many
+  * distinct / who is heavy", not "give me every key". At 100 TB a
+  * `count(DISTINCT fp)` is a full-width exchange of every distinct
+  * key; an HLL register table is 256 longs per group and a count-min
+  * sketch is a fixed 4×1024 grid — both fold map-side into partial
+  * aggregates (the partial-agg state IS the sketch, merged by
+  * max/sum), so the exchange is sketch-sized no matter how many keys
+  * the corpus holds. The reference has no profiling tier
+  * (pandas holds the whole frame; `nunique()` is free there) — this
+  * is the distributed replacement.
+  *
+  * Both sketches are built from the repo's md5-derived [[Sampling
+  * .saltedHash]] (52 bits, exact in a double, identical bytes in
+  * Spark and DuckDB), so unlike library HLL/CMS implementations the
+  * whole estimate — register indexes, rho ranks, cell sums, the
+  * final corrected estimator — replays value-exactly in the SQL
+  * oracle. Determinism note: the register harmonic sum is kept in
+  * INTEGER space (Σ 2^(45−M) ≤ 256·2^44 < 2^53 fits a long exactly),
+  * so the estimate is bit-identical under any partitioning / merge
+  * order; the only float ops are one division and one ln, after all
+  * aggregation.
+  */
+object Sketches {
+
+  /** Registers per group for a Flajolet-et-al HyperLogLog sketch over
+    * `key`: j = h mod m picks the register, rho = 45 − bitlen(h div m)
+    * is the leading-zero rank of the remaining 44 hash bits (+1), and
+    * the register value M_j is the max rank seen. Output: one row per
+    * NON-EMPTY (group, j) — absent registers are zero by convention
+    * and are accounted for in [[hllEstimate]].
+    *
+    * This is the mergeable form: `max` is the HLL merge operator, so
+    * the same groupBy works as a streaming update-mode aggregate
+    * (state = ≤ m rows per group, bounded forever) and register
+    * tables from disjoint corpus slices union+re-max into the global
+    * sketch.
+    */
+  def hllRegisters(df: DataFrame, key: Column, groups: Seq[String],
+                   m: Int = 256): DataFrame = {
+    require(m > 0 && (m & (m - 1)) == 0 && m <= 65536, s"m must be a power of 2: $m")
+    val h = Sampling.saltedHash(key, "hll")
+    val w = floor(h / m).cast("long")
+    val rho = when(w === 0, lit(45)).otherwise(lit(45) - length(bin(w)))
+    df.select(groups.map(col) :+ pmod(h, lit(m.toLong)).as("j") :+ rho.as("rho"): _*)
+      .groupBy(groups.map(col) :+ col("j"): _*)
+      .agg(max("rho").as("M"))
+  }
+
+  /** Fold a register table into the per-group cardinality estimate:
+    * raw E = α_m·m² / Σ 2^−M_j with the small-range linear-counting
+    * correction (E ≤ 2.5m and empty registers V > 0 → m·ln(m/V)).
+    * The harmonic sum is the exact integer Σ 2^(45−M_j) scaled once
+    * by 2^−45; rounding to 4 decimals absorbs the sub-ulp ln/division
+    * differences between JVM and libm.
+    */
+  def hllEstimate(registers: DataFrame, groups: Seq[String],
+                  m: Int = 256): DataFrame = {
+    val alphaM2 = alpha(m) * m * m
+    val pow45 = 1L << 45
+    registers
+      .groupBy(groups.map(col): _*)
+      .agg(count(lit(1)).as("n_reg"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 45 - M)")).as("s_int"))
+      .select(groups.map(col) :+ {
+        val v = lit(m) - col("n_reg")
+        val s = (col("s_int") + v * lit(pow45)).cast("double") / lit(pow45.toDouble)
+        val raw = lit(alphaM2) / s
+        val est = when(raw <= lit(2.5 * m) && v > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / v.cast("double")))
+          .otherwise(raw)
+        round(est, 4).as("hll_est")
+      }: _*)
+  }
+
+  /** End-to-end per-group distinct-count estimate. */
+  def hllDistinct(df: DataFrame, key: Column, groups: Seq[String],
+                  m: Int = 256): DataFrame =
+    hllEstimate(hllRegisters(df, key, groups, m), groups, m)
+
+  /** α_m for the standard bias-corrected raw estimator (m ≥ 128 form;
+    * the fixture ms are 256+). Folded to a plain double so the oracle
+    * SQL can carry the identical literal.
+    */
+  def alpha(m: Int): Double = 0.7213 / (1.0 + 1.079 / m)
+
+  /** Count-min sketch cells from a weighted key table: d independent
+    * salted hash rows × w buckets, cell = Σ weight. The groupBy is
+    * over a FIXED d·w grid, so partial aggregation caps every
+    * exchange at d·w rows per map task regardless of key cardinality
+    * — the sketch never sees a per-key shuffle. Output (i, b, c).
+    */
+  def cmsCells(df: DataFrame, key: Column, weight: Column,
+               d: Int = 4, w: Int = 1024): DataFrame =
+    df.select(key.as("k"), weight.as("wt"),
+        explode(sequence(lit(0), lit(d - 1))).as("i"))
+      .withColumn("b", cmsBucket(col("k"), col("i"), w))
+      .groupBy("i", "b").agg(sum("wt").cast("long").as("c"))
+
+  /** Bucket of `key` in hash row `i` — pmod(hash52("cms<i>:" ++ key), w).
+    * The row index is folded into the salt string so the d rows are
+    * independent md5 families, replayable in the oracle.
+    */
+  def cmsBucket(key: Column, i: Column, w: Int): Column =
+    pmod(TextAnalysis.hash52(concat(lit("cms"), i.cast("string"), lit(":"),
+      key.cast("string"))), lit(w.toLong))
+
+  /** Point estimates for `candidates` (a one-column `k` table)
+    * against a cell table: est(k) = min_i cell[i][b_i(k)] — the
+    * classic one-sided overestimate (est ≥ true, error ≤ εN with
+    * prob 1−δ for w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉). Candidate lookups are a
+    * d-row explode joined to the d·w-row cell table — broadcast-sized
+    * by construction.
+    */
+  def cmsEstimate(cells: DataFrame, candidates: DataFrame,
+                  d: Int = 4, w: Int = 1024): DataFrame =
+    candidates
+      .select(col("k"), explode(sequence(lit(0), lit(d - 1))).as("i"))
+      .withColumn("b", cmsBucket(col("k"), col("i"), w))
+      .join(cells, Seq("i", "b"))
+      .groupBy("k").agg(min("c").as("cms_est"))
+}

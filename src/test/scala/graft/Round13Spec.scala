@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.datapipe.{Sketches, Skew}
+
+/** Round-13 pins: the mergeable-sketch tier (HLL registers merge by
+  * max and estimate within the published error bound in both
+  * regimes; count-min never underestimates and meets the εN bound)
+  * and the skew-salted join (result identical to the plain join, hot
+  * keys actually spread across partitions).
+  */
+class Round13Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("HLL estimate lands within 3 standard errors in the raw regime") {
+    // 20_000 distinct keys, m = 256 -> raw harmonic estimator
+    // (well past 2.5m); standard error 1.04/sqrt(m) ~ 6.5%
+    val df = (1 to 20000).map(i => ("g", s"key$i")).toDF("g", "k")
+    val est = Sketches.hllDistinct(df, col("k"), Seq("g"))
+      .collect()(0).getDouble(1)
+    assert(math.abs(est - 20000) / 20000 < 3 * 1.04 / math.sqrt(256),
+      s"raw-regime estimate $est too far from 20000")
+  }
+
+  test("HLL linear-counting regime tracks small cardinalities closely") {
+    val df = (1 to 100).map(i => ("g", s"key$i")).toDF("g", "k")
+    val est = Sketches.hllDistinct(df, col("k"), Seq("g"))
+      .collect()(0).getDouble(1)
+    // linear counting at n/m ~ 0.4 is accurate to a few percent
+    assert(math.abs(est - 100) / 100 < 0.15, s"linear-regime estimate $est")
+  }
+
+  test("HLL registers from disjoint slices max-merge into the full sketch") {
+    val all = (1 to 5000).map(i => ("g", s"key$i")).toDF("g", "k")
+    val lo = all.filter(col("k") < "key3")   // lexicographic split
+    val hi = all.filter(col("k") >= "key3")
+    val merged = Sketches
+      .hllRegisters(lo, col("k"), Seq("g"))
+      .unionAll(Sketches.hllRegisters(hi, col("k"), Seq("g")))
+      .groupBy("g", "j").agg(max("M").as("M"))
+    val full = Sketches.hllRegisters(all, col("k"), Seq("g"))
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty,
+      "merged register table differs from the single-pass sketch")
+    // and therefore the estimates agree exactly
+    val eM = Sketches.hllEstimate(merged, Seq("g")).collect()(0).getDouble(1)
+    val eF = Sketches.hllEstimate(full, Seq("g")).collect()(0).getDouble(1)
+    assert(eM === eF)
+  }
+
+  test("count-min never underestimates and meets the eps*N bound") {
+    // zipf-ish weights over 2000 keys
+    val rows = (1 to 2000).map(i => (s"term$i", (2000L / i).max(1L)))
+    val df = rows.toDF("k", "wt")
+    val n = rows.map(_._2).sum
+    val cells = Sketches.cmsCells(df, col("k"), col("wt"), d = 4, w = 1024)
+    val est = Sketches.cmsEstimate(cells, df.select("k"), d = 4, w = 1024)
+      .join(df, Seq("k"))
+      .select(col("k"), col("cms_est"), col("wt")).collect()
+    assert(est.length === 2000)
+    est.foreach { r =>
+      val (e, t) = (r.getLong(1), r.getLong(2))
+      assert(e >= t, s"${r.getString(0)}: est $e < true $t")
+      // standard guarantee: err <= e/w * N with prob 1 - (1/2)^d per
+      // row; with d=4 rows the min exceeding 3*e/w*N is vanishing
+      assert(e - t <= 3.0 * math.E / 1024 * n,
+        s"${r.getString(0)}: err ${e - t} above 3*eps*N")
+    }
+  }
+
+  test("saltedJoin equals the plain join and spreads hot keys") {
+    // one pathologically hot key: 20_000 of 21_000 rows on key "hot"
+    val fact = ((1 to 20000).map(i => ("hot", i.toDouble)) ++
+      (1 to 1000).map(i => (s"k${i % 10}", i.toDouble))).toDF("key", "v")
+    val dim = fact.groupBy("key").agg(avg("v").as("key_avg"))
+    val salted = Skew.saltedJoin(fact, dim, "key", salts = 16)
+    val plain = fact.join(dim, Seq("key"))
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
+      "salted join result differs from plain join")
+    // partition balance: the hot key's 20k rows must not land on one
+    // task. AQE's OptimizeSkewedJoin would split the plain join's hot
+    // partition at runtime (and does — measured 5250 with AQE on);
+    // salting is the PLANNING-TIME form whose balanced layout also
+    // flows into downstream stages, so pin the static claim with AQE
+    // off for both measurements.
+    def maxPart(df: org.apache.spark.sql.DataFrame): Long =
+      df.withColumn("pid", spark_partition_id())
+        .groupBy("pid").count().agg(max("count")).collect()(0).getLong(0)
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    val spWas = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // 16 salts over 16 partitions: balls-in-bins max ~3-4 salts per
+    // partition, so the hot key's 20k rows cap out around 5k/task
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try {
+      val saltedMax = maxPart(salted)
+      // hint the dim SIDE (not the joined frame) so the baseline is a
+      // real key exchange, not a broadcast that never shuffles fact
+      val plainMax = maxPart(fact.join(dim.hint("shuffle_hash"), Seq("key")))
+      assert(plainMax >= 20000,
+        s"plain join should park the hot key on one task: $plainMax")
+      assert(saltedMax <= 8000,
+        s"salted join still skewed: max partition $saltedMax rows")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.conf.set("spark.sql.shuffle.partitions", spWas)
+    }
+  }
+}
