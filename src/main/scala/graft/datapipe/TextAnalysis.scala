@@ -336,12 +336,16 @@ object TextAnalysis {
     *
     * Scale shape: one corpus tokenize → hashed features at (doc,
     * bucket) grain (map-side partial agg; ≤ `buckets` rows per doc);
-    * both model distributions are aggregates OF THAT TABLE (no second
-    * text scan, the `lmScore` discipline) at `buckets` rows each, so
-    * the scoring join is a broadcast on the bucket key regardless of
-    * corpus size; totals fold as two collected scalar literals. The
-    * target predicate rides the feature table as a boolean column —
-    * at 100 TB the target corpus is typically a separate small input,
+    * both model distributions come from ONE aggregate of that table
+    * (a conditional target sum — no second text scan, the `lmScore`
+    * discipline) at ≤ `buckets` rows, COLLECTED into two plan-literal
+    * arrays (the k-means-centroid pattern: the model is bounded by
+    * `buckets`, never by the corpus), so the scoring pass is a pure
+    * map-side `element_at` over the feature table — no model join at
+    * all, and the corpus-scale lineage runs exactly twice (model fit
+    * + scoring) instead of once per model branch. The target
+    * predicate rides the feature table as a boolean column — at
+    * 100 TB the target corpus is typically a separate small input,
     * which composes the same way (union with a flag column).
     */
   def dsirScore(docs: DataFrame, isTarget: Column,
@@ -354,18 +358,24 @@ object TextAnalysis {
         pmod(hash52(col("g")), lit(buckets)).as("b"))
     val docB = feats.groupBy("doc_id", "b")
       .agg(count(lit(1)).as("c"), first(col("is_tgt")).as("is_tgt"))
-    val raw = docB.groupBy("b").agg(sum("c").as("rc"))
-    val tgt = docB.filter(col("is_tgt")).groupBy("b").agg(sum("c").as("tc"))
-    val model = raw.join(tgt, Seq("b"), "left")
-      .select(col("b"), col("rc"), coalesce(col("tc"), lit(0L)).as("tc"))
-    val totals = model.agg(sum("rc"), sum("tc")).head()
-    val rTot = totals.getLong(0) + buckets
-    val tTot = totals.getLong(1) + buckets
-    docB.join(broadcast(model), Seq("b"))
-      .groupBy("doc_id")
+    val rcArr = Array.fill(buckets)(0L)
+    val tcArr = Array.fill(buckets)(0L)
+    docB.groupBy("b")
+      .agg(sum("c").as("rc"),
+        sum(when(col("is_tgt"), col("c")).otherwise(lit(0L))).as("tc"))
+      .collect()
+      .foreach { r =>
+        val b = r.getLong(0).toInt
+        rcArr(b) = r.getLong(1)
+        tcArr(b) = r.getLong(2)
+      }
+    val rTot = rcArr.sum + buckets
+    val tTot = tcArr.sum + buckets
+    val idx = (col("b") + 1).cast("int")
+    docB.groupBy("doc_id")
       .agg(sum("c").as("n_feats"),
-        sum(col("c") * ((log(col("tc") + 1) - log(lit(tTot))) -
-          (log(col("rc") + 1) - log(lit(rTot))))).as("lw"))
+        sum(col("c") * ((log(element_at(typedLit(tcArr), idx) + 1) - log(lit(tTot))) -
+          (log(element_at(typedLit(rcArr), idx) + 1) - log(lit(rTot))))).as("lw"))
       .select(col("doc_id"), col("n_feats"),
         round(col("lw") / col("n_feats"), 6).as("dsir_score"))
   }
