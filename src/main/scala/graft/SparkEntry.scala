@@ -636,6 +636,23 @@ object SparkEntry {
        |SELECT cand.term, exact_cnt, cms_est, cms_est >= exact_cnt AS overest_ok
        |FROM cand JOIN est USING (term)""".stripMargin
 
+  private lazy val lenQuantilesSql =
+    """WITH v AS (SELECT lang, len(regexp_split_to_array(trim(text), '\s+')) AS n_toks
+      |           FROM documents),
+      |b AS (SELECT lang, CAST(least(floor(n_toks / 4), 31) AS INTEGER) AS bin,
+      |             count(*) AS c
+      |      FROM v GROUP BY 1, 2),
+      |t AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM b GROUP BY lang),
+      |cum AS (SELECT b.lang, bin,
+      |               CAST(sum(c) OVER (PARTITION BY b.lang ORDER BY bin) AS BIGINT) AS cum,
+      |               n
+      |        FROM b JOIN t USING (lang))
+      |SELECT lang, max(n) AS n_rows,
+      |       min(CASE WHEN cum >= ceil(0.5 * n) THEN bin * 4 END) AS p50_lo,
+      |       min(CASE WHEN cum >= ceil(0.9 * n) THEN bin * 4 END) AS p90_lo,
+      |       min(CASE WHEN cum >= ceil(0.99 * n) THEN bin * 4 END) AS p99_lo
+      |FROM cum GROUP BY lang""".stripMargin
+
   private lazy val saltedJoinSql =
     """WITH dim AS (SELECT event_type, avg(value) AS type_avg FROM events GROUP BY 1)
       |SELECT e.event_type, count(*) AS n,
@@ -2046,6 +2063,15 @@ object SparkEntry {
           (col("cms_est") >= col("exact_cnt")).as("overest_ok"))
     }),
 
+    "q_len_quantiles" -> ((s, dir) =>
+      // distribution leg of the profiling trio: per-lang token-length
+      // p50/p90/p99 off a 32-bin equi-width histogram — constant-width
+      // exchange vs the full sort an exact percentile costs
+      Sketches.histQuantiles(
+        docs(s, dir).select(col("lang"),
+          TextAnalysis.wsTokenCount(col("text")).as("n_toks")),
+        col("n_toks"), Seq("lang"), width = 4, nbins = 32)),
+
     // -- skew-salted join --
     "q_salted_join" -> ((s, dir) => {
       // 5 event types into 32 shuffle partitions = 27 idle tasks and 5
@@ -3056,6 +3082,7 @@ object SparkEntry {
     // bounded stream ≡ batch: max-merged registers are order-blind
     "q_stream_hll" -> hllStreamSql,
     "q_cms_heavy" -> cmsHeavySql,
+    "q_len_quantiles" -> lenQuantilesSql,
     // salting is result-invariant: the oracle IS the plain join
     "q_salted_join" -> saltedJoinSql,
     "q_bpe_merges" -> bpeMergesSql,

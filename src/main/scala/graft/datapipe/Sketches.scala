@@ -124,4 +124,44 @@ object Sketches {
       .withColumn("b", cmsBucket(col("k"), col("i"), w))
       .join(cells, Seq("i", "b"))
       .groupBy("k").agg(min("c").as("cms_est"))
+
+  /** Equi-width histogram sketch with exact-rank quantiles read off
+    * the cumulative counts — the distribution leg of the profiling
+    * trio (HLL = how many distinct, CMS = who is heavy, histogram =
+    * how are values spread). Bin = min(⌊value/width⌋, nbins−1); the
+    * per-group grid is ≤ nbins rows, so like the other sketches the
+    * exchange is constant-width and bins from disjoint corpus slices
+    * merge by plain count-sum. Quantile convention: p_q is the LOWER
+    * BOUND (bin·width) of the first bin whose cumulative count
+    * reaches ceil(q·N) — all-integer logic after one IEEE ceil, so
+    * the read-off replays exactly in SQL. An exact per-group
+    * percentile would sort every value; the histogram trades
+    * width-resolution for a corpus-size-independent plan.
+    *
+    * Shuffle shape: one constant-width exchange to the bin grid; the
+    * cumulative walk is a running-frame window over ≤ nbins rows per
+    * group; the totals join is group-count-sized (broadcast).
+    */
+  def histQuantiles(df: DataFrame, value: Column, groups: Seq[String],
+                    width: Int, nbins: Int,
+                    qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bins = df
+      .select(groups.map(col) :+
+        least(floor(value / lit(width)), lit(nbins - 1)).cast("int").as("bin"): _*)
+      .groupBy(groups.map(col) :+ col("bin"): _*)
+      .agg(count(lit(1)).as("c"))
+    val totals = bins.groupBy(groups.map(col): _*).agg(sum("c").as("n"))
+    val cum = bins
+      .withColumn("cum", sum("c").over(
+        Window.partitionBy(groups.map(col): _*).orderBy(col("bin"))))
+      .join(broadcast(totals), groups)
+    val aggCols = max("n").as("n_rows") +: qs.map(q => qLo(q, width))
+    cum.groupBy(groups.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** p_q lower-bound aggregate over the cumulative bin table. */
+  private def qLo(q: Double, width: Int): Column =
+    min(when(col("cum") >= ceil(lit(q) * col("n")), col("bin") * width))
+      .as(s"p${(q * 100).round}_lo")
 }

@@ -78,6 +78,21 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  test("histQuantiles reads exact ranks off the cumulative bins") {
+    // values 1..1000, width 10: rank-based quantiles land on exactly
+    // known bins (cum(bin b) counts values <= 10b+9)
+    val df = (1 to 1000).map(i => ("g", i)).toDF("g", "v")
+    val r = Sketches.histQuantiles(df, col("v"), Seq("g"),
+      width = 10, nbins = 200).collect()(0)
+    assert(r.getLong(1) === 1000L)
+    assert(r.getInt(2) === 500, s"p50_lo ${r.getInt(2)}")   // rank 500 -> bin 50
+    assert(r.getInt(3) === 900, s"p90_lo ${r.getInt(3)}")   // rank 900 -> bin 90
+    assert(r.getInt(4) === 990, s"p99_lo ${r.getInt(4)}")   // rank 990 -> bin 99
+    // true percentile always lands inside [p_lo, p_lo + width)
+    val p50 = df.stat.approxQuantile("v", Array(0.5), 0.0)(0)
+    assert(p50 >= 500 && p50 < 510)
+  }
+
   test("saltedJoin equals the plain join and spreads hot keys") {
     // one pathologically hot key: 20_000 of 21_000 rows on key "hot"
     val fact = ((1 to 20000).map(i => ("hot", i.toDouble)) ++
