@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.datapipe.{Sketches, Skew}
+import graft.datapipe.{Bucketing, Sketches, Skew}
 
 /** Round-13 pins: the mergeable-sketch tier (HLL registers merge by
   * max and estimate within the published error bound in both
@@ -75,6 +75,46 @@ class Round13Spec extends AnyFunSuite {
       // row; with d=4 rows the min exceeding 3*e/w*N is vanishing
       assert(e - t <= 3.0 * math.E / 1024 * n,
         s"${r.getString(0)}: err ${e - t} above 3*eps*N")
+    }
+  }
+
+  test("bucketed tables co-locate: the join plans with zero Exchange") {
+    val docs = (1 to 2000).map(i => (i.toLong, s"text body $i", i % 7))
+      .toDF("doc_id", "text", "grp")
+    Bucketing.writeBucketed(docs, "r13_docs_bucketed", "doc_id", 8,
+      sortCols = Seq("doc_id"))
+    Bucketing.writeBucketed(
+      docs.select(col("doc_id"), (col("grp") > 3).as("keep")),
+      "r13_verdicts_bucketed", "doc_id", 8, sortCols = Seq("doc_id"))
+    val bcastWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    // disable broadcast so the assert measures bucketing, not a
+    // broadcast that would hide the exchange on fixture-sized data;
+    // disable AQE so executedPlan is the concrete physical tree (an
+    // AdaptiveSparkPlanExec wrapper hides inner Exchanges from
+    // collect, making both asserts vacuous)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val joined = Bucketing.coLocatedJoin(spark,
+        "r13_docs_bucketed", "r13_verdicts_bucketed", "doc_id")
+      val exchanges = joined.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"bucketed join should not shuffle, found ${exchanges.size} exchanges")
+      assert(joined.count() === 2000)
+      // and the same unbucketed join DOES shuffle both sides
+      val plainEx = docs.join(docs.select(col("doc_id"), col("grp")), Seq("doc_id"))
+        .queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+      assert(plainEx.size >= 2, s"expected shuffles in the unbucketed join")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcastWas)
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      graft.streaming.StreamingOps.dropTableAndDir(spark, "r13_docs_bucketed")
+      graft.streaming.StreamingOps.dropTableAndDir(spark, "r13_verdicts_bucketed")
     }
   }
 
