@@ -1454,6 +1454,12 @@ object SparkEntry {
       // stream, IDENTICAL pixel aHash (asserted in Round9Spec, where
       // the byte-level hash provably misses the pair)
       Multimodal.pixelPhash(Multimodal.syntheticPngs(docs(s, dir)))),
+    "q_media_resize_pixels" -> ((s, dir) =>
+      // the EXECUTED downsample (complement of q_media_resize's
+      // planning step): real PNG decode → integer-area resize to 13×8
+      // → digest; all-integer floor-mean cells so the lossless
+      // fixture replays in SQL
+      Multimodal.resizeImages(Multimodal.syntheticPngs(docs(s, dir)))),
     "q_media_video" -> ((s, dir) =>
       // REAL video pipeline (r12): a corpus of actual AVI (RIFF)
       // containers with raw-DIB frames encoded from a deterministic
@@ -2896,6 +2902,7 @@ object SparkEntry {
     "q_simhash_neardups" -> simhashNearDupsSql,
     "q_media_phash" -> mediaPhashSql,
     "q_media_pixel_phash" -> mediaPixelPhashSql,
+    "q_media_resize_pixels" -> mediaResizePixelsSql,
     "q_media_video" -> mediaVideoSql,
     "q_media_neardups" -> mediaNearDupsSql,
     // admission twin: bounded stream ≡ batch on the hashable universe
@@ -4432,6 +4439,32 @@ object SparkEntry {
        |                     THEN (CAST(1 AS BIGINT) << c.cell) ELSE 0 END) AS BIGINT) AS phash
        |FROM cells c JOIN tot t USING (media_id)
        |GROUP BY c.media_id""".stripMargin
+
+  /** Integer-area resize replay: the deterministic pattern's pixels
+    * grouped into 13×8 area cells (cy = y·8/32, cx = x·13/52 — exact
+    * integer mapping), floor-mean per cell, then the sum/positional-
+    * checksum digests resizeImages emits. PNG is lossless so decoded
+    * pixels == pattern.
+    */
+  private def mediaResizePixelsSql: String =
+    s"""WITH ids AS (
+       |  SELECT doc_id AS media_id,
+       |         CASE WHEN doc_id % 10 = 9 THEN doc_id - 1 ELSE doc_id END AS seed,
+       |         CASE WHEN doc_id % 10 = 9 THEN 8 ELSE 0 END AS delta
+       |  FROM documents),
+       |px AS (
+       |  SELECT media_id, (y * 8 // 32) * 13 + (x * 13 // 52) AS cell,
+       |         ((seed * 7919 + (y * 52 + x) * 104729) % 200) + delta AS l
+       |  FROM ids,
+       |       (SELECT unnest(generate_series(0, 51)) AS x),
+       |       (SELECT unnest(generate_series(0, 31)) AS y)),
+       |cells AS (
+       |  SELECT media_id, cell, CAST(sum(l) // count(*) AS BIGINT) AS p
+       |  FROM px GROUP BY media_id, cell)
+       |SELECT media_id, CAST(13 AS INT) AS width, CAST(8 AS INT) AS height,
+       |       CAST(sum(p) AS BIGINT) AS pix_sum,
+       |       CAST(sum(p * (cell + 1)) AS BIGINT) AS pix_crc
+       |FROM cells GROUP BY media_id""".stripMargin
 
   /** Per-frame pixel-aHash replay for the raw-DIB AVI fixture: the
     * deterministic frame pattern recomputed directly (raw DIB is

@@ -288,6 +288,61 @@ object Multimodal {
     hash
   }
 
+  /** Integer-area resize of a decoded luma grid to (tw, th): target
+    * pixel = floor mean of the source pixels whose area cell maps to
+    * it (cx = x·tw/w — the same exact integer area mapping the aHash
+    * grid uses, exposed as the standalone downsample stage a training
+    * pipeline runs before feature extraction). All-integer: replays
+    * verbatim in the SQL oracle over the lossless fixtures.
+    */
+  def resizeLuma(w: Int, h: Int, luma: Array[Int],
+                 tw: Int, th: Int): Array[Int] = {
+    val sum = new Array[Long](tw * th)
+    val cnt = new Array[Long](tw * th)
+    var y = 0
+    while (y < h) {
+      val cy = y * th / h
+      var x = 0
+      while (x < w) {
+        val c = cy * tw + x * tw / w
+        sum(c) += luma(y * w + x)
+        cnt(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(tw * th)(i => if (cnt(i) > 0) (sum(i) / cnt(i)).toInt else 0)
+  }
+
+  case class ResizedDigest(media_id: Long, width: Int, height: Int,
+                           pix_sum: Long, pix_crc: Long)
+
+  /** Decode + integer-area resize in one partition-batched kernel,
+    * emitting a deterministic digest of the resized pixels (sum and a
+    * positional checksum Σ p_i·(i+1)) rather than the raw grid — the
+    * digest is what the oracle can replay and what a dedup/QA stage
+    * consumes; the grid itself stays executor-side, which is the
+    * point at 100 TB (resized features flow into the NEXT kernel, not
+    * back through the driver or the shuffle).
+    */
+  def resizeImages(media: DataFrame, tw: Int = 13, th: Int = 8): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeImage(bytes).map { case (w, h, luma) =>
+          val p = resizeLuma(w, h, luma, tw, th)
+          var s = 0L
+          var crc = 0L
+          var i = 0
+          while (i < p.length) { s += p(i); crc += p(i).toLong * (i + 1); i += 1 }
+          ResizedDigest(id, tw, th, s, crc)
+        }
+      })
+      .toDF()
+  }
+
   case class PixelHash(media_id: Long, width: Int, height: Int, phash: Long)
 
   /** Decode + pixel-aHash in one partition-batched kernel over a

@@ -78,6 +78,22 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  test("resizeLuma: identity at same dims, exact +delta shift through the mean") {
+    import graft.datapipe.Multimodal
+    val w = Multimodal.ImgW
+    val h = Multimodal.ImgH
+    val base = Array.tabulate(w * h)(i => Multimodal.lumaAt(8L, i % w, i / w))
+    // same-dims resize is the identity (every cell holds one pixel)
+    assert(Multimodal.resizeLuma(w, h, base, w, h).toSeq === base.toSeq)
+    // a constant +8 brightness shift survives the floor mean exactly
+    // (no clamping: pattern max 199 + 8 < 255), so the re-encode pair
+    // (id 9 = id 8 + 8) resizes to pixel-wise +8
+    val shifted = Array.tabulate(w * h)(i => Multimodal.lumaAt(9L, i % w, i / w))
+    val a = Multimodal.resizeLuma(w, h, base, 13, 8)
+    val b = Multimodal.resizeLuma(w, h, shifted, 13, 8)
+    assert(a.indices.forall(i => b(i) - a(i) === 8))
+  }
+
   test("bucketed tables co-locate: the join plans with zero Exchange") {
     val docs = (1 to 2000).map(i => (i.toLong, s"text body $i", i % 7))
       .toDF("doc_id", "text", "grp")
