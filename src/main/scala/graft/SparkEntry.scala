@@ -636,6 +636,37 @@ object SparkEntry {
        |SELECT cand.term, exact_cnt, cms_est, cms_est >= exact_cnt AS overest_ok
        |FROM cand JOIN est USING (term)""".stripMargin
 
+  private lazy val gopherRulesSql =
+    """WITH t AS (
+      |  SELECT doc_id, text,
+      |         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |  FROM documents WHERE text IS NOT NULL),
+      |m AS (
+      |  SELECT doc_id,
+      |         CAST(len(toks) AS BIGINT) AS n,
+      |         CAST(list_aggregate(list_transform(toks, w -> len(w)), 'sum') AS BIGINT) AS totlen,
+      |         CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS alpha,
+      |         CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS BIGINT) AS symbols,
+      |         (CASE WHEN contains(' ' || lower(text) || ' ', ' the ') THEN 1 ELSE 0 END
+      |        + CASE WHEN contains(' ' || lower(text) || ' ', ' be ') THEN 1 ELSE 0 END
+      |        + CASE WHEN contains(' ' || lower(text) || ' ', ' to ') THEN 1 ELSE 0 END
+      |        + CASE WHEN contains(' ' || lower(text) || ' ', ' of ') THEN 1 ELSE 0 END
+      |        + CASE WHEN contains(' ' || lower(text) || ' ', ' and ') THEN 1 ELSE 0 END
+      |        + CASE WHEN contains(' ' || lower(text) || ' ', ' that ') THEN 1 ELSE 0 END
+      |        + CASE WHEN contains(' ' || lower(text) || ' ', ' have ') THEN 1 ELSE 0 END
+      |        + CASE WHEN contains(' ' || lower(text) || ' ', ' with ') THEN 1 ELSE 0 END) AS stops
+      |  FROM t)
+      |SELECT doc_id, n AS n_words,
+      |       round(totlen * 1.0 / n + 1e-7, 4) AS mean_word_len,
+      |       (n >= 50 AND n <= 100000) AS ok_word_count,
+      |       (totlen >= n * 3 AND totlen <= n * 10) AS ok_mean_word_len,
+      |       (symbols * 10 <= n) AS ok_symbol_ratio,
+      |       (alpha * 5 >= n * 4) AS ok_alpha_words,
+      |       (stops >= 2) AS ok_stopwords,
+      |       ((n >= 50 AND n <= 100000) AND (totlen >= n * 3 AND totlen <= n * 10)
+      |        AND (symbols * 10 <= n) AND (alpha * 5 >= n * 4) AND (stops >= 2)) AS pass
+      |FROM m""".stripMargin
+
   private lazy val lenQuantilesSql =
     """WITH v AS (SELECT lang, len(regexp_split_to_array(trim(text), '\s+')) AS n_toks
       |           FROM documents),
@@ -905,6 +936,10 @@ object SparkEntry {
         round(avg("n_chars") + 1e-7, 4).as("avg_chars"),
         sum(TextAnalysis.wsTokenCount(col("text"))).as("ws_tokens"),
         sum(TextAnalysis.bpeTokenCount(col("text"))).as("bpe_tokens"))),
+    "q_gopher_rules" -> ((s, dir) =>
+      // the published Gopher §A1.1 doc-level filter battery, per-rule
+      // booleans + conjunction, integer cross-multiplied thresholds
+      TextAnalysis.gopherRules(docs(s, dir))),
     "q_langid" -> ((s, dir) =>
       docs(s, dir).select(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
         .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))),
@@ -2837,6 +2872,7 @@ object SparkEntry {
          |       CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS ws_tokens,
          |       CAST(sum(len(regexp_extract_all(lower(text), '${TextAnalysis.bpePattern}'))) AS BIGINT) AS bpe_tokens
          |FROM documents GROUP BY lang""".stripMargin,
+    "q_gopher_rules" -> gopherRulesSql,
     "q_langid" -> langIdSql,
     "q_quality" -> qualitySql,
     "q_fingerprint" ->

@@ -96,6 +96,42 @@ object TextAnalysis {
       lenScore * (lit(1.0) - digitPenalty * 0.4 - punctPenalty * 0.3 - upperPenalty * 0.3))
   }
 
+  /** The Gopher quality-rule battery (Rae et al. 2021 §A1.1) as
+    * per-rule booleans + the conjunction — the published doc-level
+    * filter set, kept separate from the heuristic [[qualityScore]]
+    * because pipelines cite and tune THESE rules by name. Every
+    * threshold compare is integer cross-multiplied (3n ≤ Σlen ≤ 10n
+    * instead of a float mean), so the verdict replays bit-exactly in
+    * SQL; the one emitted float (mean word length) is display-only.
+    * The repetition rules of the same appendix live in
+    * [[repetition]]/[[dupNgramCoverage]] — compose with this battery
+    * via a join on doc_id. Pure map-side projection: streams as-is.
+    */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val toks = tokensOf(col("text"))
+    val n = size(toks)
+    val totLen = aggregate(transform(toks, w => length(w)),
+      lit(0L), (acc, l) => acc + l)
+    val alphaWords = size(filter(toks, w => w.rlike("[a-z]")))
+    val symbols = regexp_count(col("text"), lit("#|\\.\\.\\.|…")).cast("long")
+    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    val stopHits = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      .map(w => when(padded.contains(s" $w "), 1).otherwise(0))
+      .reduce(_ + _)
+    docs.filter(col("text").isNotNull).select(
+      col("doc_id"),
+      n.cast("long").as("n_words"),
+      round(totLen.cast("double") / n + 1e-7, 4).as("mean_word_len"),
+      (n >= 50 && n <= 100000).as("ok_word_count"),
+      (totLen >= n * 3 && totLen <= n * 10).as("ok_mean_word_len"),
+      (symbols * 10 <= n).as("ok_symbol_ratio"),
+      (alphaWords * 5 >= n * 4).as("ok_alpha_words"),
+      (stopHits >= 2).as("ok_stopwords"))
+      .withColumn("pass",
+        col("ok_word_count") && col("ok_mean_word_len") &&
+          col("ok_symbol_ratio") && col("ok_alpha_words") && col("ok_stopwords"))
+  }
+
   /** Document fingerprint: md5 of the normalized text (exact-dedup
     * key). 32 hex chars.
     */

@@ -78,6 +78,25 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  test("gopherRules: each rule binds and a clean doc passes all five") {
+    import graft.datapipe.TextAnalysis
+    val clean = ("good " * 30 + "the quality of this text and " * 4).trim
+    val docs = Seq(
+      (1L, clean),                                  // passes everything
+      (2L, "the of short text"),                    // fails word count
+      (3L, ("a " * 60 + "the of").trim),            // mean word len < 3
+      (4L, ("####... " * 60 + "the of and").trim),  // symbol ratio + alpha
+      (5L, ("good text here body word " * 12).trim) // < 2 stopwords
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getBoolean(8), "clean doc should pass")
+    assert(!r(2L).getBoolean(3) && !r(2L).getBoolean(8))  // ok_word_count
+    assert(!r(3L).getBoolean(4))                          // ok_mean_word_len
+    assert(!r(4L).getBoolean(5) && !r(4L).getBoolean(6))  // symbols + alpha
+    assert(!r(5L).getBoolean(7))                          // ok_stopwords
+  }
+
   test("resizeLuma: identity at same dims, exact +delta shift through the mean") {
     import graft.datapipe.Multimodal
     val w = Multimodal.ImgW
