@@ -696,6 +696,27 @@ object SparkEntry {
       |       min(CASE WHEN cum >= ceil(0.99 * n) THEN bin * 4 END) AS p99_lo
       |FROM cum GROUP BY lang""".stripMargin
 
+  private lazy val profileCardSql =
+    s"""WITH f AS (SELECT source, md5($normSql) AS k,
+       |                  len(regexp_split_to_array(trim(text), '\\s+')) AS n_toks
+       |           FROM documents),
+       |${hllSql("f", "source", 256)},
+       |b AS (SELECT source, CAST(least(floor(n_toks / 4), 31) AS INTEGER) AS bin,
+       |             count(*) AS c
+       |      FROM f GROUP BY 1, 2),
+       |t AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM b GROUP BY source),
+       |cum AS (SELECT b.source, bin,
+       |               CAST(sum(c) OVER (PARTITION BY b.source ORDER BY bin) AS BIGINT) AS cum,
+       |               n
+       |        FROM b JOIN t USING (source)),
+       |qtl AS (SELECT source, max(n) AS n_rows,
+       |               min(CASE WHEN cum >= ceil(0.5 * n) THEN bin * 4 END) AS p50_lo,
+       |               min(CASE WHEN cum >= ceil(0.9 * n) THEN bin * 4 END) AS p90_lo,
+       |               min(CASE WHEN cum >= ceil(0.99 * n) THEN bin * 4 END) AS p99_lo
+       |        FROM cum GROUP BY source)
+       |SELECT source, n_rows, p50_lo, p90_lo, p99_lo, hll_est
+       |FROM qtl JOIN hll USING (source)""".stripMargin
+
   private lazy val saltedJoinSql =
     """WITH dim AS (SELECT event_type, avg(value) AS type_avg FROM events GROUP BY 1)
       |SELECT e.event_type, count(*) AS n,
@@ -2125,6 +2146,19 @@ object SparkEntry {
           TextAnalysis.wsTokenCount(col("text")).as("n_toks")),
         col("n_toks"), Seq("lang"), width = 4, nbins = 32)),
 
+    "q_profile_card" -> ((s, dir) => {
+      // the sketch trio COMPOSED: per-source volume + HLL
+      // distinct-content estimate + token-length quantiles — the
+      // per-ingest-source review table; every leg a constant-width
+      // aggregate off ONE projection, joined at |sources| grain
+      val f = docs(s, dir).select(col("source"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.wsTokenCount(col("text")).as("n_toks"))
+      Sketches.histQuantiles(f, col("n_toks"), Seq("source"),
+          width = 4, nbins = 32)
+        .join(Sketches.hllDistinct(f, col("fp"), Seq("source")), Seq("source"))
+    }),
+
     // -- skew-salted join --
     "q_salted_join" -> ((s, dir) => {
       // 5 event types into 32 shuffle partitions = 27 idle tasks and 5
@@ -3138,6 +3172,7 @@ object SparkEntry {
     "q_stream_hll" -> hllStreamSql,
     "q_cms_heavy" -> cmsHeavySql,
     "q_len_quantiles" -> lenQuantilesSql,
+    "q_profile_card" -> profileCardSql,
     // salting is result-invariant: the oracle IS the plain join
     "q_salted_join" -> saltedJoinSql,
     "q_bpe_merges" -> bpeMergesSql,
