@@ -35,7 +35,11 @@ for SF in 0.001 0.01; do
   rm -rf "$OUT"
   sbt -batch "runMain graft.Verify /root/testdata/sf${SF} ${OUT}" \
     > "target/verify_run_sf${SF}.log" 2>&1
+  # gen_status.py keys the oracle line on an "sfX.XXX:" prefix that
+  # check.py itself does not emit — add it here so the status block
+  # never degrades to "oracle: n/a (unparseable)"
   python3 tools/check.py "/root/testdata/sf${SF}" "$OUT" \
+    | sed "s|^\([0-9][0-9]*/[0-9][0-9]* oracle queries match\)$|sf${SF}: \1|" \
     | tee -a target/verify_summary.log
 done
 
