@@ -2159,6 +2159,33 @@ object SparkEntry {
         .join(Sketches.hllDistinct(f, col("fp"), Seq("source")), Seq("source"))
     }),
 
+    "q_stream_profile" -> ((s, dir) => {
+      // the profile card ON THE STREAM: both legs are constant-state
+      // complete-mode aggregates (≤256 registers + ≤32 bins per
+      // source, max/count-sum merged across micro-batches — state
+      // bounded FOREVER on an unbounded stream), finished batch-side
+      // by the shared estimator/read-off. Bounded stream ≡ batch →
+      // same oracle as q_profile_card
+      import graft.streaming.StreamingOps._
+      def f = documentsStream(s, dir).select(col("source"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.wsTokenCount(col("text")).as("n_toks"))
+      // shed the MemoryPlan: quantilesFromBins self-joins its input
+      // (cum leg × totals leg) and the memory-sink view's attributes
+      // don't deduplicate across the two references (INTERNAL_ERROR
+      // "conflicting references") — rebasing on the RDD gives the
+      // join fresh attribute ids (the Dedup.ckpt stats-shed trick)
+      def shed(df: DataFrame) = s.createDataFrame(df.rdd, df.schema)
+      val regs = shed(runToMemorySink(
+        Sketches.hllRegisters(f, col("fp"), Seq("source")),
+        "stream_prof_regs", mode = "complete"))
+      val bins = shed(runToMemorySink(
+        Sketches.histBins(f, col("n_toks"), Seq("source"), width = 4, nbins = 32),
+        "stream_prof_bins", mode = "complete"))
+      Sketches.quantilesFromBins(bins, Seq("source"), width = 4)
+        .join(Sketches.hllEstimate(regs, Seq("source")), Seq("source"))
+    }),
+
     // -- skew-salted join --
     "q_salted_join" -> ((s, dir) => {
       // 5 event types into 32 shuffle partitions = 27 idle tasks and 5
@@ -3173,6 +3200,8 @@ object SparkEntry {
     "q_cms_heavy" -> cmsHeavySql,
     "q_len_quantiles" -> lenQuantilesSql,
     "q_profile_card" -> profileCardSql,
+    // bounded stream ≡ batch: max-merged registers + count-sum bins
+    "q_stream_profile" -> profileCardSql,
     // salting is result-invariant: the oracle IS the plain join
     "q_salted_join" -> saltedJoinSql,
     "q_bpe_merges" -> bpeMergesSql,

@@ -144,13 +144,27 @@ object Sketches {
     */
   def histQuantiles(df: DataFrame, value: Column, groups: Seq[String],
                     width: Int, nbins: Int,
-                    qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val bins = df
-      .select(groups.map(col) :+
+                    qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame =
+    quantilesFromBins(histBins(df, value, groups, width, nbins),
+      groups, width, qs)
+
+  /** The histogram's bin-count aggregate alone — ≤ nbins rows per
+    * group, count-sum mergeable, so it doubles as a bounded-state
+    * streaming aggregate (the histogram twin of [[hllRegisters]]).
+    */
+  def histBins(df: DataFrame, value: Column, groups: Seq[String],
+               width: Int, nbins: Int): DataFrame =
+    df.select(groups.map(col) :+
         least(floor(value / lit(width)), lit(nbins - 1)).cast("int").as("bin"): _*)
       .groupBy(groups.map(col) :+ col("bin"): _*)
       .agg(count(lit(1)).as("c"))
+
+  /** Quantile read-off over a materialized (groups..., bin, c) table —
+    * the batch finish shared by the one-pass and the streamed forms.
+    */
+  def quantilesFromBins(bins: DataFrame, groups: Seq[String], width: Int,
+                        qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val totals = bins.groupBy(groups.map(col): _*).agg(sum("c").as("n"))
     val cum = bins
       .withColumn("cum", sum("c").over(
