@@ -21,19 +21,33 @@ import org.apache.spark.sql.functions._
   * whole estimate — register indexes, rho ranks, cell sums, the
   * final corrected estimator — replays value-exactly in the SQL
   * oracle. Determinism note: the register harmonic sum is kept in
-  * INTEGER space (Σ 2^(45−M) ≤ 256·2^44 < 2^53 fits a long exactly),
-  * so the estimate is bit-identical under any partitioning / merge
-  * order; the only float ops are one division and one ln, after all
-  * aggregation.
+  * INTEGER space (Σ 2^(R−M) ≤ m·2^(R−1) = 2^52 fits a long exactly,
+  * where R = 53 − log2(m) is the max rank), so the estimate is
+  * bit-identical under any partitioning / merge order; the only
+  * float ops are one division and one ln, after all aggregation.
   */
 object Sketches {
 
+  /** Max rho rank for a given register count: the 52-bit hash splits
+    * into log2(m) register-index bits and 52−log2(m) rank bits, so
+    * rho ∈ [1, R] with R = (52 − log2 m) + 1 = 53 − log2 m. Shared by
+    * the register builder, the estimator's integer harmonic sum, and
+    * the SQL oracle (SparkEntry.hllSql) — the three MUST agree or the
+    * raw-regime estimate deflates by 2^(off-by) (r13 advice: the
+    * hardcoded 45 was only correct for m=256).
+    */
+  def hllMaxRank(m: Int): Int = {
+    require(m > 0 && (m & (m - 1)) == 0 && m <= 65536, s"m must be a power of 2: $m")
+    53 - java.lang.Integer.numberOfTrailingZeros(m)
+  }
+
   /** Registers per group for a Flajolet-et-al HyperLogLog sketch over
-    * `key`: j = h mod m picks the register, rho = 45 − bitlen(h div m)
-    * is the leading-zero rank of the remaining 44 hash bits (+1), and
-    * the register value M_j is the max rank seen. Output: one row per
-    * NON-EMPTY (group, j) — absent registers are zero by convention
-    * and are accounted for in [[hllEstimate]].
+    * `key`: j = h mod m picks the register, rho = R − bitlen(h div m)
+    * (R = [[hllMaxRank]]) is the leading-zero rank of the remaining
+    * 52−log2(m) hash bits (+1), and the register value M_j is the max
+    * rank seen. Output: one row per NON-EMPTY (group, j) — absent
+    * registers are zero by convention and are accounted for in
+    * [[hllEstimate]].
     *
     * This is the mergeable form: `max` is the HLL merge operator, so
     * the same groupBy works as a streaming update-mode aggregate
@@ -43,10 +57,10 @@ object Sketches {
     */
   def hllRegisters(df: DataFrame, key: Column, groups: Seq[String],
                    m: Int = 256): DataFrame = {
-    require(m > 0 && (m & (m - 1)) == 0 && m <= 65536, s"m must be a power of 2: $m")
+    val r = hllMaxRank(m)
     val h = Sampling.saltedHash(key, "hll")
     val w = floor(h / m).cast("long")
-    val rho = when(w === 0, lit(45)).otherwise(lit(45) - length(bin(w)))
+    val rho = when(w === 0, lit(r)).otherwise(lit(r) - length(bin(w)))
     df.select(groups.map(col) :+ pmod(h, lit(m.toLong)).as("j") :+ rho.as("rho"): _*)
       .groupBy(groups.map(col) :+ col("j"): _*)
       .agg(max("rho").as("M"))
@@ -55,21 +69,22 @@ object Sketches {
   /** Fold a register table into the per-group cardinality estimate:
     * raw E = α_m·m² / Σ 2^−M_j with the small-range linear-counting
     * correction (E ≤ 2.5m and empty registers V > 0 → m·ln(m/V)).
-    * The harmonic sum is the exact integer Σ 2^(45−M_j) scaled once
-    * by 2^−45; rounding to 4 decimals absorbs the sub-ulp ln/division
-    * differences between JVM and libm.
+    * The harmonic sum is the exact integer Σ 2^(R−M_j) scaled once
+    * by 2^−R (R = [[hllMaxRank]]); rounding to 4 decimals absorbs the
+    * sub-ulp ln/division differences between JVM and libm.
     */
   def hllEstimate(registers: DataFrame, groups: Seq[String],
                   m: Int = 256): DataFrame = {
+    val r = hllMaxRank(m)
     val alphaM2 = alpha(m) * m * m
-    val pow45 = 1L << 45
+    val powR = 1L << r
     registers
       .groupBy(groups.map(col): _*)
       .agg(count(lit(1)).as("n_reg"),
-        sum(expr("shiftleft(CAST(1 AS BIGINT), 45 - M)")).as("s_int"))
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $r - M)")).as("s_int"))
       .select(groups.map(col) :+ {
         val v = lit(m) - col("n_reg")
-        val s = (col("s_int") + v * lit(pow45)).cast("double") / lit(pow45.toDouble)
+        val s = (col("s_int") + v * lit(powR)).cast("double") / lit(powR.toDouble)
         val raw = lit(alphaM2) / s
         val est = when(raw <= lit(2.5 * m) && v > 0,
           lit(m.toDouble) * log(lit(m.toDouble) / v.cast("double")))
@@ -83,11 +98,18 @@ object Sketches {
                   m: Int = 256): DataFrame =
     hllEstimate(hllRegisters(df, key, groups, m), groups, m)
 
-  /** α_m for the standard bias-corrected raw estimator (m ≥ 128 form;
-    * the fixture ms are 256+). Folded to a plain double so the oracle
-    * SQL can carry the identical literal.
+  /** α_m for the standard bias-corrected raw estimator. The published
+    * small-m constants (Flajolet et al. 2007 §4) are special-cased;
+    * m ≥ 128 uses the closed form. Folded to a plain double so the
+    * oracle SQL can carry the identical literal (fixture ms: 64 for
+    * q_hll_users — raw regime — and 256 for the document sketches).
     */
-  def alpha(m: Int): Double = 0.7213 / (1.0 + 1.079 / m)
+  def alpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _  => 0.7213 / (1.0 + 1.079 / m)
+  }
 
   /** Count-min sketch cells from a weighted key table: d independent
     * salted hash rows × w buckets, cell = Σ weight. The groupBy is
@@ -151,11 +173,18 @@ object Sketches {
   /** The histogram's bin-count aggregate alone — ≤ nbins rows per
     * group, count-sum mergeable, so it doubles as a bounded-state
     * streaming aggregate (the histogram twin of [[hllRegisters]]).
+    * NULL values are dropped here (a NULL `value` has no bin), which
+    * also pins the cumulative-window semantics downstream: Spark
+    * windows sort NULLS FIRST while DuckDB sorts NULLS LAST, so a
+    * surviving NULL bin would shift every cumulative count on the
+    * Spark side only (r13 advice). The SQL oracles carry the matching
+    * `WHERE value IS NOT NULL`.
     */
   def histBins(df: DataFrame, value: Column, groups: Seq[String],
                width: Int, nbins: Int): DataFrame =
     df.select(groups.map(col) :+
         least(floor(value / lit(width)), lit(nbins - 1)).cast("int").as("bin"): _*)
+      .where(col("bin").isNotNull)
       .groupBy(groups.map(col) :+ col("bin"): _*)
       .agg(count(lit(1)).as("c"))
 

@@ -108,17 +108,28 @@ object TextAnalysis {
     * via a join on doc_id. Pure map-side projection: streams as-is.
     */
   def gopherRules(docs: DataFrame): DataFrame = {
-    val toks = tokensOf(col("text"))
+    // The stopword rule is word-level (Gopher A1.1 counts stop WORDS,
+    // not substrings): match against the punctuation-stripped token
+    // array so "the," / "with." still count (r13 advice — the old
+    // space-padded `contains` missed stopwords adjacent to
+    // punctuation). `stripped` is projected as its own column in a
+    // separate select so the 8 array_contains probes share ONE
+    // transform evaluation (CollapseProject won't inline a non-cheap
+    // expression referenced 8×; HOF lambdas get no CSE — PLANS.md).
+    val base = docs.filter(col("text").isNotNull).select(
+      col("doc_id"), col("text"), tokensOf(col("text")).as("toks"))
+      .withColumn("stripped",
+        transform(col("toks"), w => regexp_replace(w, "[^a-z]", "")))
+    val toks = col("toks")
     val n = size(toks)
     val totLen = aggregate(transform(toks, w => length(w)),
       lit(0L), (acc, l) => acc + l)
     val alphaWords = size(filter(toks, w => w.rlike("[a-z]")))
     val symbols = regexp_count(col("text"), lit("#|\\.\\.\\.|…")).cast("long")
-    val padded = concat(lit(" "), lower(col("text")), lit(" "))
     val stopHits = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-      .map(w => when(padded.contains(s" $w "), 1).otherwise(0))
+      .map(w => when(array_contains(col("stripped"), w), 1).otherwise(0))
       .reduce(_ + _)
-    docs.filter(col("text").isNotNull).select(
+    base.select(
       col("doc_id"),
       n.cast("long").as("n_words"),
       round(totLen.cast("double") / n + 1e-7, 4).as("mean_word_len"),
