@@ -53,7 +53,13 @@ object Sketches {
     * the same groupBy works as a streaming update-mode aggregate
     * (state = ≤ m rows per group, bounded forever) and register
     * tables from disjoint corpus slices union+re-max into the global
-    * sketch.
+    * sketch. Output-mode note for streams: complete mode re-emits
+    * every (group, j) row per trigger — fine while |groups|·m is
+    * sink-sized; when |groups| itself is large, run update mode (only
+    * registers whose max advanced emit) and max-merge the partial
+    * emissions downstream — mergeability makes the two modes
+    * equivalent (Round14Spec pins state ≤ m·|groups| under mid-stream
+    * group arrival).
     */
   def hllRegisters(df: DataFrame, key: Column, groups: Seq[String],
                    m: Int = 256): DataFrame = {

@@ -51,40 +51,68 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> str:
     return "OK" if not bad else "VALUE MISMATCH " + "; ".join(bad)
 
 
-def main(sf_dir: str, out_dir: str) -> None:
+def main(sf_dir: str, out_dir: str, json_out: str | None = None) -> None:
+    import os
+    import time
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
     n_ok = 0
+    results = {}
     for name, sql in sorted(oracle.items()):
+        # only grade queries the (possibly subset) Verify run attempted
+        if json_out and not os.path.isdir(f"{out_dir}/{name}"):
+            continue
+        t0 = time.time()
         try:
             duck_df = con.sql(sql).df()
         except Exception as e:
             print(f"{name}: DUCKDB ERROR {e}")
+            results[name] = {"rows_match": None, "schema_match": None,
+                             "hash_match": None, "spark_rows": None,
+                             "oracle_rows": None,
+                             "err": f"duckdb: {str(e)[:200]}"}
             continue
         try:
             spark_df = pd.read_parquet(f"{out_dir}/{name}")
         except Exception as e:
             print(f"{name}: SPARK OUTPUT MISSING {e}")
+            results[name] = {"rows_match": None, "schema_match": None,
+                             "hash_match": None, "spark_rows": None,
+                             "oracle_rows": len(duck_df), "err": "spark_missing"}
             continue
         res = compare(name, spark_df, duck_df)
         if res == "OK":
             n_ok += 1
-        print(f"{name}: {res} ({len(spark_df)} rows)")
-    print(f"\n{n_ok}/{len(oracle)} oracle queries match")
+        results[name] = {
+            "rows_match": len(spark_df) == len(duck_df),
+            "schema_match": "SCHEMA" not in res and "DTYPE" not in res,
+            "hash_match": res == "OK",
+            "spark_rows": len(spark_df), "oracle_rows": len(duck_df),
+            "err": None if res == "OK" else res[:300],
+        }
+        print(f"{name}: {res} ({len(spark_df)} rows, "
+              f"oracle {time.time() - t0:.1f}s)", flush=True)
+    print(f"\n{n_ok}/{len(results) if json_out else len(oracle)} oracle queries match")
     # rows-only queries
-    import os
     for d in sorted(os.listdir(out_dir)):
         full = f"{out_dir}/{d}"
         if os.path.isdir(full) and d not in oracle:
             try:
                 n = len(pd.read_parquet(full))
                 print(f"[rows-only] {d}: {n} rows" + (" !! EMPTY" if n == 0 else ""))
+                if json_out:
+                    results[d] = {"rows_match": n > 0, "schema_match": None,
+                                  "hash_match": None, "spark_rows": n,
+                                  "oracle_rows": None, "err": "no_oracle"}
             except Exception as e:
                 print(f"[rows-only] {d}: READ ERROR {e}")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=1)
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1], sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else None)
