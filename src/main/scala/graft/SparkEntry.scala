@@ -870,7 +870,11 @@ object SparkEntry {
     // one decimal keeps 9 significant digits with negligible
     // boundary-hit probability
     "q_integral" -> ((s, dir) =>
-      Signal(ev(s, dir)).integral().df
+      // integralExact: integer-quantized trapezoid accumulation —
+      // order-free, so the 200k-term running sums stay bit-identical
+      // across engines/plans (the float form flipped 27/1M rounding
+      // ties vs DuckDB's segment-tree windowed sum at sf1; PLANS r14)
+      Signal(ev(s, dir)).integralExact().df
         .select(col("channel"), col("t"), round(col("v"), 1).as("v"))),
     "q_derivative" -> ((s, dir) => Signal(ev(s, dir)).derivative().df),
     "q_detrend_const" -> ((s, dir) =>
@@ -2646,12 +2650,14 @@ object SparkEntry {
       s"""WITH $SRC,
          |seg AS (
          |  SELECT channel, t,
-         |         coalesce((v + lag(v) OVER w) / 2.0 * (t - lag(t) OVER w), 0.0) AS s
+         |         CAST(round(coalesce((v + lag(v) OVER w) / 2.0 * (t - lag(t) OVER w), 0.0)
+         |                    / 1.0e-4, 0) AS BIGINT) AS qs
          |  FROM src WINDOW w AS (PARTITION BY channel ORDER BY t)
          |)
          |SELECT channel, t,
-         |       round(sum(s) OVER (PARTITION BY channel ORDER BY t
-         |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1) AS v
+         |       round(CAST(sum(qs) OVER (PARTITION BY channel ORDER BY t
+         |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |             AS DOUBLE) * 1.0e-4, 1) AS v
          |FROM seg""".stripMargin,
     "q_derivative" ->
       s"""WITH $SRC,
@@ -3452,10 +3458,15 @@ object SparkEntry {
     // 7200 * sr) = 2 samples, t shifted back by window/2, warm-up row
     // and final row trimmed (extension.py:684,695-697)
     "q_movrms_time" ->
+      // v² quantized to 1e-6 and summed as integers — replays
+      // movRms's order-free accumulation (integer window sum ≡ the
+      // Spark side's cum-difference exactly; see Signal.movRms)
       s"""WITH ${uniformSql(3600.0)}
          |SELECT channel, t - 3600.0 AS t,
-         |       round(sqrt(avg(v * v) OVER (PARTITION BY channel ORDER BY t
-         |                                   ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)), 6) AS v
+         |       round(sqrt(CAST(sum(CAST(round(v * v / 1.0e-6, 0) AS BIGINT))
+         |                       OVER (PARTITION BY channel ORDER BY t
+         |                             ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |                  * 1.0e-6 / 2), 6) AS v
          |FROM u
          |QUALIFY row_number() OVER (PARTITION BY channel ORDER BY t) >= 2
          |    AND row_number() OVER (PARTITION BY channel ORDER BY t) <

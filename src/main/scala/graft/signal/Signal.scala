@@ -136,6 +136,16 @@ final case class Signal(df: DataFrame, name: String = "signal", unit: String = "
     // equivalent running formulation: sum(v^2) over an unbounded frame
     // minus the same running sum n rows earlier (equi-join on
     // (channel, rn - n) stands in for the variable-length lag).
+    // The squares are quantized to 1e-6 and accumulated as LONGs:
+    // differencing two ~1e9-magnitude float cumsums is catastrophic
+    // cancellation — the running sum's addition-order drift (segment
+    // tree vs sequential) survives in the small difference and flips
+    // round-6 ties at scale (r14 sf1 campaign: 1/36k rows vs the
+    // oracle's direct 2-row frame). Integer accumulation is
+    // associative, so cum-difference ≡ direct window sum EXACTLY in
+    // every engine; Σv²/1e-6 at sf1 is ~1e15 per channel — 9000×
+    // inside int64.
+    val grain = 1e-6
     val run = w.rowsBetween(Window.unboundedPreceding, 0)
     val cum = joined
       // NULL samplerate (variable-rate channel) must FAIL, not make
@@ -146,13 +156,15 @@ final case class Signal(df: DataFrame, name: String = "signal", unit: String = "
         .otherwise(round(col("samplerate") * lit(window)).cast("int")))
       .withColumn("rn", row_number().over(w))
       .withColumn("cnt", count(lit(1)).over(wAll))
-      .withColumn("cum", sum(col("v") * col("v")).over(run))
+      .withColumn("cum",
+        sum(round(col("v") * col("v") / grain, 0).cast("long")).over(run))
     val prev = cum.select(col("channel"), (col("rn") + col("n")).as("rn"), col("cum").as("cum_prev"))
     val res = cum.join(prev, Seq("channel", "rn"), "left")
       .filter(col("rn") >= col("n") && col("rn") < col("cnt"))
       .select(col("channel"),
         (col("t") - lit(window / 2)).as("t"),
-        sqrt((col("cum") - coalesce(col("cum_prev"), lit(0.0))) / col("n")).as("v"))
+        sqrt((col("cum") - coalesce(col("cum_prev"), lit(0L))).cast("double")
+          * grain / col("n")).as("v"))
     rebuild(res, s"mov_rms($name,$window)")
   }
 
@@ -165,6 +177,30 @@ final case class Signal(df: DataFrame, name: String = "signal", unit: String = "
       .withColumn("seg", coalesce(seg, lit(0.0)))
       .withColumn("vi", sum("seg").over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .select(col("channel"), col("t"), col("vi").as("v"))
+    rebuild(out, s"int($name)", "none")
+  }
+
+  /** [[integral]] with the trapezoid segments quantized to `grain`
+    * and accumulated in INTEGER space — the order-free form a
+    * distributed engine needs for reproducible long running sums: a
+    * float running sum is addition-order-dependent (an engine that
+    * sums a window via a segment tree drifts sub-ulp against one
+    * summing the frame sequentially, and on 200k-sample channels the
+    * drift crosses rounding ties — the r14 sf1 campaign measured
+    * 27/1M rows flipping a 0.1-grain round between Spark and DuckDB).
+    * Quantized segments make the cumulative sum bit-identical under
+    * ANY accumulation order; deviation from the float integral is a
+    * ±grain/2-per-term random walk (≈ grain·√n ~ 0.02 at the default
+    * grain over 200k rows). Overflow margin: Σ|seg|/grain per channel
+    * must stay below 2^63 (the sf1 fixture peaks at 1.3e9/1e-4 =
+    * 1.3e13).
+    */
+  def integralExact(grain: Double = 1e-4): Signal = {
+    val seg = (col("v") + lag("v", 1).over(w)) / 2.0 * (col("t") - lag("t", 1).over(w))
+    val out = df
+      .withColumn("qseg", round(coalesce(seg, lit(0.0)) / grain, 0).cast("long"))
+      .withColumn("qi", sum("qseg").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("channel"), col("t"), (col("qi").cast("double") * grain).as("v"))
     rebuild(out, s"int($name)", "none")
   }
 
