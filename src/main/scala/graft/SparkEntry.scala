@@ -1437,7 +1437,7 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"))
       val cents = trainedCents(s, dir)
       val (rot, books) = opqFit(s, dir)
-      opqCapture = Some((cents, rot, books))
+      opqCapture = opqCapture + (dir -> ((cents, rot, books)))
       val codes = Similarity.opqResidualEncode(e, cents, rot, books)
       val ivf = Similarity.ivfTopKResidualOpq(codes, q, cents, rot, books, k = 10, nprobe = 4)
       val cand = Similarity.ivfTopKResidualOpq(codes, q, cents, rot, books, k = 50, nprobe = 4)
@@ -2516,7 +2516,31 @@ object SparkEntry {
        |)
        |SELECT channel, freq, round(p * factor * factor + 1e-7, 4) AS p FROM agg""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  /** Driver-contract dump. q_opq_recall's oracle embeds TRAINED
+    * literals captured per sf dir at query run time; this no-arg form
+    * is only safe while a single sf dir has run in this JVM, and
+    * fails loudly otherwise (r14 advice: a multi-scale run must not
+    * dump scale A's oracle with scale B's literals). Multi-scale
+    * runners use [[oracleSqlFor]].
+    */
+  def oracleSql: Map[String, String] = {
+    require(opqCapture.size <= 1,
+      s"q_opq_recall ran against multiple sf dirs in this JVM " +
+        s"(${opqCapture.keys.mkString(", ")}); dump with oracleSqlFor(sfDir)")
+    oracleSqlBase ++ opqCapture.headOption.map { case (_, (cents, rot, books)) =>
+      "q_opq_recall" -> opqRecallSql(cents, rot, books)
+    }
+  }
+
+  /** [[oracleSql]] with the trained-literal captures keyed to ONE sf
+    * dir — the form a multi-scale JVM must use.
+    */
+  def oracleSqlFor(sfDir: String): Map[String, String] =
+    oracleSqlBase ++ opqCapture.get(sfDir).map { case (cents, rot, books) =>
+      "q_opq_recall" -> opqRecallSql(cents, rot, books)
+    }
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "q01_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 0) AS sum_qty,
@@ -2647,18 +2671,28 @@ object SparkEntry {
          |)
          |SELECT channel, t, round(mr, 6) AS v FROM win WHERE rn >= 16 AND rn < cnt""".stripMargin,
     "q_integral" ->
+      // grain = max(|seg|)/2^34 per channel (amplitude-relative, r14
+      // verdict): max / divide-by-2^34 are IEEE-exact order-free ops,
+      // so this derives bit-identically to Signal.integralExact
       s"""WITH $SRC,
          |seg AS (
          |  SELECT channel, t,
-         |         CAST(round(coalesce((v + lag(v) OVER w) / 2.0 * (t - lag(t) OVER w), 0.0)
-         |                    / 1.0e-4, 0) AS BIGINT) AS qs
+         |         coalesce((v + lag(v) OVER w) / 2.0 * (t - lag(t) OVER w), 0.0) AS sg
          |  FROM src WINDOW w AS (PARTITION BY channel ORDER BY t)
+         |),
+         |g AS (
+         |  SELECT channel, t, sg,
+         |         CASE WHEN max(abs(sg)) OVER (PARTITION BY channel) = 0 THEN 1.0
+         |              ELSE max(abs(sg)) OVER (PARTITION BY channel) / 1.7179869184e10
+         |         END AS grain
+         |  FROM seg
          |)
          |SELECT channel, t,
-         |       round(CAST(sum(qs) OVER (PARTITION BY channel ORDER BY t
-         |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |             AS DOUBLE) * 1.0e-4, 1) AS v
-         |FROM seg""".stripMargin,
+         |       round(CAST(sum(CAST(round(sg / grain, 0) AS BIGINT))
+         |                  OVER (PARTITION BY channel ORDER BY t
+         |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |             AS DOUBLE) * grain, 1) AS v
+         |FROM g""".stripMargin,
     "q_derivative" ->
       s"""WITH $SRC,
          |d AS (
@@ -3458,16 +3492,25 @@ object SparkEntry {
     // 7200 * sr) = 2 samples, t shifted back by window/2, warm-up row
     // and final row trimmed (extension.py:684,695-697)
     "q_movrms_time" ->
-      // v² quantized to 1e-6 and summed as integers — replays
-      // movRms's order-free accumulation (integer window sum ≡ the
-      // Spark side's cum-difference exactly; see Signal.movRms)
-      s"""WITH ${uniformSql(3600.0)}
+      // v² quantized to the amplitude-relative per-channel grain
+      // max(|v|)²/2^34 and summed as integers — replays movRms's
+      // order-free accumulation (integer window sum ≡ the Spark
+      // side's cum-difference exactly; see Signal.movRms)
+      s"""WITH ${uniformSql(3600.0)},
+         |g AS (
+         |  SELECT channel, t, v,
+         |         CASE WHEN max(abs(v)) OVER (PARTITION BY channel) = 0 THEN 1.0
+         |              ELSE max(abs(v)) OVER (PARTITION BY channel)
+         |                   * max(abs(v)) OVER (PARTITION BY channel) / 1.7179869184e10
+         |         END AS grain
+         |  FROM u
+         |)
          |SELECT channel, t - 3600.0 AS t,
-         |       round(sqrt(CAST(sum(CAST(round(v * v / 1.0e-6, 0) AS BIGINT))
+         |       round(sqrt(CAST(sum(CAST(round(v * v / grain, 0) AS BIGINT))
          |                       OVER (PARTITION BY channel ORDER BY t
          |                             ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS DOUBLE)
-         |                  * 1.0e-6 / 2), 6) AS v
-         |FROM u
+         |                  * grain / 2), 6) AS v
+         |FROM g
          |QUALIFY row_number() OVER (PARTITION BY channel ORDER BY t) >= 2
          |    AND row_number() OVER (PARTITION BY channel ORDER BY t) <
          |        count(*) OVER (PARTITION BY channel)""".stripMargin,
@@ -3544,21 +3587,21 @@ object SparkEntry {
         |  FROM pairs
         |)
         |SELECT a, b, cos FROM scored WHERE cos >= 0.35""".stripMargin
-  ) ++ opqCapture.map { case (cents, rot, books) =>
-    "q_opq_recall" -> opqRecallSql(cents, rot, books)
-  }
+  )
 
-  /** The trained (coarse centroids, rotation, codebooks) captured the
-    * last time q_opq_recall ran in this JVM — Verify dumps oracleSql
-    * AFTER running every query, so the capture is always populated in
-    * the driver's gate; in a dev subset run without q_opq_recall the
-    * key is simply absent (rows-only, the pre-r14 behavior). Training
+  /** The trained (coarse centroids, rotation, codebooks) captured per
+    * sf dir when q_opq_recall runs in this JVM — Verify dumps oracle
+    * SQL AFTER running every query, so the capture is always populated
+    * in the driver's gate; in a dev subset run without q_opq_recall
+    * the key is simply absent (rows-only, the pre-r14 behavior).
+    * Keyed by dir (r14 advice): a JVM that runs two scales must not
+    * dump scale A's oracle with scale B's trained literals. Training
     * is deterministic (md5 seeds, per-iteration rounding, fixed-order
     * Jacobi SVD), so the inlined literals are a pure function of the
     * fixture.
     */
-  @volatile private var opqCapture: Option[(Array[Array[Double]],
-    Array[Array[Double]], Array[Array[Array[Double]]])] = None
+  @volatile private var opqCapture: Map[String, (Array[Array[Double]],
+    Array[Array[Double]], Array[Array[Array[Double]]])] = Map.empty
 
   /** CTE chain producing `u(channel, t, v)` = the events channels
     * linearly resampled onto the np.arange grid at `step` seconds —

@@ -184,13 +184,17 @@ object Sketches {
     * windows sort NULLS FIRST while DuckDB sorts NULLS LAST, so a
     * surviving NULL bin would shift every cumulative count on the
     * Spark side only (r13 advice). The SQL oracles carry the matching
-    * `WHERE value IS NOT NULL`.
+    * `WHERE value IS NOT NULL`. The filter must be on `value` ITSELF,
+    * before binning: `least()` SKIPS null arguments in both Spark and
+    * DuckDB, so `least(floor(NULL/width), nbins-1)` is `nbins-1`, not
+    * NULL — a bin-level null check silently counts NULL values in the
+    * top bin (r14 advice).
     */
   def histBins(df: DataFrame, value: Column, groups: Seq[String],
                width: Int, nbins: Int): DataFrame =
-    df.select(groups.map(col) :+
+    df.where(value.isNotNull)
+      .select(groups.map(col) :+
         least(floor(value / lit(width)), lit(nbins - 1)).cast("int").as("bin"): _*)
-      .where(col("bin").isNotNull)
       .groupBy(groups.map(col) :+ col("bin"): _*)
       .agg(count(lit(1)).as("c"))
 

@@ -136,18 +136,28 @@ final case class Signal(df: DataFrame, name: String = "signal", unit: String = "
     // equivalent running formulation: sum(v^2) over an unbounded frame
     // minus the same running sum n rows earlier (equi-join on
     // (channel, rn - n) stands in for the variable-length lag).
-    // The squares are quantized to 1e-6 and accumulated as LONGs:
-    // differencing two ~1e9-magnitude float cumsums is catastrophic
-    // cancellation — the running sum's addition-order drift (segment
-    // tree vs sequential) survives in the small difference and flips
-    // round-6 ties at scale (r14 sf1 campaign: 1/36k rows vs the
-    // oracle's direct 2-row frame). Integer accumulation is
-    // associative, so cum-difference ≡ direct window sum EXACTLY in
-    // every engine; Σv²/1e-6 at sf1 is ~1e15 per channel — 9000×
-    // inside int64.
-    val grain = 1e-6
+    // The squares are quantized to a per-channel grain and
+    // accumulated as LONGs: differencing two ~1e9-magnitude float
+    // cumsums is catastrophic cancellation — the running sum's
+    // addition-order drift (segment tree vs sequential) survives in
+    // the small difference and flips round-6 ties at scale (r14 sf1
+    // campaign: 1/36k rows vs the oracle's direct 2-row frame).
+    // Integer accumulation is associative, so cum-difference ≡ direct
+    // window sum EXACTLY in every engine. The grain is RELATIVE to
+    // channel amplitude, max(|v|)²/2^34 (r14 verdict: an absolute
+    // 1e-6 grain silently zeroes a µ-amplitude channel): every
+    // operation in the grain derivation — max, multiply, divide by a
+    // power of two — is IEEE-exact and order-free, so Spark and a SQL
+    // oracle compute the identical grain; per-term quanta are ≤ 2^34
+    // so prefix sums stay inside int64 up to 2^28 rows/channel
+    // (raise [[QuantBits]] headroom by lowering it for longer
+    // channels), and the quantization walk is ≤ max(v²)·2^-35·√n —
+    // ~9 significant digits below the window mean for any amplitude.
     val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    val mx = max(abs(col("v"))).over(wAll)
     val cum = joined
+      .withColumn("grain",
+        when(mx === lit(0.0), lit(1.0)).otherwise(mx * mx / lit(Signal.QuantDiv)))
       // NULL samplerate (variable-rate channel) must FAIL, not make
       // the rn >= n filter silently drop every row of the channel
       .withColumn("n", when(col("samplerate").isNull,
@@ -157,14 +167,14 @@ final case class Signal(df: DataFrame, name: String = "signal", unit: String = "
       .withColumn("rn", row_number().over(w))
       .withColumn("cnt", count(lit(1)).over(wAll))
       .withColumn("cum",
-        sum(round(col("v") * col("v") / grain, 0).cast("long")).over(run))
+        sum(round(col("v") * col("v") / col("grain"), 0).cast("long")).over(run))
     val prev = cum.select(col("channel"), (col("rn") + col("n")).as("rn"), col("cum").as("cum_prev"))
     val res = cum.join(prev, Seq("channel", "rn"), "left")
       .filter(col("rn") >= col("n") && col("rn") < col("cnt"))
       .select(col("channel"),
         (col("t") - lit(window / 2)).as("t"),
         sqrt((col("cum") - coalesce(col("cum_prev"), lit(0L))).cast("double")
-          * grain / col("n")).as("v"))
+          * col("grain") / col("n")).as("v"))
     rebuild(res, s"mov_rms($name,$window)")
   }
 
@@ -180,8 +190,8 @@ final case class Signal(df: DataFrame, name: String = "signal", unit: String = "
     rebuild(out, s"int($name)", "none")
   }
 
-  /** [[integral]] with the trapezoid segments quantized to `grain`
-    * and accumulated in INTEGER space — the order-free form a
+  /** [[integral]] with the trapezoid segments quantized and
+    * accumulated in INTEGER space — the order-free form a
     * distributed engine needs for reproducible long running sums: a
     * float running sum is addition-order-dependent (an engine that
     * sums a window via a segment tree drifts sub-ulp against one
@@ -189,18 +199,26 @@ final case class Signal(df: DataFrame, name: String = "signal", unit: String = "
     * drift crosses rounding ties — the r14 sf1 campaign measured
     * 27/1M rows flipping a 0.1-grain round between Spark and DuckDB).
     * Quantized segments make the cumulative sum bit-identical under
-    * ANY accumulation order; deviation from the float integral is a
-    * ±grain/2-per-term random walk (≈ grain·√n ~ 0.02 at the default
-    * grain over 200k rows). Overflow margin: Σ|seg|/grain per channel
-    * must stay below 2^63 (the sf1 fixture peaks at 1.3e9/1e-4 =
-    * 1.3e13).
+    * ANY accumulation order. The grain is RELATIVE to each channel's
+    * segment scale, max(|seg|)/2^34 (r14 verdict: the former absolute
+    * 1e-4 grain silently zeroed µ-amplitude channels): max/multiply/
+    * divide-by-2^34 are IEEE-exact order-free ops, so any SQL engine
+    * derives the identical grain from the same rows. Per-term quanta
+    * ≤ 2^34 keep prefix sums inside int64 up to 2^28 rows/channel;
+    * the quantization walk vs the float integral is ≤
+    * max(|seg|)·2^-35·√n — for the sf1 fixture (max seg ~1e4, n=1M)
+    * that is ~3e-4, five hundred× inside the 0.1 output rounding.
     */
-  def integralExact(grain: Double = 1e-4): Signal = {
+  def integralExact(): Signal = {
     val seg = (col("v") + lag("v", 1).over(w)) / 2.0 * (col("t") - lag("t", 1).over(w))
+    val mx = max(abs(col("sg"))).over(wAll)
     val out = df
-      .withColumn("qseg", round(coalesce(seg, lit(0.0)) / grain, 0).cast("long"))
+      .withColumn("sg", coalesce(seg, lit(0.0)))
+      .withColumn("grain",
+        when(mx === lit(0.0), lit(1.0)).otherwise(mx / lit(Signal.QuantDiv)))
+      .withColumn("qseg", round(col("sg") / col("grain"), 0).cast("long"))
       .withColumn("qi", sum("qseg").over(w.rowsBetween(Window.unboundedPreceding, 0)))
-      .select(col("channel"), col("t"), (col("qi").cast("double") * grain).as("v"))
+      .select(col("channel"), col("t"), (col("qi").cast("double") * col("grain")).as("v"))
     rebuild(out, s"int($name)", "none")
   }
 
@@ -340,4 +358,17 @@ final case class Signal(df: DataFrame, name: String = "signal", unit: String = "
     val nm = (Seq(name) ++ others.map(_.name)).mkString("rss(", ",", ")")
     rebuild(joined.select(col("channel"), col("t"), sqrt(total).as("v")), nm)
   }
+}
+
+object Signal {
+  /** Quantization divisor for the order-free integer accumulators
+    * ([[Signal.movRms]], [[Signal.integralExact]]): per-channel grain
+    * = scale / 2^34. 2^34 balances headroom and fidelity — per-term
+    * quanta ≤ 2^34 keep int64 prefix sums safe to 2^28 (~268M)
+    * rows/channel, while the ±grain/2 quantization walk stays ≥9
+    * significant digits below the accumulated value. A power of two
+    * so the grain derivation is IEEE-exact in every engine.
+    */
+  val QuantBits: Int = 34
+  val QuantDiv: Double = 17179869184.0 // = 2^34, exactly representable
 }

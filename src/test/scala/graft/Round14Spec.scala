@@ -88,9 +88,10 @@ class Round14Spec extends AnyFunSuite {
   }
 
   test("saltedJoin spreads a hot key made of byte-identical duplicate rows") {
-    // all 20k hot rows are IDENTICAL (same key, same value): the r13
-    // row-hash salt put them all on one salt -> one task. The
-    // mid-based default round-robins them.
+    // all 20k hot rows are IDENTICAL (same key, same value): a plain
+    // row-hash salt would put them all on one salt -> one task. The
+    // default's within-duplicate-group row index round-robins them
+    // (deterministically, r14 advice — no mid()/rand() involved).
     val fact = (Seq.fill(20000)(("hot", 1.0)) ++
       (1 to 1000).map(i => (s"k${i % 10}", i.toDouble))).toDF("key", "v")
     val dim = fact.groupBy("key").agg(avg("v").as("key_avg"))

@@ -61,13 +61,30 @@ def main(sf_dir: str, out_dir: str, json_out: str | None = None) -> None:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
+    # a query that CRASHED in Verify leaves no output dir — without
+    # this it would be silently skipped below and the n_ok/len summary
+    # could read all-green over a partial run (r14 advice)
+    verify_errors = {}
+    err_path = f"{out_dir}/verify_errors.json"
+    if os.path.isfile(err_path):
+        with open(err_path) as f:
+            verify_errors = json.load(f)
     n_ok = 0
     results = {}
     for name, sql in sorted(oracle.items()):
         if name in skip or (only and name not in only):
             continue
-        # only grade queries the (possibly subset) Verify run attempted
+        # only grade queries the (possibly subset) Verify run attempted;
+        # absent from BOTH the output dir and the error file = true
+        # subset run, genuinely not attempted
         if json_out and not os.path.isdir(f"{out_dir}/{name}"):
+            if name in verify_errors:
+                print(f"{name}: SPARK CRASHED {verify_errors[name][:200]}")
+                results[name] = {
+                    "rows_match": None, "schema_match": None,
+                    "hash_match": None, "spark_rows": None,
+                    "oracle_rows": None,
+                    "err": f"spark_crashed: {verify_errors[name][:200]}"}
             continue
         t0 = time.time()
         try:
