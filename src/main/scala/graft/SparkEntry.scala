@@ -98,6 +98,28 @@ object SparkEntry {
     evictionInstalled.remove(s)
   }
 
+  /** Drop the CORPUS-sized memoized intermediates (shingles, LSH
+    * candidates, PNG corpus, redacted corpus, term counts, Welch
+    * base, converged components) but keep the small events substrate
+    * (ev/evUniform) and the scalar trained models. The scale-ladder
+    * bench calls this BETWEEN queries (`SPARK_GRAFT_ISOLATE=1`): at
+    * sf1 the union of every query's by-design session caches crowds
+    * Tungsten execution memory and the sweep measures cache pressure
+    * instead of plans — three rounds of ladder artifacts needed
+    * isolated re-measure prose (q_ivf_topk r13, q_kmeans r13→14,
+    * q_neardup_pairs r14). Each query's own warmup run rebuilds what
+    * it needs; its timed runs then measure the query against ONLY its
+    * own working set.
+    */
+  def releaseHeavy(s: SparkSession): Unit =
+    Seq(welchRmsCache, shingleCache, termCountCache, lshCandCache,
+        componentsCache, redactedCache, pngCache).foreach { c =>
+      c.keys.filter(_._1 eq s).foreach { k =>
+        c.remove(k).foreach(df =>
+          try df.unpersist(blocking = true) catch { case _: Throwable => () })
+      }
+    }
+
   private def ev(s: SparkSession, dir: String) =
     memo(evCache, s, dir)(Channels.events(s, dir).cache())
   private def rawEvents(s: SparkSession, dir: String) = Channels.rawEvents(s, dir)

@@ -18,7 +18,10 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 LADDER=0
-TOP=40
+# default covers EVERY query (r14 verdict #4: the exponent table is
+# the repo's strongest scale argument — make it total); --top N still
+# narrows it for quick ladders
+TOP=400
 while [[ $# -gt 0 ]]; do
   case "$1" in
     --ladder) LADDER=1; shift ;;
@@ -47,7 +50,12 @@ sbt -batch test 2>&1 | tee target/test_summary.log | tail -5
 
 if [[ "$LADDER" == "1" ]]; then
   # subset = the TOP most expensive queries per the freshest full
-  # bench available at entry (last round's sidecar/artifact)
+  # bench available at entry (last round's sidecar/artifact). The
+  # parsed bench line only carries the 40 slowest queries, so TOP
+  # >= 100 means "every query": skip the subset filter entirely.
+  if [[ "$TOP" -ge 100 ]]; then
+    SUBSET=""
+  else
   SUBSET=$(python3 - "$TOP" <<'EOF'
 import json, os, sys
 top = int(sys.argv[1])
@@ -65,12 +73,20 @@ q = json.load(open(src))["queries"]
 print(",".join(sorted(sorted(q, key=lambda k: -q[k])[:top])))
 EOF
 )
+  fi
   [[ -d fixtures/sf1 ]] || sbt -batch "runMain graft.GenScale /root/testdata/sf0.1 fixtures/sf1 10" \
     > target/genscale.log 2>&1
+  # ISOLATE=1 + 24g on BOTH legs (r14 verdict #2/#3): the crowded
+  # shared-cache sweep at sf1 exhausted the 8g JVM's Tungsten memory
+  # and three rounds of ladder rows needed isolated-re-measure prose;
+  # isolation makes the committed artifact the adjudicated truth, and
+  # both legs must share measurement semantics or exponents skew
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_ONLY="$SUBSET" \
+    SPARK_GRAFT_ISOLATE=1 SPARK_DRIVER_MEM=24g \
     sbt -batch "runMain graft.Bench" > target/bench_ladder_sf01.log 2>&1
   cp BENCH_LAST.json target/ladder_sf01.json
   SPARK_GRAFT_SF_DIR="$PWD/fixtures/sf1" SPARK_GRAFT_ONLY="$SUBSET" \
+    SPARK_GRAFT_ISOLATE=1 SPARK_DRIVER_MEM=24g \
     sbt -batch "runMain graft.Bench" > target/bench_ladder_sf1.log 2>&1
   cp BENCH_LAST.json target/ladder_sf1.json
   python3 tools/scale_ladder.py target/ladder_sf01.json target/ladder_sf1.json BENCH_sf1.json
