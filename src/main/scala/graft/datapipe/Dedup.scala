@@ -1200,22 +1200,57 @@ object Dedup {
       val s = df.localCheckpoint(true)
       df.sparkSession.createDataFrame(s.rdd, s.schema)
     }
-    val abands = snap(lshBands(minhashSignaturesFromHashes(
-      shingleHashes(shingles(arrivals, distinct = false)), k = 16)))
+    val profile = sys.env.get("SPARK_GRAFT_ADMIT_PROFILE").contains("1")
+    def timed[A](stage: String)(body: => A): A =
+      if (!profile) body
+      else {
+        val t0 = System.nanoTime()
+        val r = body
+        System.err.println(
+          f"[admit-core] $stage%-12s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        r
+      }
+    // dictionary-encoded shingle hashing (r15 admission profile): the
+    // md5 per shingle OCCURRENCE was 70% of micro-batch latency, and
+    // a duplicate-heavy stream — the admission tier's whole premise —
+    // repeats the same shingles across its near-dup arrivals (the sf1
+    // fixture: 740k occurrences, 4.5k distinct). Hash each DISTINCT
+    // shingle once and map the hashes back over the occurrences; AQE
+    // broadcasts the batch-sized dictionary. Same (h1, h2) per row,
+    // so signatures — and the SQL oracle — are unchanged. Worst case
+    // (all-unique shingles) trades one occurrence-sized exchange for
+    // zero saved digests; measured 2.4x faster per batch at sf1.
+    // spread the batch across cores FIRST: a micro-batch usually
+    // arrives as one (or few) files, so without this the entire
+    // shingle→md5→minhash map side runs in a SINGLE task — the r15
+    // profile measured the chain at 13 s/batch (15k docs) at sf1 with
+    // ZERO speedup from 4→8 cores until this repartition. The
+    // partition count must be EXPLICIT: a bare repartition(col) is a
+    // size-based exchange that AQE immediately coalesces back to one
+    // partition (the batch is ~1 MB of doc text — tiny BEFORE the
+    // 50× shingle explosion AQE cannot see). One exchange of raw
+    // arrival rows; hash partitioning on doc_id is deterministic
+    // under replay.
+    val nPart = arrivals.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val arr = arrivals.repartition(nPart, col("doc_id"))
+    if (profile) timed("chain-count")(lshBands(minhashSignaturesFromHashes(
+      shingleHashes(shingles(arr, distinct = false)), k = 16)).count())
+    val abands = timed("bands-snap")(snap(lshBands(minhashSignaturesFromHashes(
+      shingleHashes(shingles(arr, distinct = false)), k = 16))))
     // arrival ↔ previously-seen collisions, contracted to the prior
     // doc's cluster label (a doc id — CC treats it as a plain node)
-    val hitPrior = snap(abands
+    val hitPrior = timed("prior-snap")(snap(abands
       .join(stateBands.select(col("band"), col("sig"), col("doc_id").as("pdoc")),
         Seq("band", "sig"))
       .select(col("doc_id").as("a"), col("pdoc")).distinct()
       .join(stateComp.select(col("doc_id").as("pdoc"), col("cluster").as("b")), Seq("pdoc"))
-      .select(col("a"), col("b")).distinct())
+      .select(col("a"), col("b")).distinct()))
     // arrival ↔ arrival collisions within the batch — the case the
     // stream-static join could not see
     val hitSelf = abands.select(col("band"), col("sig"), col("doc_id").as("a"))
       .join(abands.select(col("band"), col("sig"), col("doc_id").as("b")), Seq("band", "sig"))
       .filter(col("a") < col("b")).select(col("a"), col("b")).distinct()
-    val labels = componentsAuto(hitPrior.unionAll(hitSelf))
+    val labels = timed("components")(componentsAuto(hitPrior.unionAll(hitSelf)))
     // components that absorbed a prior cluster: nothing in them is
     // admissible (their representative already exists)
     val priorComps = labels

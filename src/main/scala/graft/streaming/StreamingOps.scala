@@ -399,12 +399,28 @@ object StreamingOps {
 
     var compactedVer = 0
     var batchesSince = 0 // delta-log batches since the last compaction
+    // per-batch stage timings (stderr) when SPARK_GRAFT_ADMIT_PROFILE=1
+    // — the r14 ladder showed the mb10 twin's exponent at 0.43 vs the
+    // single-batch 0.93, i.e. per-batch FIXED cost dominates; this is
+    // how the dominant term was measured (PLANS.md r15 table)
+    val profile = sys.env.get("SPARK_GRAFT_ADMIT_PROFILE").contains("1")
+    def timed[A](batchId: Long, stage: String)(body: => A): A =
+      if (!profile) body
+      else {
+        val t0 = System.nanoTime()
+        val r = body
+        System.err.println(
+          f"[admit:$tag b$batchId] $stage%-12s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        r
+      }
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
-        val alreadyDone = // foreachBatch replay after failure: skip
+        val alreadyDone = timed(batchId, "replay-check") {
+          // foreachBatch replay after failure: skip
           !sp.table(t.results).filter(col("batch_id") === batchId).isEmpty
-        if (!alreadyDone && !batch.isEmpty) {
+        }
+        if (!alreadyDone && !timed(batchId, "batch-empty")(batch.isEmpty)) {
           val compactedT = s"${t.compactedBase}_v$compactedVer"
           val compacted = sp.table(compactedT).select(
             col("oldc").as("c_o"), col("newc").as("c_n"))
@@ -422,19 +438,27 @@ object StreamingOps {
             .select(col("doc_id"), coalesce(col("d_n"), col("cluster")).as("cluster"))
           val stateBands = sp.table(initBands).select(col("doc_id"), col("band"), col("sig"))
             .unionAll(sp.table(t.bands).select(col("doc_id"), col("band"), col("sig")))
-          val (res, abands, relabel) = graft.datapipe.Dedup.admitIncrementalCore(
-            batch.select(col("doc_id"), col("text")), stateBands, stateComp)
+          val (res, abands, relabel) = timed(batchId, "core") {
+            graft.datapipe.Dedup.admitIncrementalCore(
+              batch.select(col("doc_id"), col("text")), stateBands, stateComp)
+          }
           // batch-sized APPENDs — the only writes of a normal batch
-          abands.withColumn("batch_id", lit(batchId))
-            .repartition(8, col("band"), col("sig"))
-            .write.bucketBy(8, "band", "sig").sortBy("band", "sig")
-            .mode("append").saveAsTable(t.bands)
-          relabel.withColumn("batch_id", lit(batchId))
-            .write.mode("append").saveAsTable(t.delta)
-          res.withColumn("batch_id", lit(batchId))
-            .write.mode("append").saveAsTable(t.results)
+          timed(batchId, "bands-append") {
+            abands.withColumn("batch_id", lit(batchId))
+              .repartition(8, col("band"), col("sig"))
+              .write.bucketBy(8, "band", "sig").sortBy("band", "sig")
+              .mode("append").saveAsTable(t.bands)
+          }
+          timed(batchId, "delta-append") {
+            relabel.withColumn("batch_id", lit(batchId))
+              .write.mode("append").saveAsTable(t.delta)
+          }
+          timed(batchId, "results-app") {
+            res.withColumn("batch_id", lit(batchId))
+              .write.mode("append").saveAsTable(t.results)
+          }
           batchesSince += 1
-          if (batchesSince >= compactEvery) {
+          if (batchesSince >= compactEvery) timed(batchId, "compaction") {
             if (sp.table(t.delta).isEmpty) {
               batchesSince = 0 // no merges since last compaction —
               // nothing to fold, skip the merge-sized rewrite
