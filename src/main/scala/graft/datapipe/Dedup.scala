@@ -33,12 +33,21 @@ object Dedup {
     * null text), so batch and streaming paths agree on them.
     */
   def shingles(docs: DataFrame, n: Int = 5, distinct: Boolean = true): DataFrame = {
+    // slice BYTES, not chars: UTF8String has no random access, so a
+    // char substring at position p walks the string from byte 0 —
+    // per-doc shingling becomes O(L²) and a 150 kB doc takes minutes
+    // (caught by the r15 long-doc fixture; invisible at 300-char
+    // fixtures). `normalized` output is strictly [a-z0-9 ] ASCII, so
+    // the byte slice IS the char slice and the decoded shingle —
+    // and every md5 downstream — is byte-identical to the old form.
     val raw = docs.filter(col("text").isNotNull)
-      .select(col("doc_id"), TextAnalysis.normalized(col("text")).as("norm"))
       .select(col("doc_id"),
-        explode(sequence(lit(1), greatest(length(col("norm")) - (n - 1), lit(1)))).as("pos"),
-        col("norm"))
-      .select(col("doc_id"), substring(col("norm"), col("pos"), lit(n)).as("shingle"))
+        to_binary(TextAnalysis.normalized(col("text")), lit("utf-8")).as("nb"))
+      .select(col("doc_id"),
+        explode(sequence(lit(1), greatest(length(col("nb")) - (n - 1), lit(1)))).as("pos"),
+        col("nb"))
+      .select(col("doc_id"),
+        substring(col("nb"), col("pos"), lit(n)).cast("string").as("shingle"))
     if (distinct) raw.distinct() else raw
   }
 
