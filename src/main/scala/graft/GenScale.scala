@@ -119,30 +119,52 @@ object GenScale {
       (col("user_id") + off).as("user_id"),
       col("event_type"), col("value"), col("props")), "events")
 
-    // reseed: every word clone-salted (alternating prefix/suffix,
-    // phase keyed on doc_id) — measured clone-pair shingle Jaccard
-    // ~0.31: ~4% of clone pairs still band-collide (J^4 per band),
-    // which adds realistic candidate-stage noise but sits far below
-    // any Jaccard-verify bar, so a clone is corpus growth, not a
-    // planted near-duplicate (an every-5th-word rewrite left J=0.69
-    // and would have made every doc a factor-sized cluster)
+    // reseed: every word of every clone > 0 gets a clone-UNIQUE
+    // 2-char salt injected every <=3 body chars, so every 5-char
+    // shingle window of a clone contains salt chars no other clone
+    // shares — cross-clone shingle Jaccard ~0 for ALL clone pairs
+    // (collision-free to factor 26*26). The r13 prefix/suffix scheme
+    // left clone-PAIR Jaccard ~0.31 (word bodies kept their interior
+    // 5-char windows): harmless at factor 10 (~4% of C(10,2) pairs
+    // band-collide = bounded candidate noise), but candidate pairs
+    // grow as C(factor, 2) — at factor 100 that is ~1M planted
+    // near-dup candidates and the verify stage's work grew ~100x at
+    // 10x the rows, violating this generator's own constant-density
+    // contract (the sf10 decade rung caught it: q_neardup_pairs
+    // warmup went 40 s -> 35+ min). Dup DENSITY must stay scale-free
+    // for exponents to mean anything.
     val reseeded = expr(
       """concat_ws(' ', transform(split(text, ' '),
-        |  (w, j) -> CASE WHEN clone = 0 THEN w
-        |                 WHEN pmod(j + doc_id, 2) = 0 THEN concat('x', clone, w)
-        |                 ELSE concat(w, clone) END))""".stripMargin)
+        |  w -> CASE WHEN clone = 0 THEN w
+        |            ELSE regexp_replace(w, '(.{1,3})',
+        |                   concat('$1', char(97 + pmod(clone, 26)),
+        |                          char(97 + clone div 26)))
+        |       END))""".stripMargin)
     wr(cloned(rd("documents")).select(
       (col("doc_id") + off).as("doc_id"),
       when(col("text").isNull, lit(null).cast("string"))
         .otherwise(reseeded).as("text"),
       col("lang"), col("source"), col("n_chars")), "documents")
 
-    // cyclic dimension rotation per clone: norm- and distribution-
-    // preserving, decorrelates clones from their source vector
+    // per-clone dimension PERMUTATION: norm-preserving (each output
+    // vector is a reshuffle of its source's values), decorrelates
+    // clones from their source vector. Pure rotation alone gives only
+    // `dim` distinct permutations — at factor > dim, clones c and
+    // c+dim would be IDENTICAL (pigeonhole), planting bogus exact-dup
+    // vectors that corrupt the near-dup/semdedup tier's scale
+    // exponents — so clones past the first `dim` use the REVERSED
+    // rotation (order-reversing, never equal to any pure rotation on
+    // non-palindromic data): collision-free up to factor = 2*dim.
+    val dim = rd("embeddings").selectExpr("size(embedding) d")
+      .filter(col("d").isNotNull).head().getInt(0)
+    require(factor <= 2 * dim,
+      s"GenScale: factor $factor > 2*dim ${2 * dim} would repeat embedding permutations")
     wr(cloned(rd("embeddings")).select(
       (col("vec_id") + off).as("vec_id"),
-      expr("""transform(sequence(0, size(embedding) - 1),
-             |  d -> element_at(embedding, int(pmod(d + clone, size(embedding))) + 1))
+      expr(s"""transform(sequence(0, size(embedding) - 1),
+             |  d -> element_at(embedding, int(pmod(
+             |         IF(clone < $dim, d, size(embedding) - 1 - d) + clone,
+             |         size(embedding))) + 1))
              |""".stripMargin).cast("array<float>").as("embedding"),
       col("label")), "embeddings")
   }

@@ -13,8 +13,10 @@ import sys
 def main():
     out = sys.argv[1]
     lad = json.load(open(out))
-    a = json.load(open(sys.argv[2]))["queries"]  # sf0.1
-    b = json.load(open(sys.argv[3]))["queries"]  # sf1
+    a = json.load(open(sys.argv[2]))["queries"]  # lower-scale leg
+    b = json.load(open(sys.argv[3]))["queries"]  # 10x leg
+    la, lb = lad.get("legs", ["sf01", "sf1"])
+    ka, kb = f"{la}_s", f"{lb}_s"
     have = {r["query"] for r in lad["queries"]}
     added = 0
     for q in b:
@@ -24,10 +26,10 @@ def main():
         if t0 <= 0 or t1 <= 0:
             continue
         lad["queries"].append({
-            "query": q, "sf01_s": t0, "sf1_s": t1,
+            "query": q, ka: t0, kb: t1,
             "exponent": round(math.log(t1 / max(t0, 0.05)) / math.log(10), 2)})
         added += 1
-    lad["queries"].sort(key=lambda r: -(r["sf1_s"] or 0))
+    lad["queries"].sort(key=lambda r: -(r[kb] or 0))
     lad["n_queries"] = len(lad["queries"])
     json.dump(lad, open(out, "w"), indent=1)
     print(f"merged {added} entries from {sys.argv[3]} into {out}")
