@@ -19,7 +19,11 @@ object Bench {
     // warm the JVM/codegen/parquet-footer paths once, untimed, so the
     // first measured query doesn't absorb session startup
     try {
-      SparkEntry.warm(spark, sfDir)
+      // isolate mode drops every releaseHeavy-managed cache before
+      // each query's own warmup anyway — only warm what is retained
+      if (sys.env.get("SPARK_GRAFT_ISOLATE").contains("1"))
+        SparkEntry.warmRetained(spark, sfDir)
+      else SparkEntry.warm(spark, sfDir)
       spark.read.parquet(s"$sfDir/lineitem.parquet").count()
       // first streaming query pays micro-batch engine + state store
       // init (~2s) — absorb it here with a minimal stateful stream
@@ -137,9 +141,12 @@ object Bench {
     if (line.length > 1900)
       System.err.println(s"[bench] WARNING metric line ${line.length} chars (driver window 2000)")
     // sidecar copy for humans / tooling; stdout (now unprefixed via
-    // run/outputStrategy) remains the driver's channel
+    // run/outputStrategy) remains the driver's channel.
+    // SPARK_GRAFT_SIDE_CAR redirects it so CONCURRENT Bench JVMs
+    // (the two decade-ladder legs) don't race on one file.
     try {
-      val w = new java.io.PrintWriter("BENCH_LAST.json")
+      val w = new java.io.PrintWriter(
+        sys.env.getOrElse("SPARK_GRAFT_SIDE_CAR", "BENCH_LAST.json"))
       try w.println(line) finally w.close()
     } catch { case _: Throwable => () }
     println(line)

@@ -547,13 +547,24 @@ object SparkEntry {
     * cache fill that several others reuse.
     */
   def warm(s: SparkSession, dir: String): Unit = {
-    ev(s, dir).count()
-    evUniform(s, dir).count()
+    warmRetained(s, dir)
     welchRmsBase(s, dir).count()
     docShingles(s, dir).count()
     docTermCounts(s, dir).count()
     pngs(s, dir).count()
     lshCands(s, dir).count()
+  }
+
+  /** Isolate-mode warm-up: ONLY the caches `releaseHeavy` retains
+    * (the events projection and its uniform resample). Everything
+    * else `warm` builds is dropped again before the first measured
+    * query even starts, so building it is pure waste — and at the
+    * sf10 decade rung that waste was ~10 min of synthetic-PNG
+    * encoding for a subset with no media query in it.
+    */
+  def warmRetained(s: SparkSession, dir: String): Unit = {
+    ev(s, dir).count()
+    evUniform(s, dir).count()
   }
 
   /** The DuckDB view of the same channel model (µs-exact). */

@@ -31,28 +31,34 @@ SUBSET=q_neardup_pairs,q_dedup_components,q_sa_substr,q_sa_substr_w50,q_chunk_de
 
 mkdir -p target
 [[ -d fixtures/sf1 ]] || SPARK_GRAFT_CPUS=16 SPARK_DRIVER_MEM=24g \
-  sbt -batch "runMain graft.GenScale /root/testdata/sf0.1 fixtures/sf1 10" \
+  tools/run_main.sh graft.GenScale /root/testdata/sf0.1 fixtures/sf1 10 \
   > target/genscale_sf1.log 2>&1
 [[ -d fixtures/sf10 ]] || SPARK_GRAFT_CPUS=16 SPARK_DRIVER_MEM=48g \
-  sbt -batch "runMain graft.GenScale /root/testdata/sf0.1 fixtures/sf10 100" \
+  tools/run_main.sh graft.GenScale /root/testdata/sf0.1 fixtures/sf10 100 \
   > target/genscale_sf10.log 2>&1
 
+# the two legs are independent JVMs on different fixtures — run them
+# concurrently (run_main.sh sidesteps the sbt lock; Bench writes its
+# sidecar to BENCH_LAST.json, so each leg gets its own working dir
+# symlinked back would race — instead run sf1 first in background and
+# read its sidecar only after wait)
 SPARK_GRAFT_SF_DIR="$PWD/fixtures/sf1" SPARK_GRAFT_ONLY="$SUBSET" \
-  SPARK_GRAFT_ISOLATE=1 SPARK_DRIVER_MEM="$MEM" \
-  sbt -batch "runMain graft.Bench" > target/bench_decade_sf1.log 2>&1
-cp BENCH_LAST.json target/decade_sf1.json
+  SPARK_GRAFT_ISOLATE=1 SPARK_GRAFT_SIDE_CAR=target/decade_sf1.json SPARK_DRIVER_MEM=24g \
+  tools/run_main.sh graft.Bench > target/bench_decade_sf1.log 2>&1 &
+PID_SF1=$!
 SPARK_GRAFT_SF_DIR="$PWD/fixtures/sf10" SPARK_GRAFT_ONLY="$SUBSET" \
-  SPARK_GRAFT_ISOLATE=1 SPARK_DRIVER_MEM="$MEM" \
-  sbt -batch "runMain graft.Bench" > target/bench_decade_sf10.log 2>&1
-cp BENCH_LAST.json target/decade_sf10.json
+  SPARK_GRAFT_ISOLATE=1 SPARK_GRAFT_SIDE_CAR=target/decade_sf10.json SPARK_DRIVER_MEM="$MEM" \
+  tools/run_main.sh graft.Bench > target/bench_decade_sf10.log 2>&1 &
+PID_SF10=$!
+wait $PID_SF1 $PID_SF10
 python3 tools/scale_ladder.py target/decade_sf1.json target/decade_sf10.json \
   BENCH_sf10.json sf1 sf10
 
 SPARK_GRAFT_CPUS=4 SPARK_DRIVER_MEM=24g \
-  sbt -batch "runMain graft.AdmitLadder $PWD/fixtures/sf1 10" \
+  tools/run_main.sh graft.AdmitLadder "$PWD/fixtures/sf1" 10 \
   2>&1 | grep '"metric"' > target/admit_decade_sf1.json
 SPARK_GRAFT_CPUS=4 SPARK_DRIVER_MEM="$MEM" \
-  sbt -batch "runMain graft.AdmitLadder $PWD/fixtures/sf10 10" \
+  tools/run_main.sh graft.AdmitLadder "$PWD/fixtures/sf10" 10 \
   2>&1 | grep '"metric"' > target/admit_decade_sf10.json
 python3 tools/merge_ladder.py BENCH_sf10.json \
   target/admit_decade_sf1.json target/admit_decade_sf10.json
