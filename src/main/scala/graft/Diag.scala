@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.datapipe.Dedup
+
+/** One-off scale diagnostic: candidate-stage volume of the MinHash-LSH
+  * near-dup pipeline at a given fixture — bucket occupancy histogram,
+  * candidate-pair count, candidate-touched doc count, and the verify
+  * stage's set-table row volume. This is the "check candidate-stage
+  * volume per rung before believing any exponent" lesson from the
+  * round-15 sf10 campaign, as a runnable tool.
+  *
+  * Usage: runMain graft.Diag <sfDir>
+  */
+object Diag {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[diag] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.1f s  -> $r")
+      r
+    }
+    val hashes = Dedup.shingleHashes(Dedup.shingles(docs, 5, distinct = false)).cache()
+    t("shingle hashes (rows)")(hashes.count())
+    val sig = Dedup.minhashSignaturesFromHashes(hashes, 16).cache()
+    t("signatures (rows)")(sig.count())
+    val bands = Dedup.lshBands(sig, 4).cache()
+    t("band rows")(bands.count())
+    val occ = bands.groupBy("band", "sig").agg(count(lit(1)).as("m"))
+      .groupBy(when(col("m") === 1, "1").when(col("m") <= 4, "2-4")
+        .when(col("m") <= 16, "5-16").when(col("m") <= 64, "17-64")
+        .when(col("m") <= 256, "65-256").otherwise(">256").as("bucket_size"))
+      .agg(count(lit(1)).as("n_buckets"), sum("m").as("n_rows"),
+        sum(col("m") * (col("m") - 1) / 2).as("pairs_uncapped"))
+      .orderBy("bucket_size")
+    occ.show(20, false)
+    val cands = Dedup.lshCandidates(sig, 4).cache()
+    val nPairs = t("candidate pairs")(cands.count())
+    val needed = cands.select(col("a").as("d")).union(cands.select(col("b").as("d"))).distinct()
+    val nNeeded = t("candidate-touched docs")(needed.count())
+    val setRows = t("verify set-table rows")(
+      hashes.join(needed.withColumnRenamed("d", "doc_id"), "doc_id").count())
+    println(s"[diag] summary pairs=$nPairs neededDocs=$nNeeded setRows=$setRows")
+    spark.stop()
+  }
+}

@@ -111,14 +111,30 @@ object SparkEntry {
     * it needs; its timed runs then measure the query against ONLY its
     * own working set.
     */
-  def releaseHeavy(s: SparkSession): Unit =
-    Seq(welchRmsCache, shingleCache, termCountCache, lshCandCache,
-        componentsCache, redactedCache, pngCache).foreach { c =>
-      c.keys.filter(_._1 eq s).foreach { k =>
-        c.remove(k).foreach(df =>
-          try df.unpersist(blocking = true) catch { case _: Throwable => () })
-      }
+  def releaseHeavy(s: SparkSession): Unit = {
+    // SPARK_GRAFT_KEEP: comma-separated cache names EXEMPT from the
+    // isolate-mode drop. Rebuilding a shared INPUT table (e.g. the
+    // 250M-row sf10 shingle-hash table, ~20 min at 4 cpus) inside
+    // every query's untimed warmup measures nothing — the timed runs
+    // hit the cache either way — so the decade-rung legs keep
+    // `shingles` the way every leg keeps the events projection. The
+    // r14 isolation lesson (don't measure under ACCUMULATED cache
+    // pressure) still holds: keep only bounded shared inputs, never
+    // per-query intermediates.
+    val keep = sys.env.get("SPARK_GRAFT_KEEP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    Seq("welch" -> welchRmsCache, "shingles" -> shingleCache,
+        "terms" -> termCountCache, "lshcands" -> lshCandCache,
+        "components" -> componentsCache, "redacted" -> redactedCache,
+        "pngs" -> pngCache).foreach { case (name, c) =>
+      if (!keep(name))
+        c.keys.filter(_._1 eq s).foreach { k =>
+          c.remove(k).foreach(df =>
+            try df.unpersist(blocking = true) catch { case _: Throwable => () })
+        }
     }
+  }
 
   private def ev(s: SparkSession, dir: String) =
     memo(evCache, s, dir)(Channels.events(s, dir).cache())
@@ -4049,7 +4065,10 @@ object SparkEntry {
     * each (band, bsig) bucket; full pairing up to rank `maxBucket`,
     * representative-vs-rest star edges beyond it.
     */
-  private def lshCandPrefix(maxBucket: Int = 256): String =
+  // default mirrors Dedup.lshCandidates (64 since round 15 — see the
+  // oversized-bucket-guard scaladoc there; identical output at every
+  // gate scale, 4.5x less verify work at the sf10 rung)
+  private def lshCandPrefix(maxBucket: Int = 64): String =
     s"$shinglesSql,\n${lshCandChain(maxBucket)}"
 
   /** The sig → bands → ranked → capped-cand CTE chain, assuming a

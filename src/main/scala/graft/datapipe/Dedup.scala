@@ -103,9 +103,19 @@ object Dedup {
     * representative. The per-bucket ranking window sorts m rows in
     * one task (linear — the m^2 blowup was the join output, not the
     * bucket itself).
+    *
+    * DEFAULT CAP = 64, sized by the sf10 decade rung (round 15): band
+    * buckets of template-collision NOISE grow linearly with corpus
+    * size, so full pairing below the cap is quadratic in scale until
+    * the cap bites — at 500k docs a 256 cap admitted 71M candidate
+    * pairs (32k per capped bucket) and the exact-Jaccard verify
+    * became the pipeline's cost center. C(64,2) + stars caps a
+    * bucket at ~2k pairs; every gate-scale fixture (sf0.001-sf0.1)
+    * has no bucket above 64, so outputs there are bit-identical to
+    * the old default.
     */
   def lshCandidates(signatures: DataFrame, rowsPerBand: Int = 4,
-                    maxBucket: Int = 256): DataFrame =
+                    maxBucket: Int = 64): DataFrame =
     bandedPairs(lshBands(signatures, rowsPerBand), Seq("band", "sig"), maxBucket,
       Seq.empty).distinct()
 
@@ -131,7 +141,7 @@ object Dedup {
     * bucket showing up here IS a boilerplate cluster worth logging).
     */
   def lshBucketStats(signatures: DataFrame, rowsPerBand: Int = 4,
-                     maxBucket: Int = 256): DataFrame = {
+                     maxBucket: Int = 64): DataFrame = {
     val bands = lshBands(signatures, rowsPerBand)
     bands.groupBy("band", "sig")
       .agg(count(lit(1)).as("n_members"), min("doc_id").as("representative"))

@@ -168,4 +168,29 @@ class Round15Spec extends AnyFunSuite {
       spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
     }
   }
+
+  test("LSH bucket cap 64 is output-identical to 256 at gate scale, and bounds pair emission") {
+    import graft.datapipe.Dedup
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sig = Dedup.minhashSignatures(docs, k = 16).cache()
+    // at every gate-scale fixture no band bucket exceeds 64 members,
+    // so the round-15 default (64, sized by the sf10 decade rung's
+    // 71M-pair candidate explosion) must not change a single pair
+    val now = Dedup.lshCandidates(sig, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val old = Dedup.lshCandidates(sig, rowsPerBand = 4, maxBucket = 256)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(now == old, "cap 64 changed gate-scale candidates — a bucket exceeds 64 members")
+    // and the emission bound holds bucket-by-bucket: a synthetic
+    // 300-member bucket must emit C(64,2) + (300-64) pairs, not
+    // C(300,2) — pairs stay LINEAR in bucket size past the cap
+    val boiler = (0 until 300)
+      .map(i => (i.toLong, "all the same boilerplate text body for every clone of this row"))
+      .toDF("doc_id", "text")
+    val n = Dedup.lshCandidates(Dedup.minhashSignatures(boiler, k = 16),
+      rowsPerBand = 4).count()
+    assert(n == 64L * 63 / 2 + (300 - 64),
+      s"capped bucket emitted $n pairs, want C(64,2) + 236")
+    sig.unpersist()
+  }
 }

@@ -42,12 +42,19 @@ mkdir -p target
 # sidecar to BENCH_LAST.json, so each leg gets its own working dir
 # symlinked back would race — instead run sf1 first in background and
 # read its sidecar only after wait)
+# KEEP=shingles,lshcands on BOTH legs: these are shared INPUT tables
+# (rebuilding the sf10 shingle table is ~20 min of untimed warmup per
+# consumer query and measures nothing); identical settings on both
+# legs keep the exponents comparable. Per-query intermediates still
+# drop between queries (the r14 isolation semantics).
 SPARK_GRAFT_SF_DIR="$PWD/fixtures/sf1" SPARK_GRAFT_ONLY="$SUBSET" \
-  SPARK_GRAFT_ISOLATE=1 SPARK_GRAFT_SIDE_CAR=target/decade_sf1.json SPARK_DRIVER_MEM=24g \
+  SPARK_GRAFT_ISOLATE=1 SPARK_GRAFT_KEEP=shingles,lshcands \
+  SPARK_GRAFT_SIDE_CAR=target/decade_sf1.json SPARK_DRIVER_MEM=24g \
   tools/run_main.sh graft.Bench > target/bench_decade_sf1.log 2>&1 &
 PID_SF1=$!
 SPARK_GRAFT_SF_DIR="$PWD/fixtures/sf10" SPARK_GRAFT_ONLY="$SUBSET" \
-  SPARK_GRAFT_ISOLATE=1 SPARK_GRAFT_SIDE_CAR=target/decade_sf10.json SPARK_DRIVER_MEM="$MEM" \
+  SPARK_GRAFT_ISOLATE=1 SPARK_GRAFT_KEEP=shingles,lshcands \
+  SPARK_GRAFT_SIDE_CAR=target/decade_sf10.json SPARK_DRIVER_MEM="$MEM" \
   tools/run_main.sh graft.Bench > target/bench_decade_sf10.log 2>&1 &
 PID_SF10=$!
 wait $PID_SF1 $PID_SF10
