@@ -914,17 +914,20 @@ object SparkEntry {
     "q_movrms16" -> ((s, dir) =>
       Signal(ev(s, dir)).movRmsN(16).df
         .select(col("channel"), col("t"), round(col("v"), 6).as("v"))),
-    // round(1): the cumsum reaches ~1e8 while cross-engine accumulation
-    // order (sequential vs segment tree) differs at ~1e-8 relative —
-    // one decimal keeps 9 significant digits with negligible
-    // boundary-hit probability
     "q_integral" -> ((s, dir) =>
       // integralExact: integer-quantized trapezoid accumulation —
       // order-free, so the 200k-term running sums stay bit-identical
       // across engines/plans (the float form flipped 27/1M rounding
-      // ties vs DuckDB's segment-tree windowed sum at sf1; PLANS r14)
+      // ties vs DuckDB's segment-tree windowed sum at sf1; PLANS r14).
+      // NO output rounding: the quantized sum and the single
+      // de-quantization multiply are IEEE-identical in both engines,
+      // so the raw double already hash-matches — while a final
+      // round(…, 1) REINTRODUCED cross-engine tie divergence at the
+      // sf10 rung (6/10M rows: Spark rounds the shortest-decimal
+      // BigDecimal, DuckDB the binary double; at |v| ~ 8e9 the ulp is
+      // ~1e-6 and a 0.1 grid takes ~1e-5 tie hits per row)
       Signal(ev(s, dir)).integralExact().df
-        .select(col("channel"), col("t"), round(col("v"), 1).as("v"))),
+        .select(col("channel"), col("t"), col("v"))),
     "q_derivative" -> ((s, dir) => Signal(ev(s, dir)).derivative().df),
     "q_detrend_const" -> ((s, dir) =>
       Signal(ev(s, dir)).detrendConstant().df
@@ -2737,10 +2740,10 @@ object SparkEntry {
          |  FROM seg
          |)
          |SELECT channel, t,
-         |       round(CAST(sum(CAST(round(sg / grain, 0) AS BIGINT))
-         |                  OVER (PARTITION BY channel ORDER BY t
-         |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |             AS DOUBLE) * grain, 1) AS v
+         |       CAST(sum(CAST(round(sg / grain, 0) AS BIGINT))
+         |            OVER (PARTITION BY channel ORDER BY t
+         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |       AS DOUBLE) * grain AS v
          |FROM g""".stripMargin,
     "q_derivative" ->
       s"""WITH $SRC,
