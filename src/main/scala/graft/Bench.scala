@@ -144,10 +144,16 @@ object Bench {
     // run/outputStrategy) remains the driver's channel.
     // SPARK_GRAFT_SIDE_CAR redirects it so CONCURRENT Bench JVMs
     // (the two decade-ladder legs) don't race on one file.
+    // The SIDECAR carries the FULL per-query map — only the parsed
+    // stdout line truncates to 40 (driver window); round 15's first
+    // full-189 ladder silently dropped to 29 rows because
+    // scale_ladder read a top-40 sidecar.
+    val sidecarLine = line.replace(s""""queries":$qs""",
+      s""""queries":${fullQs.mkString("{", ",", "}")}""")
     try {
       val w = new java.io.PrintWriter(
         sys.env.getOrElse("SPARK_GRAFT_SIDE_CAR", "BENCH_LAST.json"))
-      try w.println(line) finally w.close()
+      try w.println(sidecarLine) finally w.close()
     } catch { case _: Throwable => () }
     println(line)
     spark.stop()
