@@ -2084,8 +2084,10 @@ object SparkEntry {
       runToMemorySink(out, "stream_curate", "complete")
     }),
     "q_movrms_time" -> ((s, dir) =>
+      // raw doubles, no output rounding: the quantized accumulation
+      // makes v bit-identical across engines (see the oracle note)
       Signal(evUniform(s, dir)).movRms(7200.0).df
-        .select(col("channel"), col("t"), round(col("v"), 6).as("v"))),
+        .select(col("channel"), col("t"), col("v"))),
     // %.4e: the chunked cogroup solve and the windowed prefix-sum
     // diverge from the oracle's sequential replay at fp-roundoff
     "k_resample_cubic" -> ((s, dir) =>
@@ -2723,9 +2725,13 @@ object SparkEntry {
          |)
          |SELECT channel, t, round(mr, 6) AS v FROM win WHERE rn >= 16 AND rn < cnt""".stripMargin,
     "q_integral" ->
-      // grain = max(|seg|)/2^34 per channel (amplitude-relative, r14
-      // verdict): max / divide-by-2^34 are IEEE-exact order-free ops,
-      // so this derives bit-identically to Signal.integralExact
+      // grain = max(|seg|)·cnt/2^62 per channel (amplitude- AND
+      // count-relative, r15 verdict: folding the row count into the
+      // grain bounds per-term quanta at 2^62/cnt so the int64 prefix
+      // sum can NEVER overflow — the count-free /2^34 grain had a
+      // silent 2^28-rows envelope): max / count / multiply /
+      // divide-by-2^62 round identically under IEEE-754, so this
+      // derives bit-identically to Signal.integralExact
       s"""WITH $SRC,
          |seg AS (
          |  SELECT channel, t,
@@ -2734,8 +2740,12 @@ object SparkEntry {
          |),
          |g AS (
          |  SELECT channel, t, sg,
-         |         CASE WHEN max(abs(sg)) OVER (PARTITION BY channel) = 0 THEN 1.0
-         |              ELSE max(abs(sg)) OVER (PARTITION BY channel) / 1.7179869184e10
+         |         CASE WHEN max(abs(sg)) OVER (PARTITION BY channel)
+         |                   * count(*) OVER (PARTITION BY channel)
+         |                   / 4611686018427387904.0 = 0 THEN 1.0
+         |              ELSE max(abs(sg)) OVER (PARTITION BY channel)
+         |                   * count(*) OVER (PARTITION BY channel)
+         |                   / 4611686018427387904.0
          |         END AS grain
          |  FROM seg
          |)
@@ -3544,24 +3554,33 @@ object SparkEntry {
     // 7200 * sr) = 2 samples, t shifted back by window/2, warm-up row
     // and final row trimmed (extension.py:684,695-697)
     "q_movrms_time" ->
-      // v² quantized to the amplitude-relative per-channel grain
-      // max(|v|)²/2^34 and summed as integers — replays movRms's
-      // order-free accumulation (integer window sum ≡ the Spark
-      // side's cum-difference exactly; see Signal.movRms)
+      // v² quantized to the amplitude- and count-relative per-channel
+      // grain max(|v|)²·cnt/2^62 and summed as integers — replays
+      // movRms's order-free accumulation (integer window sum ≡ the
+      // Spark side's cum-difference exactly; see Signal.movRms). NO
+      // output rounding (the q_integral r15 lesson): the quantized
+      // sum, cast, multiply, divide and sqrt are all IEEE-identical
+      // in both engines, so the raw double already hash-matches,
+      // while a final round(…, 6) only adds cross-engine tie risk
       s"""WITH ${uniformSql(3600.0)},
          |g AS (
          |  SELECT channel, t, v,
-         |         CASE WHEN max(abs(v)) OVER (PARTITION BY channel) = 0 THEN 1.0
+         |         CASE WHEN max(abs(v)) OVER (PARTITION BY channel)
+         |                   * max(abs(v)) OVER (PARTITION BY channel)
+         |                   * count(*) OVER (PARTITION BY channel)
+         |                   / 4611686018427387904.0 = 0 THEN 1.0
          |              ELSE max(abs(v)) OVER (PARTITION BY channel)
-         |                   * max(abs(v)) OVER (PARTITION BY channel) / 1.7179869184e10
+         |                   * max(abs(v)) OVER (PARTITION BY channel)
+         |                   * count(*) OVER (PARTITION BY channel)
+         |                   / 4611686018427387904.0
          |         END AS grain
          |  FROM u
          |)
          |SELECT channel, t - 3600.0 AS t,
-         |       round(sqrt(CAST(sum(CAST(round(v * v / grain, 0) AS BIGINT))
-         |                       OVER (PARTITION BY channel ORDER BY t
-         |                             ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS DOUBLE)
-         |                  * grain / 2), 6) AS v
+         |       sqrt(CAST(sum(CAST(round(v * v / grain, 0) AS BIGINT))
+         |                 OVER (PARTITION BY channel ORDER BY t
+         |                       ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |            * grain / 2) AS v
          |FROM g
          |QUALIFY row_number() OVER (PARTITION BY channel ORDER BY t) >= 2
          |    AND row_number() OVER (PARTITION BY channel ORDER BY t) <

@@ -144,20 +144,25 @@ final case class Signal(df: DataFrame, name: String = "signal", unit: String = "
     // campaign: 1/36k rows vs the oracle's direct 2-row frame).
     // Integer accumulation is associative, so cum-difference ≡ direct
     // window sum EXACTLY in every engine. The grain is RELATIVE to
-    // channel amplitude, max(|v|)²/2^34 (r14 verdict: an absolute
-    // 1e-6 grain silently zeroes a µ-amplitude channel): every
-    // operation in the grain derivation — max, multiply, divide by a
-    // power of two — is IEEE-exact and order-free, so Spark and a SQL
-    // oracle compute the identical grain; per-term quanta are ≤ 2^34
-    // so prefix sums stay inside int64 up to 2^28 rows/channel
-    // (raise [[QuantBits]] headroom by lowering it for longer
-    // channels), and the quantization walk is ≤ max(v²)·2^-35·√n —
-    // ~9 significant digits below the window mean for any amplitude.
+    // channel amplitude AND row count, max(|v|)²·cnt/2^62 (r15
+    // verdict: the count-free max²/2^34 grain had a DOCUMENTED but
+    // UNGUARDED int64 envelope — a max-amplitude channel past 2^28
+    // rows silently overflowed the long cumsum; folding cnt into the
+    // grain makes per-term quanta ≤ 2^62/cnt, so the prefix sum is
+    // bounded by 2^62 + cnt/2 < 2^63 for ANY channel length up to
+    // 2^53 rows, where cnt itself stops being double-exact — see the
+    // enforced-bound note at [[Signal.GrainBits]]). Every operation
+    // in the derivation — max, count, two multiplies, divide by a
+    // power of two — is IEEE-exact-or-deterministically-rounded and
+    // order-free, so Spark and a SQL oracle compute the identical
+    // grain; the quantization walk is ≤ max(v²)·cnt·2^-63·√n — at or
+    // below the old 2^-34 relative grain for any cnt ≤ 2^28, and
+    // gracefully coarsening (instead of overflowing) beyond.
     val run = w.rowsBetween(Window.unboundedPreceding, 0)
     val mx = max(abs(col("v"))).over(wAll)
+    val cntAll = count(lit(1)).over(wAll)
     val cum = joined
-      .withColumn("grain",
-        when(mx === lit(0.0), lit(1.0)).otherwise(mx * mx / lit(Signal.QuantDiv)))
+      .withColumn("grain", Signal.grain(mx * mx, cntAll))
       // NULL samplerate (variable-rate channel) must FAIL, not make
       // the rn >= n filter silently drop every row of the channel
       .withColumn("n", when(col("samplerate").isNull,
@@ -200,22 +205,26 @@ final case class Signal(df: DataFrame, name: String = "signal", unit: String = "
     * 27/1M rows flipping a 0.1-grain round between Spark and DuckDB).
     * Quantized segments make the cumulative sum bit-identical under
     * ANY accumulation order. The grain is RELATIVE to each channel's
-    * segment scale, max(|seg|)/2^34 (r14 verdict: the former absolute
-    * 1e-4 grain silently zeroed µ-amplitude channels): max/multiply/
-    * divide-by-2^34 are IEEE-exact order-free ops, so any SQL engine
-    * derives the identical grain from the same rows. Per-term quanta
-    * ≤ 2^34 keep prefix sums inside int64 up to 2^28 rows/channel;
-    * the quantization walk vs the float integral is ≤
-    * max(|seg|)·2^-35·√n — for the sf1 fixture (max seg ~1e4, n=1M)
-    * that is ~3e-4, five hundred× inside the 0.1 output rounding.
+    * segment scale AND row count, max(|seg|)·cnt/2^62 (r15 verdict:
+    * the count-free max/2^34 grain left an UNGUARDED int64 envelope
+    * past 2^28 rows/channel — silent overflow, the same wrong-answer
+    * class the amplitude-relative fix killed): per-term quanta are ≤
+    * 2^62/cnt, so |prefix sum| ≤ 2^62 + cnt/2 < 2^63 for ANY channel
+    * up to 2^53 rows (the double-exactness bound on cnt itself — see
+    * [[Signal.GrainBits]]). max/count/multiply/divide-by-2^62 are
+    * IEEE-deterministic order-free ops, so any SQL engine derives the
+    * identical grain from the same rows. The quantization walk vs the
+    * float integral is ≤ max(|seg|)·cnt·2^-63·√n — finer than the
+    * old 2^-34 grain for every cnt ≤ 2^28 (sf1: max seg ~1e4, n=1M →
+    * four orders inside the old ~3e-4 bound).
     */
   def integralExact(): Signal = {
     val seg = (col("v") + lag("v", 1).over(w)) / 2.0 * (col("t") - lag("t", 1).over(w))
     val mx = max(abs(col("sg"))).over(wAll)
+    val cntAll = count(lit(1)).over(wAll)
     val out = df
       .withColumn("sg", coalesce(seg, lit(0.0)))
-      .withColumn("grain",
-        when(mx === lit(0.0), lit(1.0)).otherwise(mx / lit(Signal.QuantDiv)))
+      .withColumn("grain", Signal.grain(mx, cntAll))
       .withColumn("qseg", round(col("sg") / col("grain"), 0).cast("long"))
       .withColumn("qi", sum("qseg").over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .select(col("channel"), col("t"), (col("qi").cast("double") * col("grain")).as("v"))
@@ -361,14 +370,46 @@ final case class Signal(df: DataFrame, name: String = "signal", unit: String = "
 }
 
 object Signal {
-  /** Quantization divisor for the order-free integer accumulators
+  /** Quantization denominator for the order-free integer accumulators
     * ([[Signal.movRms]], [[Signal.integralExact]]): per-channel grain
-    * = scale / 2^34. 2^34 balances headroom and fidelity — per-term
-    * quanta ≤ 2^34 keep int64 prefix sums safe to 2^28 (~268M)
-    * rows/channel, while the ±grain/2 quantization walk stays ≥9
-    * significant digits below the accumulated value. A power of two
-    * so the grain derivation is IEEE-exact in every engine.
+    * = scale · cnt / 2^62, where `scale` is the channel's amplitude
+    * bound (max(|v|)² for mov_rms, max(|seg|) for the integral) and
+    * `cnt` its row count. Folding the COUNT into the grain is what
+    * enforces the int64 bound (r15 verdict: a count-free grain had a
+    * documented-but-unguarded 2^28-rows/channel envelope — silent
+    * overflow past it): per-term quanta are ≤ scale/grain = 2^62/cnt,
+    * so any prefix sum satisfies |Σ| ≤ cnt·(2^62/cnt + ½) =
+    * 2^62 + cnt/2 < 2^63 for EVERY channel length — no run-time guard
+    * needed because no reachable length overflows. The derivation
+    * stays engine-replayable: count is exact in a double up to 2^53
+    * rows/channel (9e15 rows ≈ 300 years at 1 MHz — unreachable; at
+    * 2^53 the accumulator bound still holds, only grain EXACTNESS
+    * would degrade), max and the two multiplies round identically
+    * under IEEE-754 in any engine, and the 2^62 divide is exact. A
+    * power of two so no precision is lost in the final scaling.
+    * Fidelity: grain/scale = cnt/2^62 ≤ the old 2^-34 for every
+    * cnt ≤ 2^28, and coarsens gracefully (√cnt-relative walk stays
+    * ≤ 2^-63·cnt^1.5 of scale·n) instead of overflowing beyond.
     */
-  val QuantBits: Int = 34
-  val QuantDiv: Double = 17179869184.0 // = 2^34, exactly representable
+  val GrainBits: Int = 62
+  val GrainDenom: Double = 4611686018427387904.0 // = 2^62, exactly representable
+
+  /** The single grain derivation both integer accumulators use —
+    * Column form for the plans, scalar form for in-JVM replays
+    * (Round16Spec pins the two bit-identical, and pins the int64
+    * bound across channel lengths far past the old 2^28 envelope).
+    * Operand order matters: (scale · cnt) / 2^62, left-associative,
+    * so every engine performs the identical two IEEE roundings.
+    */
+  def grain(scale: Column, cnt: Column): Column = {
+    // test the COMPUTED grain for zero, not the scale: a subnormal
+    // scale can underflow the product to 0.0 while scale ≠ 0, and the
+    // two tests would then diverge between engines
+    val g = scale * cnt / lit(GrainDenom)
+    when(g === lit(0.0), lit(1.0)).otherwise(g)
+  }
+  def grainOf(scale: Double, cnt: Long): Double = {
+    val g = scale * cnt / GrainDenom
+    if (g == 0.0) 1.0 else g
+  }
 }
