@@ -1883,7 +1883,16 @@ object SparkEntry {
       // pair aggregate. Output: candidate partners per arriving doc
       // with shared-band multiplicity. The catalog table is visible
       // from the stream's session clone, so the corpus bands are
-      // derived once per process instead of once per query
+      // derived once per process instead of once per query.
+      //
+      // DIAGNOSTIC (exact-recall baseline, the q_cosine_neardups
+      // precedent): matches per probe grow with band-bucket occupancy
+      // ∝ N, so total pair output is Θ(N²) BY SEMANTICS — its sf1
+      // ladder row measured 1.45 (r15). The production-shaped form is
+      // q_stream_lsh_match_capped below (corpus side rank-capped at
+      // the same 64-member bound as Dedup.lshCandidates, output
+      // linear in probes); this uncapped form is kept for exact
+      // candidate recall at audit scales.
       import graft.streaming.StreamingOps._
       val bandTable = persistedBandTable(s, dir)
       val probes = documentsStream(s, dir).filter(col("doc_id") % 7 === 0)
@@ -1894,6 +1903,28 @@ object SparkEntry {
         .filter(col("partner") =!= col("doc_id"))
         .groupBy("doc_id", "partner").agg(count(lit(1)).as("n_shared_bands"))
       runToMemorySink(st, "stream_lsh_match", "complete")
+    }),
+    "q_stream_lsh_match_capped" -> ((s, dir) => {
+      // the PRODUCTION form of the stream-static admission probe: the
+      // corpus side of each (band, sig) bucket is rank-capped at 64
+      // members (ordered by doc_id — the same star-cap bound
+      // Dedup.lshCandidates uses for the batch pipeline), so each
+      // probe band key meets ≤ 64 partners and match output is LINEAR
+      // in probes regardless of bucket occupancy. Within-cap members
+      // are the bucket's admission representatives; a probe that
+      // matches ANY member of an over-full bucket still matches its
+      // rank-1 representative, so the admission decision (min over
+      // partner clusters) is unchanged — only the exhaustive partner
+      // enumeration is shed, exactly like the batch star cap. The
+      // rank is computed once per micro-batch on the bucketed table
+      // (bucket layout already clusters (band, sig), so the window
+      // sorts within buckets without a full shuffle).
+      import graft.streaming.StreamingOps._
+      val bandTable = persistedBandTable(s, dir)
+      val probes = documentsStream(s, dir).filter(col("doc_id") % 7 === 0)
+      val st = Dedup.cappedBandProbe(
+        Dedup.explodedBandKeys(probes), probes.sparkSession.table(bandTable))
+      runToMemorySink(st, "stream_lsh_match_capped", "complete")
     }),
     "q_stream_admit" -> ((s, dir) => {
       // the CLOSED admission loop: an arriving document computes its
@@ -3540,6 +3571,23 @@ object SparkEntry {
          |SELECT p.doc_id, c.doc_id AS partner, count(*) AS n_shared_bands
          |FROM bands p
          |JOIN bands c ON p.band = c.band AND p.bsig = c.bsig AND c.doc_id != p.doc_id
+         |WHERE p.doc_id % 7 = 0
+         |GROUP BY p.doc_id, c.doc_id""".stripMargin,
+    // production form: corpus side of each bucket rank-capped at 64
+    // (ordered by doc_id), matching Dedup.DefaultMaxBucket — output
+    // linear in probes
+    "q_stream_lsh_match_capped" ->
+      s"""WITH $shinglesSql,
+         |$lshBandsChain,
+         |bandsr AS MATERIALIZED (
+         |  SELECT doc_id, band, bsig,
+         |         row_number() OVER (PARTITION BY band, bsig ORDER BY doc_id) AS r
+         |  FROM bands
+         |)
+         |SELECT p.doc_id, c.doc_id AS partner, count(*) AS n_shared_bands
+         |FROM bands p
+         |JOIN bandsr c ON p.band = c.band AND p.bsig = c.bsig
+         |             AND c.r <= 64 AND c.doc_id != p.doc_id
          |WHERE p.doc_id % 7 = 0
          |GROUP BY p.doc_id, c.doc_id""".stripMargin,
     // streaming admission ≡ batch keep/drop restricted to the probe

@@ -15,6 +15,15 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** The shared band-bucket star cap (see `lshCandidates`): full
+    * pairing among the first 64 members per (band, sig) bucket,
+    * representative links beyond. One constant so the batch candidate
+    * pipeline and the stream-static admission probe
+    * (`q_stream_lsh_match_capped`) shed over-full buckets at the
+    * identical bound.
+    */
+  val DefaultMaxBucket: Int = 64
+
   /** Exact dedup decision per document: keep = first doc_id within the
     * normalized-text fingerprint group.
     */
@@ -115,7 +124,7 @@ object Dedup {
     * the old default.
     */
   def lshCandidates(signatures: DataFrame, rowsPerBand: Int = 4,
-                    maxBucket: Int = 64): DataFrame =
+                    maxBucket: Int = DefaultMaxBucket): DataFrame =
     bandedPairs(lshBands(signatures, rowsPerBand), Seq("band", "sig"), maxBucket,
       Seq.empty).distinct()
 
@@ -135,13 +144,37 @@ object Dedup {
       .agg(md5(to_binary(concat_ws(",", sort_array(collect_list(
         concat(col("i"), lit(":"), col("minhash"))))), lit("utf-8"))).as("sig"))
 
+  /** Stream-static admission probe with the corpus side of every
+    * (band, sig) bucket rank-capped at `maxBucket` members (ordered
+    * by doc_id — the same bound [[lshCandidates]] full-pairs under):
+    * each probe band key meets ≤ maxBucket partners, so match output
+    * is LINEAR in probes regardless of bucket occupancy. The rank-1
+    * member (the bucket-min doc_id) is always within the cap, so a
+    * probe hitting an over-full bucket still reaches the bucket's
+    * representative and the admission decision (min over partner
+    * clusters) is unchanged — only exhaustive partner enumeration is
+    * shed, mirroring the batch star cap. Output: (doc_id, partner,
+    * n_shared_bands).
+    */
+  def cappedBandProbe(probeBands: DataFrame, corpusBands: DataFrame,
+                      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val w = Window.partitionBy(col("band"), col("sig")).orderBy(col("doc_id"))
+    val capped = corpusBands
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= maxBucket)
+      .select(col("doc_id").as("partner"), col("band"), col("sig"))
+    probeBands.join(capped, Seq("band", "sig"))
+      .filter(col("partner") =!= col("doc_id"))
+      .groupBy("doc_id", "partner").agg(count(lit(1)).as("n_shared_bands"))
+  }
+
   /** Per-bucket overflow diagnostic for the band join: one row per
     * (band, sig) bucket larger than `maxBucket`, with member and
     * dropped-pair counts — the observability half of the cap (a
     * bucket showing up here IS a boilerplate cluster worth logging).
     */
   def lshBucketStats(signatures: DataFrame, rowsPerBand: Int = 4,
-                     maxBucket: Int = 64): DataFrame = {
+                     maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val bands = lshBands(signatures, rowsPerBand)
     bands.groupBy("band", "sig")
       .agg(count(lit(1)).as("n_members"), min("doc_id").as("representative"))

@@ -134,6 +134,34 @@ class Round16Spec extends AnyFunSuite {
       .compareTo(two63) >= 0)
   }
 
+  test("cappedBandProbe bounds partners per probe band key and keeps the representative") {
+    import graft.datapipe.Dedup
+    // one bucket with 300 corpus members (ids 1..300), one probe (id 0)
+    val corpus = (1 to 300).map(i => (i.toLong, 0, "sigX")).toDF("doc_id", "band", "sig")
+    val probe = Seq((0L, 0, "sigX")).toDF("doc_id", "band", "sig")
+    val got = Dedup.cappedBandProbe(probe, corpus, maxBucket = 64)
+      .select("partner").as[Long].collect().sorted
+    // exactly the 64 lowest-ranked members — including the rank-1
+    // representative the admission decision needs
+    assert(got.toSeq == (1L to 64L), s"got ${got.length} partners")
+
+    // and when the probe is itself within the cap, it is excluded
+    // from its own partners but the rest of the cap remains
+    val probeIn = Seq((7L, 0, "sigX")).toDF("doc_id", "band", "sig")
+    val got2 = Dedup.cappedBandProbe(probeIn, corpus, maxBucket = 64)
+      .select("partner").as[Long].collect().sorted
+    assert(got2.toSeq == ((1L to 64L).filterNot(_ == 7L)))
+  }
+
+  test("capped stream LSH match ≡ uncapped at gate scale (no bucket above the cap)") {
+    val sf = "/root/testdata/sf0.001"
+    def key(df: DataFrame): String =
+      df.collect().map(_.toString).sorted.mkString("\n")
+    val capped = key(SparkEntry.queries("q_stream_lsh_match_capped")(spark, sf))
+    val uncapped = key(SparkEntry.queries("q_stream_lsh_match")(spark, sf))
+    assert(capped == uncapped)
+  }
+
   test("grain Column form and scalar form agree bit-for-bit") {
     val cases = Seq((0.0, 100L), (1e-170, 7L), (2.5e-5, 1L << 28),
       (3.1415, 999983L), (8.7e12, (1L << 40) + 17))
