@@ -375,6 +375,22 @@ object StreamingOps {
     * (doc_id, cluster)); catalog names cross the root → micro-batch
     * session boundary safely where live DataFrames do not.
     */
+  /** Initial bucket count for the persisted admission band-state
+    * table: `spark.graft.admit.stateBuckets` (default 8 — fixture
+    * scale). The table grows forever, so a FIXED bucket count would
+    * pin every state probe join to that many tasks at production
+    * state sizes; [[runIncrementalAdmitPersisted]] therefore also
+    * re-buckets at compaction whenever rows/bucket exceeds
+    * `spark.graft.admit.rowsPerBucket` (default 4M), doubling (at
+    * least) to the next power of two that restores the target — the
+    * probe parallelism follows state size instead of a constant.
+    */
+  def stateBuckets(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.admit.stateBuckets").map(_.toInt).getOrElse(8)
+  def rowsPerBucket(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.admit.rowsPerBucket").map(_.toLong)
+      .getOrElse(4L << 20)
+
   def runIncrementalAdmitPersisted(stream: DataFrame,
                                    initBands: String, initComps: String,
                                    tag: String,
@@ -384,10 +400,16 @@ object StreamingOps {
     val t = AdmitStateTables(s"graft_admit_bands_$tag", s"graft_admit_results_$tag",
       s"graft_admit_delta_$tag", s"graft_admit_compacted_$tag")
     t.all.foreach(dropTableAndDir(root, _))
+    dropTableAndDir(root, s"${t.bands}_rebucket") // leftover mid-rebucket staging
     dropAllVersions(root, t.compactedBase) // ALL _v* from any prior same-tag run
+    // bucket count is config-seeded and state-size-GROWN (see
+    // stateBuckets): appends must always match the table's current
+    // spec, so the live count is tracked alongside the table
+    var curBuckets = stateBuckets(root)
+    val bucketTarget = rowsPerBucket(root)
     emptyDf(root, "doc_id" -> LongType, "band" -> IntegerType,
         "sig" -> StringType, "batch_id" -> LongType)
-      .write.bucketBy(8, "band", "sig").sortBy("band", "sig")
+      .write.bucketBy(curBuckets, "band", "sig").sortBy("band", "sig")
       .mode("overwrite").saveAsTable(t.bands)
     emptyDf(root, "doc_id" -> LongType, "cluster" -> LongType,
         "admitted" -> BooleanType, "batch_id" -> LongType)
@@ -445,8 +467,8 @@ object StreamingOps {
           // batch-sized APPENDs — the only writes of a normal batch
           timed(batchId, "bands-append") {
             abands.withColumn("batch_id", lit(batchId))
-              .repartition(8, col("band"), col("sig"))
-              .write.bucketBy(8, "band", "sig").sortBy("band", "sig")
+              .repartition(curBuckets, col("band"), col("sig"))
+              .write.bucketBy(curBuckets, "band", "sig").sortBy("band", "sig")
               .mode("append").saveAsTable(t.bands)
           }
           timed(batchId, "delta-append") {
@@ -458,6 +480,26 @@ object StreamingOps {
               .write.mode("append").saveAsTable(t.results)
           }
           batchesSince += 1
+          if (batchesSince >= compactEvery) timed(batchId, "rebucket") {
+            // state-size-driven re-bucketing (piggybacks on the
+            // compaction cadence): the band log grows forever, so the
+            // probe join's parallelism must follow it. One count per
+            // compaction window is cheap next to the fold itself.
+            val bandRows = sp.table(t.bands).count()
+            if (bandRows > curBuckets.toLong * bucketTarget) {
+              var needed = curBuckets * 2
+              while (needed.toLong * bucketTarget < bandRows) needed *= 2
+              val staging = s"${t.bands}_rebucket"
+              sp.table(t.bands).repartition(needed, col("band"), col("sig"))
+                .write.bucketBy(needed, "band", "sig").sortBy("band", "sig")
+                .mode("overwrite").saveAsTable(staging)
+              dropTableAndDir(sp, t.bands)
+              sp.sql(s"ALTER TABLE $staging RENAME TO ${t.bands}")
+              curBuckets = needed
+              System.err.println(
+                s"[admit:$tag b$batchId] rebucketed $bandRows band rows -> $needed buckets")
+            }
+          }
           if (batchesSince >= compactEvery) timed(batchId, "compaction") {
             if (sp.table(t.delta).isEmpty) {
               batchesSince = 0 // no merges since last compaction —

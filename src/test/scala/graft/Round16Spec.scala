@@ -162,6 +162,92 @@ class Round16Spec extends AnyFunSuite {
     assert(capped == uncapped)
   }
 
+  test("admission state buckets follow config and re-bucket as state grows") {
+    import java.nio.file.Files
+    import graft.datapipe.Dedup
+    import graft.streaming.StreamingOps
+
+    // 10 batches × 3 unique docs; every arrival appends 4 band rows
+    val texts = (0 until 30).map { i =>
+      (100L + i, s"unique document number $i with entirely disjoint words " +
+        s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f w${i}g")
+    }
+    val batches = texts.grouped(3).toSeq
+    val dir = Files.createTempDirectory("r16_rebucket_")
+    val t0 = 1700000000000L
+    batches.zipWithIndex.foreach { case (docs, i) =>
+      val stage = dir.resolve(s"stage_$i")
+      docs.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(stage.toString)
+      val part = {
+        val st = Files.list(stage)
+        try st.filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        finally st.close()
+      }
+      val dest = dir.resolve(f"f_$i%02d.parquet")
+      Files.move(part, dest)
+      dest.toFile.setLastModified(t0 + i * 10000L)
+      org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+    }
+    def stream() = {
+      import org.apache.spark.sql.types._
+      spark.readStream.schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType))))
+        .option("maxFilesPerTrigger", 1).option("latestFirst", "false")
+        .option("pathGlobFilter", "f_*.parquet").parquet(dir.toString)
+    }
+    val corpus = Seq((1L, "corpus resident text that matches nothing arriving"))
+      .toDF("doc_id", "text")
+    val bands = Dedup.lshBands(Dedup.minhashSignaturesFromHashes(
+      Dedup.shingleHashes(Dedup.shingles(corpus, distinct = false)), k = 16))
+    StreamingOps.dropTableAndDir(spark, "r16_init_bands")
+    StreamingOps.dropTableAndDir(spark, "r16_init_comps")
+    bands.write.mode("overwrite").saveAsTable("r16_init_bands")
+    corpus.select(col("doc_id"), col("doc_id").as("cluster"))
+      .write.mode("overwrite").saveAsTable("r16_init_comps")
+
+    def numBuckets(table: String): Int =
+      spark.sql(s"DESCRIBE TABLE EXTENDED $table")
+        .filter(col("col_name") === "Num Buckets")
+        .select("data_type").head().getString(0).toInt
+
+    // reference run at the fixed default (8 buckets, no growth)
+    val ref = StreamingOps.runIncrementalAdmitPersisted(
+        stream(), "r16_init_bands", "r16_init_comps", tag = "r16_ref",
+        compactEvery = 2)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(numBuckets("graft_admit_bands_r16_ref") == 8)
+
+    // grown run: 4 initial buckets, 10 rows/bucket target → 120 band
+    // rows must cross 40 (→8) and 80 (→16) at the 2-batch cadence
+    spark.conf.set("spark.graft.admit.stateBuckets", "4")
+    spark.conf.set("spark.graft.admit.rowsPerBucket", "10")
+    val got = try {
+      StreamingOps.runIncrementalAdmitPersisted(
+          stream(), "r16_init_bands", "r16_init_comps", tag = "r16_grow",
+          compactEvery = 2)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    } finally {
+      spark.conf.unset("spark.graft.admit.stateBuckets")
+      spark.conf.unset("spark.graft.admit.rowsPerBucket")
+    }
+    assert(numBuckets("graft_admit_bands_r16_grow") == 16,
+      s"expected growth to 16 buckets, got ${numBuckets("graft_admit_bands_r16_grow")}")
+    // decisions are bucket-layout-invariant
+    assert(got == ref)
+    // all 120 band rows survived both rebuckets, still batch-attributed
+    val bandRows = spark.table("graft_admit_bands_r16_grow")
+      .groupBy("batch_id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bandRows.values.sum == 120L && bandRows.size == 10)
+    // and the state probe join parallelism follows the grown layout:
+    // a (band, sig)-keyed aggregate over the bucketed table needs no
+    // exchange and runs at one task per bucket
+    val probeShaped = spark.table("graft_admit_bands_r16_grow")
+      .groupBy("band", "sig").count()
+    assert(probeShaped.rdd.getNumPartitions == 16,
+      s"probe parallelism ${probeShaped.rdd.getNumPartitions} != 16 buckets")
+  }
+
   test("grain Column form and scalar form agree bit-for-bit") {
     val cases = Seq((0.0, 100L), (1e-170, 7L), (2.5e-5, 1L << 28),
       (3.1415, 999983L), (8.7e12, (1L << 40) + 17))
