@@ -137,7 +137,14 @@ object Bench {
     // break without blowing the driver's 2000-char parse window.
     val errJson = errors.take(8)
       .map { case (k, cls) => s""""$k":"$cls"""" }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","timing":"warm_min","run1_total":${num(run1Total, 2)},"n_queries":${results.size},"n_err":${errors.size},"err":$errJson,"queries":$qs,"sf":"$sfDir"}"""
+    // both lines are composed from the SAME prefix/suffix with only
+    // the queries map swapped — not by string-replacing inside the
+    // already-serialized line, which silently emitted a truncated
+    // sidecar whenever the serialization shape drifted (the r15
+    // silent-29-row ladder failure mode)
+    def metricLine(queriesJson: String): String =
+      s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","timing":"warm_min","run1_total":${num(run1Total, 2)},"n_queries":${results.size},"n_err":${errors.size},"err":$errJson,"queries":$queriesJson,"sf":"$sfDir"}"""
+    val line = metricLine(qs)
     if (line.length > 1900)
       System.err.println(s"[bench] WARNING metric line ${line.length} chars (driver window 2000)")
     // sidecar copy for humans / tooling; stdout (now unprefixed via
@@ -148,8 +155,7 @@ object Bench {
     // stdout line truncates to 40 (driver window); round 15's first
     // full-189 ladder silently dropped to 29 rows because
     // scale_ladder read a top-40 sidecar.
-    val sidecarLine = line.replace(s""""queries":$qs""",
-      s""""queries":${fullQs.mkString("{", ",", "}")}""")
+    val sidecarLine = metricLine(fullQs.mkString("{", ",", "}"))
     try {
       val w = new java.io.PrintWriter(
         sys.env.getOrElse("SPARK_GRAFT_SIDE_CAR", "BENCH_LAST.json"))

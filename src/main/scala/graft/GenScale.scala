@@ -30,7 +30,20 @@ object GenScale {
 
   val KEY_STRIDE = 10000000L
 
+  /** Reseed-scheme version, written to `<dst>/.genscale_v` and
+    * compared by the ladder scripts before REUSING a fixture
+    * directory: an existence-only guard silently reused fixtures from
+    * an OLDER generator, so the two ladder legs could carry different
+    * dup densities — the exact candidate-explosion artifact the
+    * clone-unique salts fixed — with no error (r15 advice). Bump on
+    * ANY semantic change to the clone/reseed rules.
+    *  v3: clone-unique text salts (r15) + clone n_chars recomputed
+    *      from the salted text (r16).
+    */
+  val SCHEME_VERSION = "genscale-v3"
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--version")) { println(SCHEME_VERSION); return }
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "fixtures/sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
@@ -140,11 +153,20 @@ object GenScale {
         |                   concat('$1', char(97 + pmod(clone, 26)),
         |                          char(97 + clone div 26)))
         |       END))""".stripMargin)
+    // n_chars is RECOMPUTED for clones: the salt grows every
+    // clone>0 text ~1.67x, and copying the source's n_chars would
+    // leave clone metadata disagreeing with length(text) — quality
+    // stats (avg/p50/p90 chars) would then report source-scale
+    // numbers on scaled fixtures (r15 advice). Clone 0 keeps the
+    // source value verbatim (its text is byte-identical).
+    val nCharsT = rd("documents").schema("n_chars").dataType
     wr(cloned(rd("documents")).select(
       (col("doc_id") + off).as("doc_id"),
       when(col("text").isNull, lit(null).cast("string"))
         .otherwise(reseeded).as("text"),
-      col("lang"), col("source"), col("n_chars")), "documents")
+      col("lang"), col("source"),
+      when(col("clone") === 0 || col("text").isNull, col("n_chars"))
+        .otherwise(length(reseeded).cast(nCharsT)).as("n_chars")), "documents")
 
     // per-clone dimension PERMUTATION: norm-preserving (each output
     // vector is a reshuffle of its source's values), decorrelates
@@ -167,5 +189,11 @@ object GenScale {
              |         size(embedding))) + 1))
              |""".stripMargin).cast("array<float>").as("embedding"),
       col("label")), "embeddings")
+
+    // scheme marker LAST — a crashed partial run leaves no marker, so
+    // the scripts treat the directory as stale and regenerate
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dst/.genscale_v"),
+      s"$SCHEME_VERSION factor=$factor src=$src\n")
   }
 }

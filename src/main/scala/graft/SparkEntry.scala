@@ -124,10 +124,18 @@ object SparkEntry {
     val keep = sys.env.get("SPARK_GRAFT_KEEP")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
-    Seq("welch" -> welchRmsCache, "shingles" -> shingleCache,
-        "terms" -> termCountCache, "lshcands" -> lshCandCache,
-        "components" -> componentsCache, "redacted" -> redactedCache,
-        "pngs" -> pngCache).foreach { case (name, c) =>
+    val caches = Seq("welch" -> welchRmsCache, "shingles" -> shingleCache,
+      "terms" -> termCountCache, "lshcands" -> lshCandCache,
+      "components" -> componentsCache, "redacted" -> redactedCache,
+      "pngs" -> pngCache)
+    // a typo'd KEEP name would be silently ignored and the cache
+    // dropped anyway — reintroducing the ~20-min shingle rebuild the
+    // flag exists to avoid, with no diagnostic
+    val known = caches.map(_._1).toSet
+    (keep -- known).foreach(k => System.err.println(
+      s"[graft] WARNING: SPARK_GRAFT_KEEP entry '$k' matches no cache " +
+        s"(known: ${known.toSeq.sorted.mkString(", ")}) — it will be dropped"))
+    caches.foreach { case (name, c) =>
       if (!keep(name))
         c.keys.filter(_._1 eq s).foreach { k =>
           c.remove(k).foreach(df =>
