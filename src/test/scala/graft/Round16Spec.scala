@@ -248,6 +248,85 @@ class Round16Spec extends AnyFunSuite {
       s"probe parallelism ${probeShaped.rdd.getNumPartitions} != 16 buckets")
   }
 
+  test("heavy tier is bit-identical at cluster-shape partitioning (200, AQE on)") {
+    // Round15 swept shuffle.partitions ∈ {3,7,32}; a real cluster runs
+    // 200+. Same claim at the cluster shape, WITH AQE enabled (the
+    // production config): partition count and AQE's runtime coalescing
+    // must change nothing the user can observe.
+    val sf = "/root/testdata/sf0.001"
+    val names = Seq("q_dedup_components", "q_sa_substr", "q_integral",
+      "q_movrms_time", "q_stream_admit_incr", "q_hll_distinct", "q_cms_heavy")
+    def resultKey(df: DataFrame): String =
+      df.collect().map(_.toString).sorted.mkString("\n")
+    val spWas = spark.conf.get("spark.sql.shuffle.partitions")
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      val sweeps = Seq("32", "200").map { p =>
+        spark.conf.set("spark.sql.shuffle.partitions", p)
+        p -> names.map(n => n -> resultKey(SparkEntry.queries(n)(spark, sf))).toMap
+      }
+      val (p0, base) = sweeps.head
+      for ((p, m) <- sweeps.tail; n <- names)
+        assert(m(n) == base(n), s"$n differs between shuffle.partitions=$p0 and $p")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", spWas)
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    }
+  }
+
+  test("plans hold their shape at 200 partitions: bucket join exchange-free, dim join broadcast") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, ShuffleQueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import graft.datapipe.Bucketing
+    def finalPlan(df: DataFrame): SparkPlan =
+      df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.finalPhysicalPlan
+        case p => p
+      }
+    def shuffles(p: SparkPlan): Seq[ShuffleExchangeLike] =
+      p.collect { case s: ShuffleQueryStageExec => s.shuffle } ++
+        p.collect { case e: ShuffleExchangeLike => e }
+    val docs = (1 to 2000).map(i => (i.toLong, s"text body $i", i % 7))
+      .toDF("doc_id", "text", "grp")
+    Bucketing.writeBucketed(docs, "r16_docs_bucketed", "doc_id", 8,
+      sortCols = Seq("doc_id"))
+    Bucketing.writeBucketed(
+      docs.select(col("doc_id"), (col("grp") > 3).as("keep")),
+      "r16_verdicts_bucketed", "doc_id", 8, sortCols = Seq("doc_id"))
+    val spWas = spark.conf.get("spark.sql.shuffle.partitions")
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    val bcastWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      // the zero-shuffle bucket-join claim survives the cluster shape
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Bucketing.coLocatedJoin(spark,
+        "r16_docs_bucketed", "r16_verdicts_bucketed", "doc_id")
+      assert(joined.count() === 2000)
+      assert(shuffles(finalPlan(joined)).isEmpty,
+        "bucketed join shuffled at 200 partitions under AQE")
+      // and the signal tier's samplerate dim join still broadcasts
+      // (partition count must not demote it to a 200-task SMJ)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcastWas)
+      val ch = (0 until 3).flatMap(c => (0 until 2000).map(k =>
+        (s"c$c", k * 0.5, math.sin(k / 7.0 + c)))).toDF("channel", "t", "v")
+      val mr = Signal(ch).movRms(4.0).df
+      mr.count()
+      val bhj = finalPlan(mr).collect { case b: BroadcastHashJoinExec => b }
+      assert(bhj.nonEmpty, "movRms samplerate join lost its broadcast at 200 partitions")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", spWas)
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcastWas)
+      graft.streaming.StreamingOps.dropTableAndDir(spark, "r16_docs_bucketed")
+      graft.streaming.StreamingOps.dropTableAndDir(spark, "r16_verdicts_bucketed")
+    }
+  }
+
   test("grain Column form and scalar form agree bit-for-bit") {
     val cases = Seq((0.0, 100L), (1e-170, 7L), (2.5e-5, 1L << 28),
       (3.1415, 999983L), (8.7e12, (1L << 40) + 17))
