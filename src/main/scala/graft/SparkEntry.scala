@@ -144,8 +144,20 @@ object SparkEntry {
     }
   }
 
+  /** SPARK_GRAFT_NOCACHE=1 disables the events/uniform session caches
+    * so every signal query runs its FULL loader plan (pruned parquet
+    * scan → origin join → projection) instead of an
+    * InMemoryTableScan — the production path a fresh cluster job
+    * executes. Verify/Bench keep the cache (PLANS.md "known accepted
+    * deviations": 50 queries re-scanning the loader would measure
+    * scan amortization, not plans); the r16 uncached campaign runs
+    * the signal tier under this flag to prove no plan silently
+    * depends on the cache.
+    */
+  private val noCache = sys.env.get("SPARK_GRAFT_NOCACHE").contains("1")
   private def ev(s: SparkSession, dir: String) =
-    memo(evCache, s, dir)(Channels.events(s, dir).cache())
+    if (noCache) Channels.events(s, dir)
+    else memo(evCache, s, dir)(Channels.events(s, dir).cache())
   private def rawEvents(s: SparkSession, dir: String) = Channels.rawEvents(s, dir)
 
   /** events channels resampled to a uniform 1/3600 Hz grid — the
@@ -156,7 +168,8 @@ object SparkEntry {
   private val uniformCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def evUniform(s: SparkSession, dir: String): DataFrame =
-    memo(uniformCache, s, dir)(Interp.resample(ev(s, dir), 1.0 / 3600.0, "linear").cache())
+    if (noCache) Interp.resample(ev(s, dir), 1.0 / 3600.0, "linear")
+    else memo(uniformCache, s, dir)(Interp.resample(ev(s, dir), 1.0 / 3600.0, "linear").cache())
 
   /** The native `.ide` fixture: every uniform channel sunk once per
     * (session, dir) through [[graft.sources.IdeSink]] at a 1 kHz

@@ -391,36 +391,116 @@ object StreamingOps {
     s.conf.getOption("spark.graft.admit.rowsPerBucket").map(_.toLong)
       .getOrElse(4L << 20)
 
+  /** @param checkpointDir  streaming checkpoint location; set it to
+    *                        make the run RESTARTABLE (offsets WAL'd,
+    *                        a crashed batch re-delivers with the same
+    *                        batch_id on restart).
+    * @param resume          continue a prior checkpointed run of the
+    *                        same `tag`: state tables are KEPT, and
+    *                        every piece of continuation state
+    *                        (compacted version, delta window, bucket
+    *                        count) is re-derived FROM THE TABLES —
+    *                        the in-memory vars died with the crashed
+    *                        driver, so nothing may survive through
+    *                        them. Partially-written batches (band or
+    *                        delta rows whose batch_id never committed
+    *                        to the results log — the results append
+    *                        lands last) are ROLLED BACK before the
+    *                        stream restarts, so the append-only
+    *                        accounting stays exactly-once, not just
+    *                        the decisions.
+    * @param failAfterBands  fault injection for the restart tests:
+    *                        crash THIS batch id right after its
+    *                        bands-append — the nastiest point, a
+    *                        partial batch on disk.
+    */
   def runIncrementalAdmitPersisted(stream: DataFrame,
                                    initBands: String, initComps: String,
                                    tag: String,
-                                   compactEvery: Int = 8): DataFrame = {
+                                   compactEvery: Int = 8,
+                                   checkpointDir: Option[String] = None,
+                                   resume: Boolean = false,
+                                   failAfterBands: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.types._
     val root = stream.sparkSession
     val t = AdmitStateTables(s"graft_admit_bands_$tag", s"graft_admit_results_$tag",
       s"graft_admit_delta_$tag", s"graft_admit_compacted_$tag")
-    t.all.foreach(dropTableAndDir(root, _))
-    dropTableAndDir(root, s"${t.bands}_rebucket") // leftover mid-rebucket staging
-    dropAllVersions(root, t.compactedBase) // ALL _v* from any prior same-tag run
     // bucket count is config-seeded and state-size-GROWN (see
     // stateBuckets): appends must always match the table's current
     // spec, so the live count is tracked alongside the table
     var curBuckets = stateBuckets(root)
     val bucketTarget = rowsPerBucket(root)
-    emptyDf(root, "doc_id" -> LongType, "band" -> IntegerType,
-        "sig" -> StringType, "batch_id" -> LongType)
-      .write.bucketBy(curBuckets, "band", "sig").sortBy("band", "sig")
-      .mode("overwrite").saveAsTable(t.bands)
-    emptyDf(root, "doc_id" -> LongType, "cluster" -> LongType,
-        "admitted" -> BooleanType, "batch_id" -> LongType)
-      .write.mode("overwrite").saveAsTable(t.results)
-    emptyDf(root, "oldc" -> LongType, "newc" -> LongType, "batch_id" -> LongType)
-      .write.mode("overwrite").saveAsTable(t.delta)
-    emptyDf(root, "oldc" -> LongType, "newc" -> LongType)
-      .write.mode("overwrite").saveAsTable(s"${t.compactedBase}_v0")
-
     var compactedVer = 0
     var batchesSince = 0 // delta-log batches since the last compaction
+    def numBucketsOf(table: String): Int =
+      root.sql(s"DESCRIBE TABLE EXTENDED $table")
+        .filter(col("col_name") === "Num Buckets")
+        .select("data_type").head().getString(0).toInt
+    /** Staging-rewrite a table minus the given batch ids, preserving
+      * the bucket spec (0 = unbucketed). Used by the resume rollback.
+      */
+    def rewriteWithout(sp: SparkSession, table: String, badBatches: Seq[Long],
+                       buckets: Int): Unit = {
+      val staging = s"${table}_rollback"
+      dropTableAndDir(sp, staging)
+      val kept = sp.table(table).filter(!col("batch_id").isin(badBatches: _*))
+      val w = if (buckets > 0)
+        kept.repartition(buckets, col("band"), col("sig"))
+          .write.bucketBy(buckets, "band", "sig").sortBy("band", "sig")
+      else kept.write
+      w.mode("overwrite").saveAsTable(staging)
+      dropTableAndDir(sp, table)
+      sp.sql(s"ALTER TABLE $staging RENAME TO $table")
+    }
+    if (!resume) {
+      t.all.foreach(dropTableAndDir(root, _))
+      dropTableAndDir(root, s"${t.bands}_rebucket") // leftover mid-rebucket staging
+      dropAllVersions(root, t.compactedBase) // ALL _v* from any prior same-tag run
+      emptyDf(root, "doc_id" -> LongType, "band" -> IntegerType,
+          "sig" -> StringType, "batch_id" -> LongType)
+        .write.bucketBy(curBuckets, "band", "sig").sortBy("band", "sig")
+        .mode("overwrite").saveAsTable(t.bands)
+      emptyDf(root, "doc_id" -> LongType, "cluster" -> LongType,
+          "admitted" -> BooleanType, "batch_id" -> LongType)
+        .write.mode("overwrite").saveAsTable(t.results)
+      emptyDf(root, "oldc" -> LongType, "newc" -> LongType, "batch_id" -> LongType)
+        .write.mode("overwrite").saveAsTable(t.delta)
+      emptyDf(root, "oldc" -> LongType, "newc" -> LongType)
+        .write.mode("overwrite").saveAsTable(s"${t.compactedBase}_v0")
+    } else {
+      val r0 = System.nanoTime()
+      require(checkpointDir.nonEmpty, "resume=true needs the run's checkpointDir")
+      // continuation state FROM the tables (recovery-profile stages
+      // printed so AdmitRestart can record the breakdown)
+      while (root.catalog.tableExists(s"${t.compactedBase}_v${compactedVer + 1}"))
+        compactedVer += 1
+      curBuckets = numBucketsOf(t.bands)
+      val committed = root.table(t.results).select("batch_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      batchesSince = root.table(t.delta).select("batch_id").distinct().count().toInt
+      val r1 = System.nanoTime()
+      // partial-batch ROLLBACK: the results append lands last, so a
+      // band/delta batch_id absent from results is a half-written
+      // batch the restarted stream will re-deliver — drop its rows
+      // once, here, instead of making every probe filter for it
+      for ((table, buckets) <- Seq(t.bands -> curBuckets, t.delta -> 0)) {
+        val orphans = root.table(table).select("batch_id").distinct()
+          .collect().map(_.getLong(0)).filterNot(committed)
+        if (orphans.nonEmpty) {
+          System.err.println(s"[admit:$tag resume] rolling back partial " +
+            s"batch(es) ${orphans.mkString(",")} from $table")
+          rewriteWithout(root, table, orphans.toSeq, buckets)
+        }
+      }
+      // the reads above pinned pre-rollback file-index snapshots in
+      // root's relation cache (which the stream's session clone may
+      // inherit) — refresh before the stream starts
+      t.all.filter(root.catalog.tableExists).foreach(root.catalog.refreshTable)
+      val r2 = System.nanoTime()
+      System.err.println(f"[admit:$tag resume] state-derive ${(r1 - r0) / 1e9}%.2f s " +
+        f"(ver=$compactedVer buckets=$curBuckets deltaWindow=$batchesSince " +
+        f"committed=${committed.size}), rollback ${(r2 - r1) / 1e9}%.2f s")
+    }
     // per-batch stage timings (stderr) when SPARK_GRAFT_ADMIT_PROFILE=1
     // — the r14 ladder showed the mb10 twin's exponent at 0.43 vs the
     // single-batch 0.93, i.e. per-batch FIXED cost dominates; this is
@@ -435,7 +515,9 @@ object StreamingOps {
           f"[admit:$tag b$batchId] $stage%-12s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
         r
       }
-    val q = stream.writeStream
+    val writer0 = stream.writeStream
+    val writer = checkpointDir.fold(writer0)(d => writer0.option("checkpointLocation", d))
+    val q = writer
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
         val alreadyDone = timed(batchId, "replay-check") {
@@ -471,6 +553,11 @@ object StreamingOps {
               .write.bucketBy(curBuckets, "band", "sig").sortBy("band", "sig")
               .mode("append").saveAsTable(t.bands)
           }
+          // fault injection (restart tests): die with the batch HALF
+          // written — bands on disk, delta/results not
+          if (batchId >= failAfterBands)
+            throw new RuntimeException(
+              s"graft-injected-crash after bands-append of batch $batchId")
           timed(batchId, "delta-append") {
             relabel.withColumn("batch_id", lit(batchId))
               .write.mode("append").saveAsTable(t.delta)
@@ -529,6 +616,12 @@ object StreamingOps {
       }
       .start()
     try q.processAllAvailable() finally q.stop()
+    // the resume path READS these tables on the root session before
+    // the stream runs, which pins a file-index snapshot in root's
+    // table-relation cache; the micro-batch session's appends refresh
+    // only ITS OWN cache, so without this the returned results df
+    // would silently miss every post-resume batch
+    t.all.filter(root.catalog.tableExists).foreach(root.catalog.refreshTable)
     root.table(t.results).select(col("doc_id"), col("cluster"), col("admitted"))
   }
 

@@ -327,6 +327,95 @@ class Round16Spec extends AnyFunSuite {
     }
   }
 
+  test("persisted admission: crash after bands-append, resume is exactly-once") {
+    import java.nio.file.Files
+    import graft.datapipe.Dedup
+    import graft.streaming.StreamingOps
+
+    // 6 batches with a near-dup pair SPANNING the crash point (doc 203
+    // in batch 1 ≡ doc 217 in batch 5): the resumed run must resolve
+    // the pair against state written before the crash
+    val base = "shared near duplicate text about streaming restart recovery semantics"
+    val texts = (0 until 18).map { i =>
+      val body = if (i == 3) base
+      else if (i == 17) base
+      else s"unique restart doc $i with words r${i}a r${i}b r${i}c r${i}d r${i}e"
+      (200L + i, body)
+    }
+    val batches = texts.grouped(3).toSeq
+    val dir = Files.createTempDirectory("r16_restart_")
+    val t0 = 1700000000000L
+    batches.zipWithIndex.foreach { case (docs, i) =>
+      val stage = dir.resolve(s"stage_$i")
+      docs.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(stage.toString)
+      val part = {
+        val st = Files.list(stage)
+        try st.filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        finally st.close()
+      }
+      val dest = dir.resolve(f"f_$i%02d.parquet")
+      Files.move(part, dest)
+      dest.toFile.setLastModified(t0 + i * 10000L)
+      org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+    }
+    def stream() = {
+      import org.apache.spark.sql.types._
+      spark.readStream.schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType))))
+        .option("maxFilesPerTrigger", 1).option("latestFirst", "false")
+        .option("pathGlobFilter", "f_*.parquet").parquet(dir.toString)
+    }
+    val corpus = Seq((1L, "corpus resident restart text matching nothing arriving"))
+      .toDF("doc_id", "text")
+    val bands = Dedup.lshBands(Dedup.minhashSignaturesFromHashes(
+      Dedup.shingleHashes(Dedup.shingles(corpus, distinct = false)), k = 16))
+    StreamingOps.dropTableAndDir(spark, "r16r_init_bands")
+    StreamingOps.dropTableAndDir(spark, "r16r_init_comps")
+    bands.write.mode("overwrite").saveAsTable("r16r_init_bands")
+    corpus.select(col("doc_id"), col("doc_id").as("cluster"))
+      .write.mode("overwrite").saveAsTable("r16r_init_comps")
+
+    def decisions(df: DataFrame): Map[Long, (Long, Boolean)] =
+      df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+
+    // uninterrupted baseline
+    val ref = decisions(StreamingOps.runIncrementalAdmitPersisted(
+      stream(), "r16r_init_bands", "r16r_init_comps", tag = "r16_rst_base",
+      compactEvery = 2))
+    assert(!ref(217L)._2 && ref(203L)._2, "near-dup pair must resolve in baseline")
+
+    // crashed run: die right after bands-append of batch 3
+    val ckpt = Files.createTempDirectory("r16_restart_ckpt_").toString
+    val crashed = intercept[Exception] {
+      StreamingOps.runIncrementalAdmitPersisted(
+        stream(), "r16r_init_bands", "r16r_init_comps", tag = "r16_rst",
+        compactEvery = 2, checkpointDir = Some(ckpt), failAfterBands = 3L)
+    }
+    assert(Iterator.iterate(crashed: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(e => e.getMessage != null && e.getMessage.contains("graft-injected-crash")),
+      s"expected the injected crash, got: $crashed")
+    // batch 3 is genuinely HALF-written: bands has its rows, results not
+    val bandsB3 = spark.table("graft_admit_bands_r16_rst")
+      .filter(col("batch_id") === 3).count()
+    val resultsB3 = spark.table("graft_admit_results_r16_rst")
+      .filter(col("batch_id") === 3).count()
+    assert(bandsB3 > 0 && resultsB3 == 0,
+      s"expected a partial batch 3 (bands=$bandsB3, results=$resultsB3)")
+
+    // resume from the checkpoint: same decisions as the uninterrupted
+    // run, and the append-only accounting is exactly-once too
+    val got = decisions(StreamingOps.runIncrementalAdmitPersisted(
+      stream(), "r16r_init_bands", "r16r_init_comps", tag = "r16_rst",
+      compactEvery = 2, checkpointDir = Some(ckpt), resume = true))
+    assert(got == ref, "resumed decisions diverge from the uninterrupted run")
+    val bandCounts = spark.table("graft_admit_bands_r16_rst")
+      .groupBy("batch_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bandCounts.values.sum == 4L * 18 && bandCounts.size == 6,
+      s"band accounting inflated after restart: $bandCounts")
+  }
+
   test("grain Column form and scalar form agree bit-for-bit") {
     val cases = Seq((0.0, 100L), (1e-170, 7L), (2.5e-5, 1L << 28),
       (3.1415, 999983L), (8.7e12, (1L << 40) + 17))
