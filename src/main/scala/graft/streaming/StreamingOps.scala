@@ -471,9 +471,19 @@ object StreamingOps {
       val r0 = System.nanoTime()
       require(checkpointDir.nonEmpty, "resume=true needs the run's checkpointDir")
       // continuation state FROM the tables (recovery-profile stages
-      // printed so AdmitRestart can record the breakdown)
-      while (root.catalog.tableExists(s"${t.compactedBase}_v${compactedVer + 1}"))
-        compactedVer += 1
+      // printed so AdmitRestart can record the breakdown). The
+      // compacted version is found by CATALOG SCAN, not contiguous
+      // probing: compaction drops the previous version, so only the
+      // latest exists (a crash between version-write and old-drop can
+      // briefly leave two — take the max; a crash between
+      // version-write and delta-truncate leaves the folded delta
+      // rows visible too, which is harmless: a retired label never
+      // becomes current again, so re-applying the delta on top of the
+      // compacted map is a no-op).
+      val verPrefix = s"${t.compactedBase}_v".toLowerCase
+      compactedVer = root.catalog.listTables().collect()
+        .map(_.name.toLowerCase).filter(_.startsWith(verPrefix))
+        .map(_.stripPrefix(verPrefix).toInt).max
       curBuckets = numBucketsOf(t.bands)
       val committed = root.table(t.results).select("batch_id").distinct()
         .collect().map(_.getLong(0)).toSet
