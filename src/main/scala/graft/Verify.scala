@@ -28,7 +28,13 @@ object Verify {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.filter { case (name, _) => only.forall(_(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): coalesce folds the whole
+      // query into the single output task (no shuffle barrier), so an
+      // expensive plan — e.g. interpreted zip_with cosine at sf10 —
+      // runs one-threaded; the r16 sf10 gate measured a 22-minute
+      // single task where the parallel stage takes seconds. The
+      // repartition shuffle moves only the RESULT rows.
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         errors(name) = s"${e.getClass.getName}: ${e.getMessage}"
