@@ -39,8 +39,10 @@ object GenScale {
     * ANY semantic change to the clone/reseed rules.
     *  v3: clone-unique text salts (r15) + clone n_chars recomputed
     *      from the salted text (r16).
+    *  v4: 8 MB parquet row groups (content identical to v3 — layout
+    *      only, so single-file tables scan at real parallelism).
     */
-  val SCHEME_VERSION = "genscale-v3"
+  val SCHEME_VERSION = "genscale-v4"
 
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("--version")) { println(SCHEME_VERSION); return }
@@ -65,9 +67,25 @@ object GenScale {
     // single FLAT file per table (the TESTDATA.md layout — the
     // streaming readers' pathGlobFilter matches "{t}.parquet" as a
     // file name); Spark still parallelizes the read by row-group splits
-    def wr(df: DataFrame, t: String): Unit = {
+    def wr(df: DataFrame, t: String, dictionary: Boolean = true,
+           blockSize: Long = 8L * 1024 * 1024): Unit = {
       val tmp = s"$dst/.tmp_$t"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      // 8 MB parquet row groups: a row group is Spark's minimum split
+      // unit, and the default 128 MB block put ENTIRE tables
+      // (embeddings 51 MB, documents ~250 MB compressed) into ONE
+      // group — a 1-partition scan that single-threads every pushed-
+      // below-exchange filter and narrow kernel (r16 sf10 gate: a
+      // 22-min one-task interpreted-cosine stage). Production tables
+      // are many files; small row groups restore that splittability
+      // inside the single-file fixture contract. Embeddings also turn
+      // dictionary encoding OFF: clone vectors are permutations of
+      // source vectors, so the float dictionary keeps the writer's
+      // BUFFERED size under the block threshold and the flush never
+      // fires — the whole table lands in one group again.
+      df.coalesce(1).write
+        .option("parquet.block.size", blockSize)
+        .option("parquet.enable.dictionary", dictionary.toString)
+        .mode("overwrite").parquet(tmp)
       val tmpDir = new java.io.File(tmp)
       val part = tmpDir.listFiles().find(_.getName.endsWith(".parquet")).get
       val dstFile = new java.io.File(s"$dst/$t.parquet")
@@ -188,7 +206,11 @@ object GenScale {
              |         IF(clone < $dim, d, size(embedding) - 1 - d) + clone,
              |         size(embedding))) + 1))
              |""".stripMargin).cast("array<float>").as("embedding"),
-      col("label")), "embeddings")
+      col("label")), "embeddings", dictionary = false,
+      // the flush check sees COMPRESSED buffered bytes and the
+      // permuted-clone floats snappy-compress ~10x, so the block
+      // threshold must be ~10x under the desired raw group size
+      blockSize = 128L * 1024)
 
     // scheme marker LAST — a crashed partial run leaves no marker, so
     // the scripts treat the directory as stale and regenerate
