@@ -34,8 +34,14 @@ object Verify {
       // runs one-threaded; the r16 sf10 gate measured a 22-minute
       // single task where the parallel stage takes seconds. The
       // repartition shuffle moves only the RESULT rows.
-      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      val t0 = System.nanoTime()
+      System.err.println(s"[verify] running $name")
+      try {
+        fn(spark, sfDir).repartition(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        System.err.println(
+          f"[verify] $name done in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
       catch { case e: Throwable =>
         errors(name) = s"${e.getClass.getName}: ${e.getMessage}"
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
