@@ -16,6 +16,14 @@ object Profile {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // 4 MB byte-range splits: the single-FILE fixtures compress so
+      // well (permuted floats 10x, salted text ~5x) that the default
+      // 128 MB maxPartitionBytes puts a whole table in ONE scan
+      // partition regardless of row-group count, single-threading
+      // every scan-side filter (incl. heavy predicates Catalyst
+      // pushes below repartitions). Production tables are many files
+      // at default splits; this is fixture-shape, not engine tuning.
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
