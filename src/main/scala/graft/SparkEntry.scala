@@ -40,21 +40,30 @@ object SparkEntry {
   private def docs(s: SparkSession, dir: String) =
     s.read.parquet(s"$dir/documents.parquet")
       .repartition(s.sparkContext.defaultParallelism)
-  /** Embeddings substrate. The single-file fixture arrives as ONE
-    * parquet row group, and a row group is unsplittable — the scan
-    * plans as a single partition, which single-threads every
-    * downstream per-vector kernel (the r16 sf10 gate measured a
-    * 22-minute one-task stage of interpreted zip_with cosine where
-    * the 16-way stage takes seconds). A production embedding table is
-    * many files; restore that shape at the substrate with one
-    * round-robin shuffle of ~vector bytes. Training outputs remain
-    * oracle-safe: trained literals are dumped from the same run, so
-    * sub-ulp float-accumulation drift from a different partition
-    * layout cannot split engine and oracle.
+  /** Embeddings substrate, repartitioned AND session-cached. Two
+    * hazards meet here (both measured on the r16 sf10 gate): (1) the
+    * single-file fixture compresses to ~5 MB, so BYTE-based scan
+    * splitting gives 1-2 partitions no matter the row-group count;
+    * (2) a bare repartition is not enough, because Catalyst pushes
+    * inferred predicates (IsNotNull over the interpreted
+    * zip_with/aggregate distance expressions) BELOW the repartition,
+    * single-threading the heavy evaluation on the scan side — the
+    * same substituted-into-inferred-filters failure
+    * Dedup.explodedBandKeys documents for band keys. The memoized
+    * cache (the docShingles precedent) materializes the repartitioned
+    * layout as an InMemoryRelation: pushdown stops at the cache and
+    * every consumer evaluates its expressions at full parallelism.
+    * A production embedding table is many files and needs neither.
+    * Training outputs remain oracle-safe: trained literals are dumped
+    * from the same run, so sub-ulp float-accumulation drift from a
+    * different partition layout cannot split engine and oracle.
     */
+  private val embCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def emb(s: SparkSession, dir: String) =
-    s.read.parquet(s"$dir/embeddings.parquet")
-      .repartition(s.sparkContext.defaultParallelism)
+    memo(embCache, s, dir)(
+      s.read.parquet(s"$dir/embeddings.parquet")
+        .repartition(s.sparkContext.defaultParallelism).cache())
 
   /** FIXED evaluation panel for the recall/similarity harnesses:
     * every 25th vector, capped to the base-universe id range. At the
@@ -100,7 +109,7 @@ object SparkEntry {
     * call repeatedly; the memos repopulate on next use.
     */
   def release(s: SparkSession): Unit = {
-    Seq(evCache, uniformCache, welchRmsCache, shingleCache, termCountCache,
+    Seq(evCache, uniformCache, embCache, welchRmsCache, shingleCache, termCountCache,
         lshCandCache, componentsCache, redactedCache, pngCache).foreach { c =>
       c.keys.filter(_._1 eq s).foreach { k =>
         c.remove(k).foreach(df =>

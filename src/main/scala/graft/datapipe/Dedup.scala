@@ -412,7 +412,15 @@ object Dedup {
     val nNeeded = neededDocsHint.getOrElse(needed.count())
     def side(nm: String) =
       sets.select(col("doc_id").as(nm), col("sh").as(s"sh$nm"), col("sz").as(s"sz$nm"))
-    def hint(df: DataFrame) = if (nNeeded <= broadcastMaxDocs) broadcast(df) else df
+    // above the gate the hint is not merely DROPPED — the shuffle join
+    // is PINNED ("merge"): the array rows compress ~10x in shuffle
+    // files, so AQE's bytes-based estimate re-promotes the join to
+    // broadcast and the build collect blows the driver's result budget
+    // (r16 sf10 gate: 13 tasks, 1082 MiB > 1 GiB maxResultSize, for a
+    // table whose compressed shuffle size sat under the 64 MB
+    // threshold). The pin changes the plan, never the answer.
+    def hint(df: DataFrame) =
+      if (nNeeded <= broadcastMaxDocs) broadcast(df) else df.hint("merge")
     pairs
       .join(hint(side("a")), "a")
       .join(hint(side("b")), "b")
