@@ -406,7 +406,13 @@ object Dedup {
     // arrays built are bounded by the candidate list, not the corpus
     val needed = pairs.select(col("a").as("doc_id"))
       .union(pairs.select(col("b").as("doc_id"))).distinct()
-    val sets = hashes.join(needed, "doc_id")
+    // merge-pinned: BOTH sides here are corpus-scaled (hashes is the
+    // full shingle table; needed is the candidate-touched id set), and
+    // size ESTIMATES lie — an unmaterialized cached hashes relation
+    // inherits its child's compressed-scan estimate, and the planner
+    // broadcast the 150M-row shingle table into the driver at the r16
+    // sf10 gate (>1 GiB collect, killed by maxResultSize)
+    val sets = hashes.join(needed.hint("merge"), "doc_id")
       .groupBy("doc_id").agg(sort_array(collect_set(col("h1"))).as("sh"))
       .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("sz"))
     val nNeeded = neededDocsHint.getOrElse(needed.count())
