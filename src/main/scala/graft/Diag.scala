@@ -23,14 +23,17 @@ object Diag {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      // 4 MB byte-range splits: the single-FILE fixtures compress so
-      // well (permuted floats 10x, salted text ~5x) that the default
-      // 128 MB maxPartitionBytes puts a whole table in ONE scan
-      // partition regardless of row-group count, single-threading
-      // every scan-side filter (incl. heavy predicates Catalyst
-      // pushes below repartitions). Production tables are many files
-      // at default splits; this is fixture-shape, not engine tuning.
-      .config("spark.sql.files.maxPartitionBytes", "4m")
+      // 16 MB byte-range splits — fixture-shape, not engine tuning.
+      // The v5 fixtures are 32-file tables, but Spark PACKS small
+      // files into shared scan partitions by (size + 4 MB open cost),
+      // so at the default 128 MB a well-compressed 32-file table
+      // still lands in 1-2 partitions, single-threading every
+      // scan-side filter; 16 MB keeps those scans ~16-way. The r16
+      // 4 MB setting over-split EVERY scan (32x scheduling overhead
+      // on the tiny sf0.1 tables) and was part of the r16 bench
+      // regression. Production tables are many 128 MB+ files and
+      // split naturally at defaults.
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

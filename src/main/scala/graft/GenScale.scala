@@ -41,8 +41,14 @@ object GenScale {
     *      from the salted text (r16).
     *  v4: 8 MB parquet row groups (content identical to v3 — layout
     *      only, so single-file tables scan at real parallelism).
+    *  v5: production-shaped MULTI-FILE tables (content identical to
+    *      v4): each fact table is a directory `<t>.parquet/` of 32
+    *      key-hash-partitioned part files, so byte-range splitting
+    *      parallelizes scans at default-ish split sizes and the
+    *      harness no longer needs 4 MB maxPartitionBytes or substrate
+    *      repartitions to compensate for a single compressed file.
     */
-  val SCHEME_VERSION = "genscale-v4"
+  val SCHEME_VERSION = "genscale-v5"
 
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("--version")) { println(SCHEME_VERSION); return }
@@ -64,68 +70,72 @@ object GenScale {
 
   def generate(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
     def rd(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
-    // single FLAT file per table (the TESTDATA.md layout — the
-    // streaming readers' pathGlobFilter matches "{t}.parquet" as a
-    // file name); Spark still parallelizes the read by row-group splits
+    // production-shaped MULTI-FILE tables (v5): a directory
+    // `<t>.parquet/` of `files` part files, hash-partitioned on the
+    // table's key (deterministic row→file assignment, so reruns are
+    // reproducible). A 100 TB table is thousands of ~100 MB-1 GB
+    // files; a fixture that is ONE well-compressed file instead sits
+    // in a single byte-range scan partition no matter its row-group
+    // count, and rounds 15-16 had to compensate with 4 MB
+    // maxPartitionBytes overrides and substrate repartitions in every
+    // harness main. Batch readers take the dir as-is; the streaming
+    // readers handle both layouts (StreamingOps.tableStream).
+    // Dimension tables (region/nation) stay single-file — they are
+    // broadcast-sized and a 32-way split of 4 kB is pure overhead.
     def wr(df: DataFrame, t: String, dictionary: Boolean = true,
-           blockSize: Long = 8L * 1024 * 1024): Unit = {
-      val tmp = s"$dst/.tmp_$t"
-      // 8 MB parquet row groups: a row group is Spark's minimum split
-      // unit, and the default 128 MB block put ENTIRE tables
-      // (embeddings 51 MB, documents ~250 MB compressed) into ONE
-      // group — a 1-partition scan that single-threads every pushed-
-      // below-exchange filter and narrow kernel (r16 sf10 gate: a
-      // 22-min one-task interpreted-cosine stage). Production tables
-      // are many files; small row groups restore that splittability
-      // inside the single-file fixture contract. Embeddings also turn
-      // dictionary encoding OFF: clone vectors are permutations of
-      // source vectors, so the float dictionary keeps the writer's
-      // BUFFERED size under the block threshold and the flush never
-      // fires — the whole table lands in one group again.
-      df.coalesce(1).write
+           blockSize: Long = 8L * 1024 * 1024, files: Int = 32,
+           partKey: Option[String] = None): Unit = {
+      val out = s"$dst/$t.parquet"
+      // a prior v<=4 fixture at this path is a plain FILE — remove it
+      // or the directory write dies on a non-dir parent
+      val prior = new java.io.File(out)
+      if (prior.isFile) prior.delete()
+      val shaped =
+        if (files <= 1) df.coalesce(1)
+        else partKey.fold(df.repartition(files))(k => df.repartition(files, col(k)))
+      // 8 MB parquet row groups (a row group is Spark's minimum split
+      // unit) keep even the per-file scans splittable; embeddings
+      // additionally turn dictionary encoding OFF and shrink the
+      // block: clone vectors are permutations of source vectors, so
+      // the float dictionary keeps the writer's BUFFERED (compressed)
+      // size under the flush threshold and a whole file lands in one
+      // group.
+      shaped.write
         .option("parquet.block.size", blockSize)
         .option("parquet.enable.dictionary", dictionary.toString)
-        .mode("overwrite").parquet(tmp)
-      val tmpDir = new java.io.File(tmp)
-      val part = tmpDir.listFiles().find(_.getName.endsWith(".parquet")).get
-      val dstFile = new java.io.File(s"$dst/$t.parquet")
-      if (dstFile.exists()) {
-        if (dstFile.isDirectory) {
-          dstFile.listFiles().foreach(_.delete()); dstFile.delete()
-        } else dstFile.delete()
-      }
-      require(part.renameTo(dstFile), s"rename failed for $t")
-      tmpDir.listFiles().foreach(_.delete()); tmpDir.delete()
-      System.err.println(s"[genscale] $t: ${spark.read.parquet(s"$dst/$t.parquet").count()} rows")
+        .mode("overwrite").parquet(out)
+      System.err.println(s"[genscale] $t: ${spark.read.parquet(out).count()} rows")
     }
     // one row per clone id — crossJoin fans every source row out
     val clones = spark.range(factor).select(col("id").cast("int").as("clone"))
     def cloned(df: DataFrame): DataFrame = df.crossJoin(broadcast(clones))
     val off = col("clone").cast("long") * KEY_STRIDE
 
-    wr(rd("region"), "region")
-    wr(rd("nation"), "nation")
+    wr(rd("region"), "region", files = 1)
+    wr(rd("nation"), "nation", files = 1)
 
     wr(cloned(rd("customer")).select(
       (col("c_custkey") + off).as("c_custkey"),
       concat(col("c_name"), lit("#"), col("clone")).as("c_name"),
-      col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")), "customer")
+      col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")), "customer",
+      partKey = Some("c_custkey"))
 
     wr(cloned(rd("supplier")).select(
       (col("s_suppkey") + off).as("s_suppkey"),
       concat(col("s_name"), lit("#"), col("clone")).as("s_name"),
-      col("s_nationkey"), col("s_acctbal")), "supplier")
+      col("s_nationkey"), col("s_acctbal")), "supplier", partKey = Some("s_suppkey"))
 
     wr(cloned(rd("part")).select(
       (col("p_partkey") + off).as("p_partkey"),
       concat(col("p_name"), lit("#"), col("clone")).as("p_name"),
-      col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice")), "part")
+      col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice")), "part",
+      partKey = Some("p_partkey"))
 
     wr(cloned(rd("orders")).select(
       (col("o_orderkey") + off).as("o_orderkey"),
       (col("o_custkey") + off).as("o_custkey"),
       col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
-      col("o_orderpriority")), "orders")
+      col("o_orderpriority")), "orders", partKey = Some("o_orderkey"))
 
     wr(cloned(rd("lineitem")).select(
       (col("l_orderkey") + off).as("l_orderkey"),
@@ -133,7 +143,7 @@ object GenScale {
       (col("l_suppkey") + off).as("l_suppkey"),
       col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
       col("l_discount"), col("l_tax"), col("l_returnflag"), col("l_linestatus"),
-      col("l_shipdate")), "lineitem")
+      col("l_shipdate")), "lineitem", partKey = Some("l_orderkey"))
 
     // channel time axis grows factor-x: shift each clone past the
     // source span (+1h guard so no duplicate timestamps across clones)
@@ -148,7 +158,7 @@ object GenScale {
         make_dt_interval(lit(0), lit(0), lit(0),
           col("clone").cast("long") * spanSec)).cast(ev.schema("ts").dataType).as("ts"),
       (col("user_id") + off).as("user_id"),
-      col("event_type"), col("value"), col("props")), "events")
+      col("event_type"), col("value"), col("props")), "events", partKey = Some("event_id"))
 
     // reseed: every word of every clone > 0 gets a clone-UNIQUE
     // 2-char salt injected every <=3 body chars, so every 5-char
@@ -184,7 +194,8 @@ object GenScale {
         .otherwise(reseeded).as("text"),
       col("lang"), col("source"),
       when(col("clone") === 0 || col("text").isNull, col("n_chars"))
-        .otherwise(length(reseeded).cast(nCharsT)).as("n_chars")), "documents")
+        .otherwise(length(reseeded).cast(nCharsT)).as("n_chars")), "documents",
+      partKey = Some("doc_id"))
 
     // per-clone dimension PERMUTATION: norm-preserving (each output
     // vector is a reshuffle of its source's values), decorrelates
@@ -206,7 +217,7 @@ object GenScale {
              |         IF(clone < $dim, d, size(embedding) - 1 - d) + clone,
              |         size(embedding))) + 1))
              |""".stripMargin).cast("array<float>").as("embedding"),
-      col("label")), "embeddings", dictionary = false,
+      col("label")), "embeddings", dictionary = false, partKey = Some("vec_id"),
       // the flush check sees COMPRESSED buffered bytes and the
       // permuted-clone floats snappy-compress ~10x, so the block
       // threshold must be ~10x under the desired raw group size

@@ -406,10 +406,19 @@ object Signal {
     // scale can underflow the product to 0.0 while scale ≠ 0, and the
     // two tests would then diverge between engines
     val g = scale * cnt / lit(GrainDenom)
-    when(g === lit(0.0), lit(1.0)).otherwise(g)
+    // a non-finite grain (scale·cnt overflowing past ~1.8e308, or a
+    // NaN in the signal's max) must fail LOUDLY: round(x / Inf) = 0
+    // would silently zero the whole channel instead
+    when(g === lit(0.0), lit(1.0))
+      .when(g.isNaN || g === lit(Double.PositiveInfinity),
+        raise_error(concat(lit("graft: non-finite quantization grain (scale="),
+          scale.cast("string"), lit(", cnt="), cnt.cast("string"), lit(")"))))
+      .otherwise(g)
   }
   def grainOf(scale: Double, cnt: Long): Double = {
     val g = scale * cnt / GrainDenom
+    require(!g.isNaN && !g.isInfinite,
+      s"graft: non-finite quantization grain (scale=$scale, cnt=$cnt)")
     if (g == 0.0) 1.0 else g
   }
 }

@@ -41,6 +41,26 @@ object StreamingOps {
       s
     })
 
+  /** A fixture table as a bounded file-source stream, handling BOTH
+    * fixture layouts: the driver's single FILE `<dir>/<t>.parquet`
+    * (glob the parent dir by file name) and GenScale's
+    * production-shaped DIRECTORY `<dir>/<t>.parquet/part-*.parquet`
+    * (point the source at the table dir itself — the file stream
+    * source lists only direct children, so a parent-dir glob would
+    * see no files inside the subdirectory).
+    */
+  private def tableStream(spark: SparkSession, sfDir: String,
+                          table: String): DataFrame = {
+    val path = s"$sfDir/$table.parquet"
+    val schema = spark.read.parquet(path).schema
+    if (new java.io.File(path).isDirectory)
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet").parquet(path)
+    else
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", s"$table.parquet").parquet(sfDir)
+  }
+
   /** The events fixture as a file-source stream: (channel, ts, v).
     * Schema is taken from a static read (required by file sources);
     * TIMESTAMP(NANOS) arrives as int64 nanos (see Channels.rawEvents)
@@ -50,9 +70,7 @@ object StreamingOps {
   private def rawStream(root: SparkSession, sfDir: String): (DataFrame, org.apache.spark.sql.Column) = {
     val spark = streamSession(root)
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val raw = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    val raw = tableStream(spark, sfDir, "events")
     val ts =
       if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
         timestamp_micros(expr("ts div 1000"))
@@ -77,26 +95,16 @@ object StreamingOps {
     * lang, source) — the input shape of streaming corpus dedup and
     * the streaming PII scrub.
     */
-  def documentsStream(root: SparkSession, sfDir: String): DataFrame = {
-    val spark = streamSession(root)
-    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(sfDir)
+  def documentsStream(root: SparkSession, sfDir: String): DataFrame =
+    tableStream(streamSession(root), sfDir, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
-  }
 
   /** The embeddings fixture as a bounded file stream (vec_id,
     * embedding, label) — the input shape of streaming ANN admission.
     */
-  def embeddingsStream(root: SparkSession, sfDir: String): DataFrame = {
-    val spark = streamSession(root)
-    val schema = spark.read.parquet(s"$sfDir/embeddings.parquet").schema
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "embeddings.parquet")
-      .parquet(sfDir)
+  def embeddingsStream(root: SparkSession, sfDir: String): DataFrame =
+    tableStream(streamSession(root), sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"), col("label"))
-  }
 
   /** Streaming exact-dedup on the normalized-text fingerprint — the
     * streaming twin of `Dedup.exact`: `dropDuplicates` keeps one row
@@ -315,6 +323,33 @@ object StreamingOps {
     }
   }
 
+  /** Clear every version of a versioned table family ABOVE `keep` —
+    * catalog entries AND warehouse dirs. A crash inside compaction can
+    * leave a partially-written `_v{keep+1}`: data files on disk with
+    * no catalog entry (saveAsTable commits the entry last), which the
+    * max-version catalog scan rightly ignores but whose leftover dir
+    * would kill the NEXT compaction's saveAsTable at that name with
+    * LOCATION_ALREADY_EXISTS.
+    */
+  private def dropVersionsAbove(s: SparkSession, base: String, keep: Int): Unit = {
+    def ver(n: String): Option[Int] = {
+      val p = s"${base.toLowerCase}_v"
+      if (n.toLowerCase.startsWith(p))
+        scala.util.Try(n.toLowerCase.stripPrefix(p).toInt).toOption
+      else None
+    }
+    s.catalog.listTables().collect().map(_.name)
+      .filter(ver(_).exists(_ > keep))
+      .foreach(n => s.sql(s"DROP TABLE IF EXISTS $n"))
+    val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) {
+      fs.listStatus(wh).map(_.getPath)
+        .filter(p => ver(p.getName).exists(_ > keep))
+        .foreach(fs.delete(_, true))
+    }
+  }
+
   private def emptyDf(s: SparkSession,
                       fields: (String, org.apache.spark.sql.types.DataType)*): DataFrame =
     s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -413,6 +448,12 @@ object StreamingOps {
     *                        crash THIS batch id right after its
     *                        bands-append — the nastiest point, a
     *                        partial batch on disk.
+    * @param failMidSwap     fault injection for the restart tests:
+    *                        crash inside the re-bucketing swap of THIS
+    *                        batch id, after the live bands table is
+    *                        dropped but before the staging rename —
+    *                        the window where the staging table holds
+    *                        the ONLY copy of the band state.
     */
   def runIncrementalAdmitPersisted(stream: DataFrame,
                                    initBands: String, initComps: String,
@@ -420,7 +461,8 @@ object StreamingOps {
                                    compactEvery: Int = 8,
                                    checkpointDir: Option[String] = None,
                                    resume: Boolean = false,
-                                   failAfterBands: Long = Long.MaxValue): DataFrame = {
+                                   failAfterBands: Long = Long.MaxValue,
+                                   failMidSwap: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.types._
     val root = stream.sparkSession
     val t = AdmitStateTables(s"graft_admit_bands_$tag", s"graft_admit_results_$tag",
@@ -454,7 +496,13 @@ object StreamingOps {
     }
     if (!resume) {
       t.all.foreach(dropTableAndDir(root, _))
-      dropTableAndDir(root, s"${t.bands}_rebucket") // leftover mid-rebucket staging
+      // leftover staging from a crashed prior run's swaps — on a
+      // FRESH start the state is being discarded wholesale, so the
+      // staging copies go with it (a crashed run resumed with
+      // resume=true instead recovers them; see the swap-aware block)
+      dropTableAndDir(root, s"${t.bands}_rebucket")
+      dropTableAndDir(root, s"${t.bands}_rollback")
+      dropTableAndDir(root, s"${t.delta}_rollback")
       dropAllVersions(root, t.compactedBase) // ALL _v* from any prior same-tag run
       emptyDf(root, "doc_id" -> LongType, "band" -> IntegerType,
           "sig" -> StringType, "batch_id" -> LongType)
@@ -470,6 +518,31 @@ object StreamingOps {
     } else {
       val r0 = System.nanoTime()
       require(checkpointDir.nonEmpty, "resume=true needs the run's checkpointDir")
+      // swap-aware recovery FIRST (r16 verdict #2): the staging
+      // rewrites below (re-bucketing, partial-batch rollback) publish
+      // in two steps — write staging, drop live, rename staging — and
+      // a crash between the drop and the rename leaves the staging
+      // table holding the ONLY copy of the state. If live is missing
+      // and its staging survives, complete the interrupted rename
+      // (clearing any half-deleted live dir first, so the catalog
+      // rename can move the data dir into place); a staging table
+      // coexisting WITH its live table is a stale duplicate from a
+      // crash before the drop — live is authoritative, discard it.
+      // Must run before any state derive: numBucketsOf/table() below
+      // fail outright on a missing bands table.
+      for ((live, staging) <- Seq(
+             t.bands -> s"${t.bands}_rebucket",
+             t.bands -> s"${t.bands}_rollback",
+             t.delta -> s"${t.delta}_rollback")) {
+        if (!root.catalog.tableExists(live) && root.catalog.tableExists(staging)) {
+          System.err.println(
+            s"[admit:$tag resume] completing interrupted swap $staging -> $live")
+          dropTableAndDir(root, live) // clears a half-deleted live DIR
+          root.sql(s"ALTER TABLE $staging RENAME TO $live")
+        } else {
+          dropTableAndDir(root, staging) // stale (pre-drop crash) or absent
+        }
+      }
       // continuation state FROM the tables (recovery-profile stages
       // printed so AdmitRestart can record the breakdown). The
       // compacted version is found by CATALOG SCAN, not contiguous
@@ -484,10 +557,13 @@ object StreamingOps {
       compactedVer = root.catalog.listTables().collect()
         .map(_.name.toLowerCase).filter(_.startsWith(verPrefix))
         .map(_.stripPrefix(verPrefix).toInt).max
+      // a crash inside compaction can leave a partial _v{max+1} dir
+      // (no catalog entry) that would kill the next compaction's
+      // saveAsTable at that name — clear everything above the max
+      dropVersionsAbove(root, t.compactedBase, compactedVer)
       curBuckets = numBucketsOf(t.bands)
       val committed = root.table(t.results).select("batch_id").distinct()
         .collect().map(_.getLong(0)).toSet
-      batchesSince = root.table(t.delta).select("batch_id").distinct().count().toInt
       val r1 = System.nanoTime()
       // partial-batch ROLLBACK: the results append lands last, so a
       // band/delta batch_id absent from results is a half-written
@@ -506,6 +582,12 @@ object StreamingOps {
       // root's relation cache (which the stream's session clone may
       // inherit) — refresh before the stream starts
       t.all.filter(root.catalog.tableExists).foreach(root.catalog.refreshTable)
+      // the delta window must be derived AFTER the rollback (r16
+      // advice): a crash between delta-append and results-append
+      // leaves an orphan batch id that the rollback erases — counting
+      // it would overcount the compaction window by one and fire
+      // compaction a batch early
+      batchesSince = root.table(t.delta).select("batch_id").distinct().count().toInt
       val r2 = System.nanoTime()
       System.err.println(f"[admit:$tag resume] state-derive ${(r1 - r0) / 1e9}%.2f s " +
         f"(ver=$compactedVer buckets=$curBuckets deltaWindow=$batchesSince " +
@@ -591,6 +673,11 @@ object StreamingOps {
                 .write.bucketBy(needed, "band", "sig").sortBy("band", "sig")
                 .mode("overwrite").saveAsTable(staging)
               dropTableAndDir(sp, t.bands)
+              // fault injection (restart tests): die in the swap's
+              // worst window — live dropped, staging not yet renamed
+              if (batchId >= failMidSwap)
+                throw new RuntimeException("graft-injected-crash mid-swap " +
+                  s"(bands dropped, $staging is the only copy) at batch $batchId")
               sp.sql(s"ALTER TABLE $staging RENAME TO ${t.bands}")
               curBuckets = needed
               System.err.println(

@@ -57,8 +57,52 @@ def main(sf_dir: str, out_dir: str, json_out: str | None = None) -> None:
     skip = set(filter(None, os.environ.get("GRAFT_CHECK_SKIP", "").split(",")))
     only = set(filter(None, os.environ.get("GRAFT_CHECK_ONLY", "").split(",")))
     con = duckdb.connect()
+    # oracle-infra hardening (r16 verdict #6): big-SF oracle replays
+    # spill — an unmanaged temp dir filled the root volume at sf10
+    # (q_pq_recall ENOSPC) and the failure surfaced as a missing gate
+    # row. Pin the spill location, pre-flight free space per oracle,
+    # and bound each oracle's runtime; every infra failure is recorded
+    # as an explicit "skipped: <reason>" row, never a silent hole.
+    tmp_dir = os.environ.get("GRAFT_DUCKDB_TMP", "target/duckdb_tmp")
+    os.makedirs(tmp_dir, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmp_dir}'")
+    if os.environ.get("GRAFT_DUCKDB_MEM"):
+        con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCKDB_MEM']}'")
+    min_free_gb = float(os.environ.get("GRAFT_MIN_FREE_GB", "5"))
+    timeout_s = float(os.environ.get("GRAFT_ORACLE_TIMEOUT", "0"))  # 0 = none
+
+    def run_oracle(sql: str):
+        """Returns (df, skip_reason). Timeout interrupts the query and
+        leaves the connection reusable."""
+        import shutil
+        if shutil.disk_usage(tmp_dir).free / 1e9 < min_free_gb:
+            return None, f"skipped: low_disk (<{min_free_gb} GB free in {tmp_dir})"
+        if not timeout_s:
+            return con.execute(sql).df(), None
+        import threading
+        box = {}
+        def work():
+            try:
+                box["df"] = con.execute(sql).df()
+            except Exception as e:
+                box["err"] = e
+        th = threading.Thread(target=work, daemon=True)
+        th.start()
+        th.join(timeout_s)
+        if th.is_alive():
+            con.interrupt()
+            th.join(30)
+            return None, f"skipped: oracle_timeout ({timeout_s:.0f}s)"
+        if "err" in box:
+            raise box["err"]
+        return box["df"], None
+
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # v5 fixtures are DIRECTORIES of part files; testdata is single
+        # files — glob dirs, read files as-is
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
     # a query that CRASHED in Verify leaves no output dir — without
@@ -88,13 +132,20 @@ def main(sf_dir: str, out_dir: str, json_out: str | None = None) -> None:
             continue
         t0 = time.time()
         try:
-            duck_df = con.sql(sql).df()
+            duck_df, skip_reason = run_oracle(sql)
+            if skip_reason is not None:
+                print(f"{name}: {skip_reason.upper()}")
+                results[name] = {"rows_match": None, "schema_match": None,
+                                 "hash_match": None, "spark_rows": None,
+                                 "oracle_rows": None, "err": skip_reason}
+                continue
         except Exception as e:
+            reason = (f"skipped: enospc ({tmp_dir})"
+                      if "No space left" in str(e) else f"duckdb: {str(e)[:200]}")
             print(f"{name}: DUCKDB ERROR {e}")
             results[name] = {"rows_match": None, "schema_match": None,
                              "hash_match": None, "spark_rows": None,
-                             "oracle_rows": None,
-                             "err": f"duckdb: {str(e)[:200]}"}
+                             "oracle_rows": None, "err": reason}
             continue
         try:
             spark_df = pd.read_parquet(f"{out_dir}/{name}")

@@ -75,10 +75,15 @@ EOF
 )
   fi
   GSV=$(tools/run_main.sh graft.GenScale --version 2>/dev/null | tail -1)
-  fixture_fresh() { [[ -f "$1/.genscale_v" ]] && [[ "$(cut -d' ' -f1 "$1/.genscale_v")" == "$GSV" ]]; }
-  # version-stamped reuse guard (r15 advice): regenerate when the
-  # marker is missing or was written by a different GenScale scheme
-  fixture_fresh fixtures/sf1 || sbt -batch "runMain graft.GenScale /root/testdata/sf0.1 fixtures/sf1 10" \
+  # FULL-marker reuse guard (r15 advice + r16 advice): regenerate when
+  # the marker is missing, from a different GenScale scheme, or from a
+  # different factor/source (a right-version wrong-factor directory
+  # would otherwise be silently reused)
+  fixture_fresh() { # <dir> <expected factor>
+    [[ -f "$1/.genscale_v" ]] && \
+      [[ "$(cat "$1/.genscale_v")" == "$GSV factor=$2 src=/root/testdata/sf0.1" ]]
+  }
+  fixture_fresh fixtures/sf1 10 || sbt -batch "runMain graft.GenScale /root/testdata/sf0.1 fixtures/sf1 10" \
     > target/genscale.log 2>&1
   # ISOLATE=1 + 24g on BOTH legs (r14 verdict #2/#3): the crowded
   # shared-cache sweep at sf1 exhausted the 8g JVM's Tungsten memory
