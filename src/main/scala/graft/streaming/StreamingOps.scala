@@ -323,15 +323,19 @@ object StreamingOps {
     }
   }
 
-  /** Clear every version of a versioned table family ABOVE `keep` —
-    * catalog entries AND warehouse dirs. A crash inside compaction can
-    * leave a partially-written `_v{keep+1}`: data files on disk with
-    * no catalog entry (saveAsTable commits the entry last), which the
-    * max-version catalog scan rightly ignores but whose leftover dir
-    * would kill the NEXT compaction's saveAsTable at that name with
-    * LOCATION_ALREADY_EXISTS.
+  /** Clear every version of a versioned table family EXCEPT `keep` —
+    * catalog entries AND warehouse dirs. Two crash shapes inside
+    * compaction leave strays: ABOVE the committed max, a
+    * partially-written `_v{keep+1}` (data files on disk, no catalog
+    * entry — saveAsTable commits the entry last) that the max-version
+    * catalog scan rightly ignores but whose leftover dir would kill
+    * the NEXT compaction's saveAsTable at that name with
+    * LOCATION_ALREADY_EXISTS; BELOW it, a fully-committed old version
+    * whose drop never ran (crash between the new version's commit and
+    * the old's drop) — harmless to answers (max wins) but a
+    * permanent storage leak on a forever-stream.
     */
-  private def dropVersionsAbove(s: SparkSession, base: String, keep: Int): Unit = {
+  private def dropVersionsExcept(s: SparkSession, base: String, keep: Int): Unit = {
     def ver(n: String): Option[Int] = {
       val p = s"${base.toLowerCase}_v"
       if (n.toLowerCase.startsWith(p))
@@ -339,13 +343,13 @@ object StreamingOps {
       else None
     }
     s.catalog.listTables().collect().map(_.name)
-      .filter(ver(_).exists(_ > keep))
+      .filter(ver(_).exists(_ != keep))
       .foreach(n => s.sql(s"DROP TABLE IF EXISTS $n"))
     val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
     val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(wh)) {
       fs.listStatus(wh).map(_.getPath)
-        .filter(p => ver(p.getName).exists(_ > keep))
+        .filter(p => ver(p.getName).exists(_ != keep))
         .foreach(fs.delete(_, true))
     }
   }
@@ -559,8 +563,9 @@ object StreamingOps {
         .map(_.stripPrefix(verPrefix).toInt).max
       // a crash inside compaction can leave a partial _v{max+1} dir
       // (no catalog entry) that would kill the next compaction's
-      // saveAsTable at that name — clear everything above the max
-      dropVersionsAbove(root, t.compactedBase, compactedVer)
+      // saveAsTable at that name, or a committed-but-undropped old
+      // version leaking storage — clear everything but the max
+      dropVersionsExcept(root, t.compactedBase, compactedVer)
       curBuckets = numBucketsOf(t.bands)
       val committed = root.table(t.results).select("batch_id").distinct()
         .collect().map(_.getLong(0)).toSet
