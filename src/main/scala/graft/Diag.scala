@@ -38,6 +38,33 @@ object Diag {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // --scan-shape <dir>: print per-table scan parallelism at the
+    // harness split size (16 MB) and at the Spark default (128 MB) —
+    // the r16 verdict #5 "fixtures must split without harness
+    // compensation" evidence, and the quickest way to see whether a
+    // table would single-thread its scan-side filters.
+    if (args(0) == "--scan-shape") {
+      val dir = args(1)
+      val tables = Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")
+      println(f"${"table"}%-12s ${"files"}%5s ${"MB"}%8s ${"parts@16m"}%9s ${"parts@128m"}%10s")
+      for (t <- tables) {
+        val p = s"$dir/$t.parquet"
+        val f = new java.io.File(p)
+        val (files, mb) =
+          if (f.isDirectory) {
+            val parts = f.listFiles().filter(_.getName.endsWith(".parquet"))
+            (parts.length, parts.map(_.length).sum / 1e6)
+          } else (1, f.length / 1e6)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "16m")
+        val p16 = spark.read.parquet(p).rdd.getNumPartitions
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "128m")
+        val p128 = spark.read.parquet(p).rdd.getNumPartitions
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "16m")
+        println(f"$t%-12s $files%5d $mb%8.1f $p16%9d $p128%10d")
+      }
+      spark.stop(); return
+    }
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     def t[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
