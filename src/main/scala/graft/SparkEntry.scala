@@ -50,7 +50,7 @@ object SparkEntry {
     */
   private val docsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def docs(s: SparkSession, dir: String) =
+  private[graft] def docs(s: SparkSession, dir: String) =
     memo(docsCache, s, dir) {
       val raw = s.read.parquet(s"$dir/documents.parquet")
       if (scanIsParallel(s, raw)) raw
@@ -79,7 +79,7 @@ object SparkEntry {
     */
   private val embCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def emb(s: SparkSession, dir: String) =
+  private[graft] def emb(s: SparkSession, dir: String) =
     memo(embCache, s, dir) {
       val raw = s.read.parquet(s"$dir/embeddings.parquet")
       val shaped = if (scanIsParallel(s, raw)) raw

@@ -179,6 +179,40 @@ class Round17Spec extends AnyFunSuite {
     assert(got == ref, "stale-staging resume decisions diverge")
   }
 
+  test("documents substrate: raw scan on production-shaped tables, cached reshape on single-file") {
+    // a 2x GenScale clone of the sf0.001 testdata gives a 32-file
+    // production-shaped documents table; the testdata itself is the
+    // single-file shape. The substrate must pass the multi-file table
+    // through UNTOUCHED (per-consumer pushdown, no shuffle, no cache)
+    // and reshape+cache only the single-file one (r16 verdict #5).
+    val dir = Files.createTempDirectory("r17_shape_").toString
+    GenScale.generate(spark, "/root/testdata/sf0.001", dir, 2)
+    SparkEntry.release(spark) // drop any memoized substrate for other dirs
+
+    val multi = SparkEntry.docs(spark, dir)
+    val multiPlan = multi.queryExecution.executedPlan.toString
+    assert(!multiPlan.contains("Exchange") && !multiPlan.contains("InMemoryRelation"),
+      s"multi-file docs substrate must be the raw scan, got:\n$multiPlan")
+    // pruning/pushdown reach parquet through the substrate
+    val pushed = multi.filter(col("lang") === "en").select("doc_id")
+      .queryExecution.executedPlan.toString
+    assert(pushed.contains("PushedFilters: [IsNotNull(lang)") ||
+           pushed.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"),
+      s"filter must push to the scan on the raw substrate, got:\n$pushed")
+
+    val single = SparkEntry.docs(spark, "/root/testdata/sf0.001")
+    val singlePlan = single.queryExecution.optimizedPlan.toString
+    assert(singlePlan.contains("InMemoryRelation"),
+      s"single-file docs substrate must be session-cached, got:\n$singlePlan")
+    assert(single.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism,
+      "single-file substrate must be reshaped to session parallelism")
+    // identical content either way (same source rows)
+    assert(SparkEntry.docs(spark, "/root/testdata/sf0.001").count() * 2 ==
+      multi.count(), "2x clone must hold exactly twice the docs")
+    SparkEntry.release(spark)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("grain fails loudly on non-finite values instead of zeroing the signal") {
     // scalar form
     val e = intercept[IllegalArgumentException] {
