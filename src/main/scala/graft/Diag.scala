@@ -51,6 +51,11 @@ object Diag {
       for (t <- tables) {
         val p = s"$dir/$t.parquet"
         val f = new java.io.File(p)
+        if (!f.exists()) {
+          // older testdata sets lack some tables — print a row and
+          // keep going instead of aborting the whole diagnostic
+          println(f"$t%-12s ${"missing"}%5s")
+        } else {
         val (files, mb) =
           if (f.isDirectory) {
             val parts = f.listFiles().filter(_.getName.endsWith(".parquet"))
@@ -62,6 +67,7 @@ object Diag {
         val p128 = spark.read.parquet(p).rdd.getNumPartitions
         spark.conf.set("spark.sql.files.maxPartitionBytes", "16m")
         println(f"$t%-12s $files%5d $mb%8.1f $p16%9d $p128%10d")
+        }
       }
       spark.stop(); return
     }

@@ -24,7 +24,19 @@ import java.nio.file.{Files, Paths}
   * IIR and rainflow rows, the query's own %.4e projection for the
   * chunked spline.
   *
-  * Usage: runMain graft.KernelReplay <sfDir> <outJson>
+  * A sixth replay, `q_pq_recall_replay` (opt-in via the names arg),
+  * serves the OTHER oracle-infeasibility shape (r17 verdict #3): the
+  * sf10 DuckDB replay of q_pq_recall materializes >75 GB of spill for
+  * a 60-row result (triaged ENOSPC skip). Here the whole search chain
+  * — exact brute-force truth, PQ encode, ADC scoring, IVF routing,
+  * exact-float rerank — is recomputed with SCALAR loops over the
+  * collected embeddings (no SQL, no Spark ops past the reads). The
+  * trained codebooks/centroids are shared with the engine run (the
+  * OPQ-oracle precedent: by scoring time they are plan literals), so
+  * what the replay proves is that the DISTRIBUTED search pipeline
+  * reproduces the sequential ground truth.
+  *
+  * Usage: runMain graft.KernelReplay <sfDir> <outJson> [names,csv]
   * Writes {"query": {"rows": n, "match": bool, "mismatches": k}} per
   * kernel; exits nonzero on any mismatch (the driver-gate contract).
   */
@@ -54,7 +66,10 @@ object KernelReplay {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = run(spark, sfDir)
+    val names =
+      if (args.length > 2) args(2).split(",").toSeq.filter(_.nonEmpty)
+      else DefaultKernels
+    val results = run(spark, sfDir, names)
     val json = results.map { case (q, (rows, mism)) =>
       s""""$q": {"rows": $rows, "match": ${mism == 0}, "mismatches": $mism}"""
     }.mkString("{", ", ", "}")
@@ -64,13 +79,19 @@ object KernelReplay {
     if (results.values.exists(_._2 != 0)) sys.exit(1)
   }
 
-  /** Runs all five kernels; returns query -> (engineRows, mismatches). */
-  def run(spark: SparkSession, sfDir: String): Map[String, (Long, Long)] = {
-    val names = Seq("k_stream_iir", "k_resample_cubic",
-      "k_rainflow", "k_rainflow_binned", "k_rainflow_binsize")
+  val DefaultKernels: Seq[String] = Seq("k_stream_iir", "k_resample_cubic",
+    "k_rainflow", "k_rainflow_binned", "k_rainflow_binsize")
+
+  /** Runs the requested kernels; returns query -> (engineRows, mismatches). */
+  def run(spark: SparkSession, sfDir: String,
+          names: Seq[String] = DefaultKernels): Map[String, (Long, Long)] = {
     names.map { q =>
       val t0 = System.nanoTime()
-      val engine = SparkEntry.queries(q)(spark, sfDir).collect()
+      // the replay keys `<engine query>_replay` grade the engine query
+      // they are named after (kept distinct in the merged gate so the
+      // DuckDB skip row and the replay row are both visible)
+      val engineQ = q.stripSuffix("_replay")
+      val engine = SparkEntry.queries(engineQ)(spark, sfDir).collect()
         .map(_.toString).groupBy(identity).view.mapValues(_.length.toLong).toMap
       val oracle = replay(spark, sfDir, q)
         .groupBy(identity).view.mapValues(_.length.toLong).toMap
@@ -125,6 +146,133 @@ object KernelReplay {
     case "k_rainflow" => rainflowReplay(spark, sfDir, ndigits = Some(1))
     case "k_rainflow_binned" => rainflowReplay(spark, sfDir, nbins = Some(10))
     case "k_rainflow_binsize" => rainflowReplay(spark, sfDir, binsize = Some(25.0))
+    case "q_pq_recall_replay" => pqRecallReplay(spark, sfDir)
+  }
+
+  // ---- q_pq_recall scalar replay -----------------------------------
+
+  /** Left-to-right float dot accumulated in double — the FloatDot
+    * expression's exact arithmetic.
+    */
+  private def fdot(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0.0; var i = 0
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  /** Left-to-right double dot — Similarity.dot's aggregate/zip_with. */
+  private def ddot(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0.0; var i = 0
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Spark round(x, 6) for doubles: Scala BigDecimal (valueOf
+    * semantics) + HALF_UP — the exact Catalyst Round evaluation.
+    */
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Rank by (round6(cos) desc, id asc), keep k ids — the window
+    * every recall leg uses.
+    */
+  private def topK(scored: Iterable[(Long, Double)], k: Int): Seq[Long] =
+    scored.toSeq.map { case (id, c) => (id, round6(c)) }
+      .sortBy { case (id, c) => (-c, id) }.take(k).map(_._1)
+
+  /** The full q_pq_recall search chain in scalar loops: brute-force
+    * truth, PQ encode + ADC (the `pq` leg), IVF-routed ADC on the
+    * blockwise reconstruction (`ivf_pq`), and the exact-float rerank
+    * of 50 ADC candidates (`pq_rerank`). Emits recallPerQuery's row
+    * shape: [method,query_id,n_true,n_hits,recall].
+    */
+  private def pqRecallReplay(spark: SparkSession, sfDir: String): Seq[String] = {
+    val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val probes = all.filter { case (id, _) =>
+      id % 25 == 0 && id < SparkEntry.PROBE_CAP }
+    // trained artifacts SHARED with the engine run (plan literals by
+    // scoring time); everything below them is independent scalar code
+    val books = SparkEntry.pqBooks(spark, sfDir)
+    val cents = SparkEntry.trainedCents(spark, sfDir)
+    val m = books.length
+    val sub = books(0)(0).length
+
+    val fnorm = all.map { case (_, v) => math.sqrt(fdot(v, v)) }
+    val dbl = all.map(_._2.map(_.toDouble))
+    // PQ encode: per-subspace argmin squared distance, ties to the
+    // smaller centroid id (array_min over (dist, cluster) structs)
+    val codes: Array[Array[Int]] = dbl.map { v =>
+      Array.tabulate(m) { u =>
+        var best = 0; var bestD = Double.MaxValue
+        var j = 0
+        while (j < books(u).length) {
+          var d = 0.0; var t = 0
+          while (t < sub) {
+            val diff = v(u * sub + t) - books(u)(j)(t); d += diff * diff; t += 1
+          }
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        best
+      }
+    }
+    // precomputed per-centroid squared norms (pqTopK's n2 literal)
+    val cb2 = books.map(_.map(c => c.map(x => x * x).sum))
+    def adcCos(qe: Array[Double], qn: Double, ci: Int): Double = {
+      var dots = 0.0; var n2 = 0.0
+      var u = 0
+      while (u < m) {
+        val c = books(u)(codes(ci)(u))
+        var t = 0
+        while (t < sub) { dots += qe(u * sub + t) * c(t); t += 1 }
+        n2 += cb2(u)(codes(ci)(u))
+        u += 1
+      }
+      dots / (qn * math.sqrt(n2))
+    }
+    // blockwise reconstruction + its norm + IVF list (argmax of
+    // dot(de, cent)/|cent|; reverse(array_sort) ties to the LARGER id)
+    val de = codes.map(cs => Array.tabulate(m * sub)(d => books(d / sub)(cs(d / sub))(d % sub)))
+    val dnorm = de.map(v => math.sqrt(ddot(v, v)))
+    val centNorm = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    def bestLists(v: Array[Double], n: Int): Seq[Int] =
+      cents.indices.map(j => (ddot(v, cents(j)) / centNorm(j), j))
+        .sortBy { case (s, j) => (-s, -j) }.take(n).map(_._2)
+    val corpusList = de.map(bestLists(_, 1).head)
+
+    val ids = all.map(_._1)
+    def idxOf(id: Long): Int = java.util.Arrays.binarySearch(ids, id)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((qid, qv) <- probes) {
+      val qe = dbl(idxOf(qid))
+      val qnF = math.sqrt(fdot(qv, qv))
+      val qnD = math.sqrt(ddot(qe, qe))
+      def others = all.indices.iterator.filter(ids(_) != qid)
+      val truth = topK(others.map(i =>
+        (ids(i), fdot(qv, all(i)._2) / (qnF * fnorm(i)))).toSeq, 10).toSet
+      val adc50 = topK(others.map(i => (ids(i), adcCos(qe, qnD, i))).toSeq, 50)
+      // pqTopK(k=10) ranks by the identical (round6 desc, id asc)
+      // total order, so its row set is the 50-candidate list's prefix
+      val pqIds = adc50.take(10)
+      val probed = bestLists(qe, 4).toSet
+      val ivfIds = topK(others.filter(i => probed(corpusList(i)))
+        .map(i => (ids(i), ddot(qe, de(i)) / (qnD * dnorm(i)))).toSeq, 10)
+      val rerankIds = topK(adc50.map { id =>
+        val i = idxOf(id)
+        (id, fdot(qv, all(i)._2) / (qnF * fnorm(i)))
+      }, 10)
+      for ((method, ids) <- Seq("pq" -> pqIds, "ivf_pq" -> ivfIds,
+                                "pq_rerank" -> rerankIds)) {
+        val hits = ids.count(truth)
+        out += s"[$method,$qid,${truth.size},$hits,${round6(hits.toDouble / truth.size)}]"
+      }
+    }
+    out.toSeq
   }
 
   private def rainflowReplay(spark: SparkSession, sfDir: String,

@@ -388,7 +388,7 @@ object SparkEntry {
   private[graft] val PQ_ITERS = 3
   private val pqCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Array[Array[Array[Double]]]]
-  private def pqBooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] =
+  private[graft] def pqBooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] =
     pqCache.getOrElseUpdate((s, dir),
       Similarity.pqCodebooks(emb(s, dir), m = PQ_M, k = PQ_K, iters = PQ_ITERS, dims = 64))
 
@@ -527,7 +527,7 @@ object SparkEntry {
     */
   private val centsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Array[Array[Double]]]
-  private def trainedCents(s: SparkSession, dir: String): Array[Array[Double]] =
+  private[graft] def trainedCents(s: SparkSession, dir: String): Array[Array[Double]] =
     centsCache.getOrElseUpdate((s, dir),
       Clustering.kmeansCentroids(emb(s, dir), k = 16, iters = 2, dims = 64))
 

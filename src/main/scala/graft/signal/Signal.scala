@@ -410,7 +410,7 @@ object Signal {
     // NaN in the signal's max) must fail LOUDLY: round(x / Inf) = 0
     // would silently zero the whole channel instead
     when(g === lit(0.0), lit(1.0))
-      .when(g.isNaN || g === lit(Double.PositiveInfinity),
+      .when(g.isNaN || abs(g) === lit(Double.PositiveInfinity),
         raise_error(concat(lit("graft: non-finite quantization grain (scale="),
           scale.cast("string"), lit(", cnt="), cnt.cast("string"), lit(")"))))
       .otherwise(g)

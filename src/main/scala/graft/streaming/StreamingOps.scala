@@ -458,6 +458,14 @@ object StreamingOps {
     *                        dropped but before the staging rename —
     *                        the window where the staging table holds
     *                        the ONLY copy of the band state.
+    * @param failInCompaction  fault injection for the restart tests:
+    *                        crash inside THIS batch id's compaction,
+    *                        at the window named by
+    *                        `failCompactionWindow`: "partial_dir"
+    *                        (version data files on disk, catalog entry
+    *                        missing), "pre_drop" (two committed
+    *                        versions), "pre_truncate" (old version
+    *                        dropped, folded delta still visible).
     */
   def runIncrementalAdmitPersisted(stream: DataFrame,
                                    initBands: String, initComps: String,
@@ -466,7 +474,9 @@ object StreamingOps {
                                    checkpointDir: Option[String] = None,
                                    resume: Boolean = false,
                                    failAfterBands: Long = Long.MaxValue,
-                                   failMidSwap: Long = Long.MaxValue): DataFrame = {
+                                   failMidSwap: Long = Long.MaxValue,
+                                   failInCompaction: Long = Long.MaxValue,
+                                   failCompactionWindow: String = "pre_drop"): DataFrame = {
     import org.apache.spark.sql.types._
     val root = stream.sparkSession
     val t = AdmitStateTables(s"graft_admit_bands_$tag", s"graft_admit_results_$tag",
@@ -534,10 +544,27 @@ object StreamingOps {
       // crash before the drop — live is authoritative, discard it.
       // Must run before any state derive: numBucketsOf/table() below
       // fail outright on a missing bands table.
-      for ((live, staging) <- Seq(
-             t.bands -> s"${t.bands}_rebucket",
-             t.bands -> s"${t.bands}_rollback",
-             t.delta -> s"${t.delta}_rollback")) {
+      val swapPairs = Seq(
+        t.bands -> s"${t.bands}_rebucket",
+        t.bands -> s"${t.bands}_rollback",
+        t.delta -> s"${t.delta}_rollback")
+      // invariant (r17 advice): at most ONE staging may survive per
+      // missing live table — every single-crash path clears prior
+      // stagings before the next staging rewrite runs, so two
+      // coexisting stagings for one missing live means a code path
+      // violated that ordering, and renaming either one in fixed
+      // order could silently restore STALE state. Fail loudly instead.
+      for ((live, stagings) <- swapPairs.groupBy(_._1)) {
+        if (!root.catalog.tableExists(live)) {
+          val surviving = stagings.map(_._2).filter(root.catalog.tableExists)
+          require(surviving.size <= 1,
+            s"[admit:$tag resume] ${surviving.size} staging copies " +
+              s"(${surviving.mkString(", ")}) coexist for missing live " +
+              s"table $live — cannot pick one safely; a staging rewrite " +
+              "ran without clearing its predecessor")
+        }
+      }
+      for ((live, staging) <- swapPairs) {
         if (!root.catalog.tableExists(live) && root.catalog.tableExists(staging)) {
           System.err.println(
             s"[admit:$tag resume] completing interrupted swap $staging -> $live")
@@ -705,8 +732,28 @@ object StreamingOps {
                 sp.table(compactedT).select(col("oldc"), col("newc"))
                   .unionAll(deltaFlat), 2)
               val nextT = s"${t.compactedBase}_v${compactedVer + 1}"
+              // fault injection (restart tests): the compaction
+              // sweep's three crash windows, each pinned by a
+              // Round18Spec kill-inside-the-window test
+              val failHere = batchId >= failInCompaction
+              if (failHere && failCompactionWindow == "partial_dir") {
+                // simulate a crash INSIDE saveAsTable: the version's
+                // data files are on disk, its catalog entry is not —
+                // recovery must clear the orphan dir or the next
+                // compaction's saveAsTable dies on the name collision
+                val wh = sp.conf.get("spark.sql.warehouse.dir")
+                merged.write.mode("overwrite").parquet(s"$wh/${nextT.toLowerCase}")
+                throw new RuntimeException("graft-injected-crash in compaction " +
+                  s"(partial $nextT dir, no catalog entry) at batch $batchId")
+              }
               merged.write.mode("overwrite").saveAsTable(nextT)
+              if (failHere && failCompactionWindow == "pre_drop")
+                throw new RuntimeException("graft-injected-crash in compaction " +
+                  s"(two committed versions $compactedT + $nextT) at batch $batchId")
               dropTableAndDir(sp, compactedT)
+              if (failHere && failCompactionWindow == "pre_truncate")
+                throw new RuntimeException("graft-injected-crash in compaction " +
+                  s"($nextT committed, folded delta still visible) at batch $batchId")
               emptyDf(sp, "oldc" -> LongType, "newc" -> LongType, "batch_id" -> LongType)
                 .write.mode("overwrite").saveAsTable(t.delta)
               compactedVer += 1

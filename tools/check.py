@@ -56,7 +56,6 @@ def main(sf_dir: str, out_dir: str, json_out: str | None = None) -> None:
     import time
     skip = set(filter(None, os.environ.get("GRAFT_CHECK_SKIP", "").split(",")))
     only = set(filter(None, os.environ.get("GRAFT_CHECK_ONLY", "").split(",")))
-    con = duckdb.connect()
     # oracle-infra hardening (r16 verdict #6): big-SF oracle replays
     # spill — an unmanaged temp dir filled the root volume at sf10
     # (q_pq_recall ENOSPC) and the failure surfaced as a missing gate
@@ -65,15 +64,28 @@ def main(sf_dir: str, out_dir: str, json_out: str | None = None) -> None:
     # as an explicit "skipped: <reason>" row, never a silent hole.
     tmp_dir = os.environ.get("GRAFT_DUCKDB_TMP", "target/duckdb_tmp")
     os.makedirs(tmp_dir, exist_ok=True)
-    con.execute(f"SET temp_directory='{tmp_dir}'")
-    if os.environ.get("GRAFT_DUCKDB_MEM"):
-        con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCKDB_MEM']}'")
     min_free_gb = float(os.environ.get("GRAFT_MIN_FREE_GB", "5"))
     timeout_s = float(os.environ.get("GRAFT_ORACLE_TIMEOUT", "0"))  # 0 = none
+
+    def fresh_connection():
+        c = duckdb.connect()
+        c.execute(f"SET temp_directory='{tmp_dir}'")
+        if os.environ.get("GRAFT_DUCKDB_MEM"):
+            c.execute(f"SET memory_limit='{os.environ['GRAFT_DUCKDB_MEM']}'")
+        for t in TABLES:
+            # v5 fixtures are DIRECTORIES of part files; testdata is
+            # single files — glob dirs, read files as-is
+            p = f"{sf_dir}/{t}.parquet"
+            src = f"{p}/*.parquet" if os.path.isdir(p) else p
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+        return c
+
+    con = fresh_connection()
 
     def run_oracle(sql: str):
         """Returns (df, skip_reason). Timeout interrupts the query and
         leaves the connection reusable."""
+        nonlocal con
         import shutil
         if shutil.disk_usage(tmp_dir).free / 1e9 < min_free_gb:
             return None, f"skipped: low_disk (<{min_free_gb} GB free in {tmp_dir})"
@@ -81,9 +93,10 @@ def main(sf_dir: str, out_dir: str, json_out: str | None = None) -> None:
             return con.execute(sql).df(), None
         import threading
         box = {}
+        worker_con = con
         def work():
             try:
-                box["df"] = con.execute(sql).df()
+                box["df"] = worker_con.execute(sql).df()
             except Exception as e:
                 box["err"] = e
         th = threading.Thread(target=work, daemon=True)
@@ -92,17 +105,18 @@ def main(sf_dir: str, out_dir: str, json_out: str | None = None) -> None:
         if th.is_alive():
             con.interrupt()
             th.join(30)
+            if th.is_alive():
+                # the worker ignored the interrupt — DuckDB connections
+                # are not safe for concurrent use, so abandon this one
+                # to the zombie thread and grade the remaining oracles
+                # on a fresh connection (r17 advice)
+                print("  [oracle_timeout: worker unresponsive, "
+                      "recreating connection]")
+                con = fresh_connection()
             return None, f"skipped: oracle_timeout ({timeout_s:.0f}s)"
         if "err" in box:
             raise box["err"]
         return box["df"], None
-
-    for t in TABLES:
-        # v5 fixtures are DIRECTORIES of part files; testdata is single
-        # files — glob dirs, read files as-is
-        p = f"{sf_dir}/{t}.parquet"
-        src = f"{p}/*.parquet" if os.path.isdir(p) else p
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
     # a query that CRASHED in Verify leaves no output dir — without

@@ -46,8 +46,12 @@ GRAFT_DUCKDB_TMP=target/duckdb_tmp GRAFT_MIN_FREE_GB=8 GRAFT_ORACLE_TIMEOUT=2700
   python3 tools/check.py "$PWD/fixtures/sf10" target/verify_sf10 target/check_sf10.json \
   2>&1 | tee target/check_sf10.log | tail -5
 
+# the 5 sequential kernels + the PQ-recall search-chain replay (r17
+# verdict #3: q_pq_recall's DuckDB oracle ENOSPCs at sf10 — the
+# in-JVM exact replay is its positive sf10 evidence)
+REPLAYS=k_stream_iir,k_resample_cubic,k_rainflow,k_rainflow_binned,k_rainflow_binsize,q_pq_recall_replay
 SPARK_GRAFT_CPUS="$CPUS" SPARK_DRIVER_MEM="$MEM" \
-  tools/run_main.sh graft.KernelReplay "$PWD/fixtures/sf10" target/kernel_replay_sf10.json \
+  tools/run_main.sh graft.KernelReplay "$PWD/fixtures/sf10" target/kernel_replay_sf10.json "$REPLAYS" \
   > target/kernel_replay_sf10.log 2>&1 \
   || { echo "sf10_gate: kernel replay MISMATCH — see target/kernel_replay_sf10.log"; exit 1; }
 
