@@ -1654,6 +1654,25 @@ object SparkEntry {
         neededDocsHint = Some(lshCandDocs(s, dir)))
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.5)),
+    "q_neardup_pairs_topk" -> ((s, dir) => {
+      // the BOUNDED sibling of q_neardup_pairs (r17 verdict #6): the
+      // exact-recall pair surface grows with semantic duplicate
+      // density (pair volume inside the 64-member stars — decade
+      // exponent 1.06, output-bound), so a 100 TB user also wants a
+      // linear-output variant: each anchor doc keeps only its top-k
+      // verified partners by (jaccard desc, partner asc). Same capped
+      // candidates, same exact-Jaccard verify; one extra hash
+      // exchange on `a` for the per-anchor window, output ≤ 3 rows
+      // per anchor regardless of clone-family size.
+      val pairs = Dedup.jaccardByHashes(docShingles(s, dir), lshCands(s, dir),
+          neededDocsHint = Some(lshCandDocs(s, dir)))
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+      val w = Window.partitionBy("a").orderBy(col("jaccard").desc, col("b").asc)
+      pairs.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("a"), col("b"), col("jaccard"), col("rk").cast("int").as("rk"))
+    }),
     "q_lsh_bucket_cap" -> ((s, dir) => {
       // degenerate boilerplate fixture: 50 clones of doc 0 overflow a
       // maxBucket = 8 cap — candidate counts must stay bounded
@@ -3227,6 +3246,7 @@ object SparkEntry {
     "q_dedup_keep" -> dedupKeepSql,
     "q_pair_dedup" -> pairDedupSql,
     "q_neardup_pairs" -> neardupPairsSql,
+    "q_neardup_pairs_topk" -> neardupPairsTopkSql,
     "q_lsh_bucket_cap" -> lshBucketCapSql,
     "q_lsh_bucket_overflow" -> lshBucketOverflowSql,
     "q_multimodal_features" -> multimodalSql,
@@ -4323,6 +4343,19 @@ object SparkEntry {
        |JOIN sizes sa ON sa.doc_id = i.a
        |JOIN sizes sb ON sb.doc_id = i.b
        |WHERE round(i.i * 1.0 / (sa.sz + sb.sz - i.i), 6) >= 0.5""".stripMargin
+
+  /** The bounded top-k-per-anchor cut of the near-dup pair surface —
+    * the same verified pairs, ranked (jaccard desc, b asc) within
+    * each anchor `a` and cut at 3.
+    */
+  private def neardupPairsTopkSql: String =
+    s"""WITH pairs AS MATERIALIZED ($neardupPairsSql)
+       |SELECT a, b, jaccard, rk FROM (
+       |  SELECT a, b, jaccard,
+       |         row_number() OVER (PARTITION BY a
+       |                            ORDER BY jaccard DESC, b ASC)::INT AS rk
+       |  FROM pairs
+       |) WHERE rk <= 3""".stripMargin
 
   /** Degenerate boilerplate fixture shared by the bucket-cap oracles:
     * the first 10 documents plus 50 clones of doc 0's text (doc_ids

@@ -109,6 +109,24 @@ EOF
   python3 tools/merge_ladder.py BENCH_sf1.json target/admit_sf01.json target/admit_sf1.json
 fi
 
+# restart-recovery gate (r17 verdict #7): re-verify the persisted-
+# admission resume path at sf1 EVERY round close, so it can never
+# silently rot between rounds. Needs the sf1 fixture; refuse to reuse
+# a stale one (same marker discipline as the ladder).
+GSV=${GSV:-$(tools/run_main.sh graft.GenScale --version 2>/dev/null | tail -1)}
+if [[ -f fixtures/sf1/.genscale_v && \
+      "$(cat fixtures/sf1/.genscale_v)" == "$GSV factor=10 src=/root/testdata/sf0.1" ]]; then
+  SPARK_GRAFT_CPUS=4 sbt -batch "runMain graft.AdmitRestart $PWD/fixtures/sf1 10 5" \
+    2>&1 | tee target/admit_restart.log | grep '"metric"' \
+    > CORRECTNESS_restart_sf1.json
+  grep -q '"restart_hash_match":true' CORRECTNESS_restart_sf1.json \
+    || { echo "close_round: RESTART RECOVERY FAILED — see target/admit_restart.log"; exit 1; }
+  echo "close_round: restart gate green -> CORRECTNESS_restart_sf1.json"
+else
+  echo "close_round: WARNING fixtures/sf1 stale/absent — restart gate SKIPPED" \
+       "(run with --ladder to regenerate)"
+fi
+
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" \
   2>&1 | tail -3
 
