@@ -153,8 +153,13 @@ object Bench {
     // already-serialized line, which silently emitted a truncated
     // sidecar whenever the serialization shape drifted (the r15
     // silent-29-row ladder failure mode)
+    // cpus rides the line so every committed artifact names its
+    // INSTRUMENT: the r17 "unreconciled 25%" was a local[4] builder
+    // number compared against the driver's local[32] run (r17
+    // verdict #1) — numbers from different core counts are different
+    // instruments and must never be compared as one series
     def metricLine(queriesJson: String): String =
-      s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","timing":"warm_min","run1_total":${num(run1Total, 2)},"n_queries":${results.size},"n_err":${errors.size},"err":$errJson,"queries":$queriesJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","timing":"warm_min","cpus":$cpus,"run1_total":${num(run1Total, 2)},"n_queries":${results.size},"n_err":${errors.size},"err":$errJson,"queries":$queriesJson,"sf":"$sfDir"}"""
     val line = metricLine(qs)
     if (line.length > 1900)
       System.err.println(s"[bench] WARNING metric line ${line.length} chars (driver window 2000)")

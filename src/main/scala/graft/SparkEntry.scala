@@ -38,6 +38,24 @@ object SparkEntry {
     */
   private def scanIsParallel(s: SparkSession, df: DataFrame): Boolean =
     df.rdd.getNumPartitions * 2 >= s.sparkContext.defaultParallelism
+  /** Partition count for reshaping a SINGLE-FILE table: enough to
+    * spread the heavy per-row kernels, but never more than the data
+    * supports. Blindly reshaping a 2,000-row model table to 32
+    * partitions puts ~60 rows in each task, and the per-stage
+    * scheduling overhead (x24 Lloyd stages in one PQ training) costs
+    * more than the parallelism returns at the driver's fixture
+    * scales. Sized from BOTH the measured row count (>=256 rows per
+    * partition — the table is about to be cached anyway, so the
+    * extra count scan is paid once per session) and the file's
+    * compressed bytes (>=512 KB per partition — the long-document
+    * fixture is few rows but hundreds of kB per row, and row count
+    * alone would single-thread its shingle kernels), floored at 2 so
+    * the reshaped path is always exercised, capped at the session's
+    * parallelism.
+    */
+  private def reshapeParts(s: SparkSession, rows: Long, bytes: Long): Int =
+    math.max(2, math.min(s.sparkContext.defaultParallelism.toLong,
+      math.max((rows + 255) / 256, bytes / (512L << 10)))).toInt
   /** Documents substrate. Production-shaped tables pass through as
     * the raw scan (pruning/pushdown reach parquet per consumer, no
     * shuffle). On a single-file fixture the heavy per-doc kernels
@@ -54,7 +72,8 @@ object SparkEntry {
     memo(docsCache, s, dir) {
       val raw = s.read.parquet(s"$dir/documents.parquet")
       if (scanIsParallel(s, raw)) raw
-      else raw.repartition(s.sparkContext.defaultParallelism).cache()
+      else raw.repartition(reshapeParts(s, raw.count(),
+        new java.io.File(s"$dir/documents.parquet").length())).cache()
     }
   /** Embeddings substrate, session-cached (and repartitioned first if
     * the scan is single-file-shaped). Two hazards meet here (both
@@ -83,7 +102,8 @@ object SparkEntry {
     memo(embCache, s, dir) {
       val raw = s.read.parquet(s"$dir/embeddings.parquet")
       val shaped = if (scanIsParallel(s, raw)) raw
-        else raw.repartition(s.sparkContext.defaultParallelism)
+        else raw.repartition(reshapeParts(s, raw.count(),
+          new java.io.File(s"$dir/embeddings.parquet").length()))
       shaped.cache()
     }
 

@@ -406,16 +406,22 @@ object Dedup {
     // arrays built are bounded by the candidate list, not the corpus
     val needed = pairs.select(col("a").as("doc_id"))
       .union(pairs.select(col("b").as("doc_id"))).distinct()
-    // merge-pinned: BOTH sides here are corpus-scaled (hashes is the
-    // full shingle table; needed is the candidate-touched id set), and
-    // size ESTIMATES lie — an unmaterialized cached hashes relation
-    // inherits its child's compressed-scan estimate, and the planner
-    // broadcast the 150M-row shingle table into the driver at the r16
-    // sf10 gate (>1 GiB collect, killed by maxResultSize)
-    val sets = hashes.join(needed.hint("merge"), "doc_id")
+    val nNeeded = neededDocsHint.getOrElse(needed.count())
+    // the id-set join's strategy is gated on the COUNTED candidate-doc
+    // cardinality, never on size estimates: below the gate the id list
+    // (single longs) broadcasts and the corpus-scale hashes side
+    // streams through unshuffled; above it the shuffle join is PINNED
+    // ("merge") — size ESTIMATES lie (an unmaterialized cached hashes
+    // relation inherits its child's compressed-scan estimate, and the
+    // planner broadcast the 150M-row shingle table into the driver at
+    // the r16 sf10 gate: >1 GiB collect, killed by maxResultSize).
+    // The r17 always-merge pin was safe but taxed every sf0.1 pair
+    // query with a full shingle-table sort for a few-hundred-id probe.
+    val sets = hashes.join(
+        if (nNeeded <= broadcastMaxDocs) broadcast(needed) else needed.hint("merge"),
+        "doc_id")
       .groupBy("doc_id").agg(sort_array(collect_set(col("h1"))).as("sh"))
       .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("sz"))
-    val nNeeded = neededDocsHint.getOrElse(needed.count())
     def side(nm: String) =
       sets.select(col("doc_id").as(nm), col("sh").as(s"sh$nm"), col("sz").as(s"sz$nm"))
     // above the gate the hint is not merely DROPPED — the shuffle join

@@ -204,8 +204,13 @@ class Round17Spec extends AnyFunSuite {
     val singlePlan = single.queryExecution.optimizedPlan.toString
     assert(singlePlan.contains("InMemoryRelation"),
       s"single-file docs substrate must be session-cached, got:\n$singlePlan")
-    assert(single.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism,
-      "single-file substrate must be reshaped to session parallelism")
+    // r18: the reshape is data-sized (>=256 rows / >=512 KB per
+    // partition), never more than the session's parallelism — a tiny
+    // table must not pay 32-task stages for 60-row partitions
+    assert(single.rdd.getNumPartitions >= 2 &&
+        single.rdd.getNumPartitions <= spark.sparkContext.defaultParallelism,
+      s"single-file substrate must be reshaped to a data-sized partition " +
+        s"count, got ${single.rdd.getNumPartitions}")
     // identical content either way (same source rows)
     assert(SparkEntry.docs(spark, "/root/testdata/sf0.001").count() * 2 ==
       multi.count(), "2x clone must hold exactly twice the docs")

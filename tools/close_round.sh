@@ -127,8 +127,12 @@ else
        "(run with --ladder to regenerate)"
 fi
 
-SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" \
-  2>&1 | tail -3
+# CPUS=32 = the DRIVER'S instrument (local[32]); the r17 "bench
+# recovered to 113.9 s" claim was a local[4] number that could never
+# reproduce on the driver's run (r17 verdict #1) — the committed
+# closing number must come from the same instrument the driver reads
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  sbt -batch "runMain graft.Bench" 2>&1 | tail -3
 
 python3 tools/gen_status.py
 echo "close_round: done (BENCH_LAST.json + status blocks regenerated in order)"
