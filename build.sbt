@@ -31,5 +31,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the box is 32 cores / 128 GiB, and the old 8g heap
+  // left the local[32] bench sweep GC-bound — measured 153.5 s @ 8g
+  // vs 138.1 s @ 24g in one A/B window (r18, PLANS.md). This is
+  // executor memory SIZING for the prescribed 32-thread local mode,
+  // the same call a cluster deployment makes per executor.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
