@@ -345,14 +345,20 @@ object SparkEntry {
     * (session, dir): the near-dup count query and the
     * connected-components query both consume the identical candidate
     * list — same materialized-intermediate reasoning as docShingles.
+    * The cache stores the COUNTED form (a, b, n_bands) — same shuffle
+    * as the distinct form, and the collision count is the free
+    * similarity evidence the bounded top-k surface ranks by; the
+    * 2-column view every other consumer reads is a projection.
     */
   private val lshCandCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def lshCands(s: SparkSession, dir: String): DataFrame =
+  private def lshCandsCounted(s: SparkSession, dir: String): DataFrame =
     memo(lshCandCache, s, dir)(
-      Dedup.lshCandidates(
+      Dedup.lshCandidatesCounted(
         Dedup.minhashSignaturesFromHashes(docShingles(s, dir), k = 16),
         rowsPerBand = 4).cache())
+  private def lshCands(s: SparkSession, dir: String): DataFrame =
+    lshCandsCounted(s, dir).select("a", "b")
 
   /** Candidate-touched doc count of the shared LSH candidate table,
     * memoized per (session, dir): the Jaccard-verify join-strategy
@@ -1674,25 +1680,21 @@ object SparkEntry {
         neededDocsHint = Some(lshCandDocs(s, dir)))
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.5)),
-    "q_neardup_pairs_topk" -> ((s, dir) => {
+    "q_neardup_pairs_topk" -> ((s, dir) =>
       // the BOUNDED sibling of q_neardup_pairs (r17 verdict #6): the
       // exact-recall pair surface grows with semantic duplicate
-      // density (pair volume inside the 64-member stars — decade
-      // exponent 1.06, output-bound), so a 100 TB user also wants a
-      // linear-output variant: each anchor doc keeps only its top-k
-      // verified partners by (jaccard desc, partner asc). Same capped
-      // candidates, same exact-Jaccard verify; one extra hash
-      // exchange on `a` for the per-anchor window, output ≤ 3 rows
-      // per anchor regardless of clone-family size.
-      val pairs = Dedup.jaccardByHashes(docShingles(s, dir), lshCands(s, dir),
-          neededDocsHint = Some(lshCandDocs(s, dir)))
-        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
-      val w = Window.partitionBy("a").orderBy(col("jaccard").desc, col("b").asc)
-      pairs.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
-        .select(col("a"), col("b"), col("jaccard"), col("rk").cast("int").as("rk"))
-    }),
+      // density (pair volume inside the 64-member stars), so a
+      // 100 TB user also wants a variant whose WORK is bounded, not
+      // just its output: rank each anchor's candidates by the free
+      // LSH collision count (n_bands from the shared counted
+      // candidate table), exact-verify only the top-8 shortlist via
+      // a bounded partial aggregate (no window over the full pair
+      // list, no straggler task on a boilerplate star), emit the
+      // top-3 by (exact jaccard desc, partner asc). See
+      // Dedup.neardupTopKByBands for the scale contract.
+      Dedup.neardupTopKByBands(docShingles(s, dir), lshCandsCounted(s, dir),
+        shortK = 8, finalK = 3, threshold = 0.5,
+        neededDocsHint = Some(lshCandDocs(s, dir)))),
     "q_lsh_bucket_cap" -> ((s, dir) => {
       // degenerate boilerplate fixture: 50 clones of doc 0 overflow a
       // maxBucket = 8 cap — candidate counts must stay bounded
@@ -4286,8 +4288,8 @@ object SparkEntry {
        |         row_number() OVER (PARTITION BY band, bsig ORDER BY doc_id) AS r
        |  FROM bands
        |),
-       |cand AS MATERIALIZED (
-       |  SELECT DISTINCT a, b FROM (
+       |candc AS MATERIALIZED (
+       |  SELECT a, b, count(*) AS n_bands FROM (
        |    SELECT x.doc_id AS a, y.doc_id AS b
        |    FROM bandsr x JOIN bandsr y
        |      ON x.band = y.band AND x.bsig = y.bsig
@@ -4296,8 +4298,9 @@ object SparkEntry {
        |    SELECT x.doc_id AS a, y.doc_id AS b
        |    FROM bandsr x JOIN bandsr y
        |      ON x.band = y.band AND x.bsig = y.bsig AND x.r = 1 AND y.r > $maxBucket
-       |  )
-       |)""".stripMargin
+       |  ) GROUP BY a, b
+       |),
+       |cand AS MATERIALIZED (SELECT a, b FROM candc)""".stripMargin
 
   private def lshNearDupsSql: String =
     s"""WITH ${lshCandPrefix()},
@@ -4364,17 +4367,48 @@ object SparkEntry {
        |JOIN sizes sb ON sb.doc_id = i.b
        |WHERE round(i.i * 1.0 / (sa.sz + sb.sz - i.i), 6) >= 0.5""".stripMargin
 
-  /** The bounded top-k-per-anchor cut of the near-dup pair surface —
-    * the same verified pairs, ranked (jaccard desc, b asc) within
-    * each anchor `a` and cut at 3.
+  /** The bounded top-k-per-anchor near-dup oracle, mirroring
+    * `Dedup.neardupTopKByBands`: shortlist = top-8 candidates per
+    * anchor by (n_bands DESC, b ASC) — the engine computes the same
+    * cut with a bounded partial aggregate; row_number here is the
+    * window form the aggregate is pinned bit-identical to — then
+    * exact Jaccard over the shortlist only, top-3 by (jaccard DESC,
+    * b ASC) at the 0.5 threshold.
     */
   private def neardupPairsTopkSql: String =
-    s"""WITH pairs AS MATERIALIZED ($neardupPairsSql)
+    s"""WITH ${lshCandPrefix()},
+       |short AS (
+       |  SELECT a, b FROM (
+       |    SELECT a, b, row_number() OVER (PARTITION BY a
+       |                                    ORDER BY n_bands DESC, b ASC) AS sr
+       |    FROM candc
+       |  ) WHERE sr <= 8
+       |),
+       |h AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id,
+       |         ('0x' || substr(md5(shingle), 1, 13))::BIGINT AS h1
+       |  FROM shingles
+       |),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM h GROUP BY doc_id),
+       |inter AS (
+       |  SELECT s.a, s.b, count(*) AS i
+       |  FROM short s
+       |  JOIN h ha ON ha.doc_id = s.a
+       |  JOIN h hb ON hb.doc_id = s.b AND hb.h1 = ha.h1
+       |  GROUP BY s.a, s.b
+       |),
+       |scored AS (
+       |  SELECT i.a, i.b, round(i.i * 1.0 / (sa.sz + sb.sz - i.i), 6) AS jaccard
+       |  FROM inter i
+       |  JOIN sizes sa ON sa.doc_id = i.a
+       |  JOIN sizes sb ON sb.doc_id = i.b
+       |  WHERE round(i.i * 1.0 / (sa.sz + sb.sz - i.i), 6) >= 0.5
+       |)
        |SELECT a, b, jaccard, rk FROM (
        |  SELECT a, b, jaccard,
        |         row_number() OVER (PARTITION BY a
        |                            ORDER BY jaccard DESC, b ASC)::INT AS rk
-       |  FROM pairs
+       |  FROM scored
        |) WHERE rk <= 3""".stripMargin
 
   /** Degenerate boilerplate fixture shared by the bucket-cap oracles:

@@ -125,8 +125,21 @@ object Dedup {
     */
   def lshCandidates(signatures: DataFrame, rowsPerBand: Int = 4,
                     maxBucket: Int = DefaultMaxBucket): DataFrame =
+    lshCandidatesCounted(signatures, rowsPerBand, maxBucket).select("a", "b")
+
+  /** `lshCandidates` with the free collision evidence kept: n_bands =
+    * how many of the capped band buckets the pair co-occurred in — the
+    * standard LSH match-count similarity estimate (P[band collision] =
+    * sim^rowsPerBand per band, so more shared bands ⇒ higher estimated
+    * similarity). Same shuffle as the distinct form (the dedup IS a
+    * groupBy on (a, b); counting is free), which is why the shared
+    * candidate memo stores this and the plain form is a projection.
+    * The ranking consumer is [[neardupTopKByBands]].
+    */
+  def lshCandidatesCounted(signatures: DataFrame, rowsPerBand: Int = 4,
+                           maxBucket: Int = DefaultMaxBucket): DataFrame =
     bandedPairs(lshBands(signatures, rowsPerBand), Seq("band", "sig"), maxBucket,
-      Seq.empty).distinct()
+      Seq.empty).groupBy("a", "b").agg(count(lit(1)).as("n_bands"))
 
   /** The (doc_id, band, sig) band table the LSH join family keys on:
     * band signature = md5 of the band's sorted "i:minhash" strings.
@@ -411,14 +424,20 @@ object Dedup {
     // cardinality, never on size estimates: below the gate the id list
     // (single longs) broadcasts and the corpus-scale hashes side
     // streams through unshuffled; above it the shuffle join is PINNED
-    // ("merge") — size ESTIMATES lie (an unmaterialized cached hashes
-    // relation inherits its child's compressed-scan estimate, and the
-    // planner broadcast the 150M-row shingle table into the driver at
-    // the r16 sf10 gate: >1 GiB collect, killed by maxResultSize).
-    // The r17 always-merge pin was safe but taxed every sf0.1 pair
-    // query with a full shingle-table sort for a few-hundred-id probe.
+    // on the id side as SHUFFLE_HASH — size ESTIMATES lie (an
+    // unmaterialized cached hashes relation inherits its child's
+    // compressed-scan estimate, and the planner broadcast the 150M-row
+    // shingle table into the driver at the r16 sf10 gate: >1 GiB
+    // collect, killed by maxResultSize). The pin's BUILD side is the
+    // id list itself — counted longs, ~32 B/entry spread over the
+    // shuffle partitions, bounded at any corpus size — so the hash
+    // join is as driver-safe as the r17 merge pin was, without the
+    // merge pin's full sort of the corpus-scale hashes table (~30 s of
+    // the 68 s q_containment decade leg at sf10; the hashes side still
+    // exchanges on doc_id, which the groupBy below reuses either way).
     val sets = hashes.join(
-        if (nNeeded <= broadcastMaxDocs) broadcast(needed) else needed.hint("merge"),
+        if (nNeeded <= broadcastMaxDocs) broadcast(needed)
+        else needed.hint("shuffle_hash"),
         "doc_id")
       .groupBy("doc_id").agg(sort_array(collect_set(col("h1"))).as("sh"))
       .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("sz"))
@@ -430,7 +449,12 @@ object Dedup {
     // broadcast and the build collect blows the driver's result budget
     // (r16 sf10 gate: 13 tasks, 1082 MiB > 1 GiB maxResultSize, for a
     // table whose compressed shuffle size sat under the 64 MB
-    // threshold). The pin changes the plan, never the answer.
+    // threshold). MERGE here, not shuffle_hash: the in-memory build
+    // side of a hash pin would be the array table itself, whose
+    // per-partition bytes grow with dup density — sort-merge spills;
+    // the sets/pairs sorts are candidate-bounded and cheap next to
+    // the corpus-table sort the id-set join above avoids. The pin
+    // changes the plan, never the answer.
     def hint(df: DataFrame) =
       if (nNeeded <= broadcastMaxDocs) broadcast(df) else df.hint("merge")
     pairs
@@ -458,6 +482,50 @@ object Dedup {
         round(col("inter") / col("sza"), 6).as("containment_a"),
         round(col("inter") / col("szb"), 6).as("containment_b"),
         round(col("inter") / (col("sza") + col("szb") - col("inter")), 6).as("jaccard"))
+
+  /** The WORK-bounded top-k near-dup surface: each anchor keeps its
+    * `finalK` best verified partners, but — unlike ranking the full
+    * verified pair list — the expensive exact-Jaccard verify runs on a
+    * per-anchor SHORTLIST of at most `shortK` candidates, ranked by
+    * the free LSH collision evidence `n_bands` from
+    * [[lshCandidatesCounted]] (ties broken by partner id — a total
+    * order, so the cut is deterministic and oracle-replayable).
+    *
+    * Scale shape, in order:
+    *  - the shortlist is a bounded AGGREGATE
+    *    ([[graft.functions.BoundedTopK]]), not a window: a boilerplate
+    *    family whose star representative meets millions of clones
+    *    ships k-entry partial buffers to the shuffle, never the
+    *    full candidate list into one window task;
+    *  - exact verification touches ≤ shortK pairs per anchor, so the
+    *    per-pair merge-scan intersection — the super-linear term in
+    *    the exact-recall surface `q_neardup_pairs` measures — is
+    *    capped at shortK × anchors = LINEAR in the corpus;
+    *  - the final (jaccard DESC, b ASC) cut re-ranks ≤ shortK rows
+    *    per anchor, a window over bounded groups.
+    * The tradeoff is recall at the cut: a partner outside the anchor's
+    * top-`shortK` collision counts cannot surface even with a higher
+    * exact Jaccard — with 4 bands the evidence has 4 levels and ties
+    * fall back to id order. That is the standard LSH-rank contract;
+    * widen `shortK` (or the band count) to trade cost for recall.
+    */
+  def neardupTopKByBands(hashes: DataFrame, countedCands: DataFrame,
+                         shortK: Int = 8, finalK: Int = 3,
+                         threshold: Double = 0.5,
+                         broadcastMaxDocs: Long = DefaultBroadcastMaxDocs,
+                         neededDocsHint: Option[Long] = None): DataFrame = {
+    import graft.functions.BoundedTopK
+    val short = countedCands.groupBy("a")
+      .agg(BoundedTopK.topKIds(shortK)(col("n_bands"), col("b")).as("bs"))
+      .select(col("a"), explode(col("bs")).as("b"))
+    val verified = jaccardByHashes(hashes, short, broadcastMaxDocs, neededDocsHint)
+      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    val w = Window.partitionBy("a").orderBy(col("jaccard").desc, col("b").asc)
+    verified.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= finalK)
+      .select(col("a"), col("b"), col("jaccard"), col("rk").cast("int").as("rk"))
+  }
 
   /** Test-set decontamination: per-document count of distinct
     * shingles shared with a BENCHMARK corpus (reference semantics:

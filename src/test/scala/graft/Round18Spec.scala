@@ -225,6 +225,39 @@ class Round18Spec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
+  test("BoundedTopK aggregate is bit-identical to the row_number window form") {
+    // the shortlist cut in Dedup.neardupTopKByBands replaces
+    // `row_number() OVER (PARTITION BY a ORDER BY score DESC, id ASC)
+    // <= k` with a k-bounded partial aggregate (no straggler task on
+    // a hot anchor); the two must select the SAME ids in the SAME
+    // order, ties included. Deterministic LCG input: 40 groups x up
+    // to 400 rows, scores drawn from 0..3 (heavy ties, the LSH
+    // n_bands shape), plus one "star" group with 5,000 rows.
+    import org.apache.spark.sql.expressions.{Window => W}
+    var seed = 0x9e3779b97f4a7c15L
+    def nxt(): Long = { seed = seed * 6364136223846793005L + 1442695040888963407L; seed >>> 16 }
+    val rows = (0 until 40).flatMap { g =>
+      val n = 1 + (nxt() % 400).toInt
+      // distinct ids within a group (the engine's partner ids are
+      // distinct by construction); scores collide heavily
+      val ids = scala.util.Random.shuffle((0 until 3000).toList).take(n)
+      ids.map(id => (g.toLong, (nxt() % 4).toInt.toLong, id.toLong))
+    } ++ (0 until 5000).map(i => (99L, (i % 4).toLong, (100000 + i).toLong))
+    val df = rows.toDF("a", "score", "b").repartition(7).cache()
+    for (k <- Seq(1, 3, 8)) {
+      val agg = df.groupBy("a")
+        .agg(graft.functions.BoundedTopK.topKIds(k)(col("score"), col("b")).as("bs"))
+        .select(col("a"), posexplode(col("bs")).as(Seq("rk0", "b")))
+        .select(col("a"), col("b"), (col("rk0") + 1).as("rk"))
+      val win = df.withColumn("rk",
+          row_number().over(W.partitionBy("a").orderBy(col("score").desc, col("b").asc)))
+        .filter(col("rk") <= k).select(col("a"), col("b"), col("rk").cast("long"))
+      assert(agg.except(win).count() == 0 && win.except(agg).count() == 0,
+        s"BoundedTopK(k=$k) diverges from the window form")
+    }
+    df.unpersist()
+  }
+
   test("tableStream decisions are identical across single-file and directory layouts") {
     // r17 verdict #5: the dual-layout branch in tableStream
     // (StreamingOps.scala) was exercised only operationally by the
