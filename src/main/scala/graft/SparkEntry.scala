@@ -152,7 +152,7 @@ object SparkEntry {
     */
   def release(s: SparkSession): Unit = {
     Seq(evCache, uniformCache, embCache, docsCache, welchRmsCache, shingleCache, termCountCache,
-        lshCandCache, componentsCache, redactedCache, pngCache).foreach { c =>
+        lshCandCache, pairSetsCache, componentsCache, redactedCache, pngCache).foreach { c =>
       c.keys.filter(_._1 eq s).foreach { k =>
         c.remove(k).foreach(df =>
           try df.unpersist(blocking = false) catch { case _: Throwable => () })
@@ -201,6 +201,7 @@ object SparkEntry {
       .getOrElse(Set.empty[String])
     val caches = Seq("welch" -> welchRmsCache, "shingles" -> shingleCache,
       "terms" -> termCountCache, "lshcands" -> lshCandCache,
+      "pairsets" -> pairSetsCache,
       "components" -> componentsCache, "redacted" -> redactedCache,
       "pngs" -> pngCache)
     // a typo'd KEEP name would be silently ignored and the cache
@@ -367,6 +368,23 @@ object SparkEntry {
     * time on q_containment/q_neardup_pairs). Count once per shared
     * table, hand the hint to every verifier of that table.
     */
+  /** Per-doc sorted distinct-shingle arrays for the candidate-touched
+    * docs of the SHARED LSH candidate table (Dedup.candidateSets),
+    * session-cached: the three pair-verify queries (Jaccard,
+    * containment, bounded top-k) consume the identical set table, and
+    * each query's plan otherwise builds it TWICE (once per join
+    * side's broadcast build — plan-audited, r18). Same
+    * materialized-intermediate reasoning as docShingles; the verify
+    * joins + merge-scan intersections still run per query. Dropped by
+    * releaseHeavy with the other corpus-derived intermediates.
+    */
+  private val pairSetsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def lshCandSets(s: SparkSession, dir: String): DataFrame =
+    memo(pairSetsCache, s, dir)(
+      Dedup.candidateSets(docShingles(s, dir), lshCands(s, dir),
+        neededDocsHint = Some(lshCandDocs(s, dir))).cache())
+
   private val lshCandDocsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
   private def lshCandDocs(s: SparkSession, dir: String): Long =
@@ -1230,7 +1248,8 @@ object SparkEntry {
       // quoted whole inside a long one) that Jaccard structurally
       // misses — same broadcast-bounded verify plan, extra columns
       Dedup.overlapScores(docShingles(s, dir), lshCands(s, dir),
-        neededDocsHint = Some(lshCandDocs(s, dir)))),
+        neededDocsHint = Some(lshCandDocs(s, dir)),
+        prebuiltSets = Some(lshCandSets(s, dir)))),
     "q_ngram_jaccard" -> ((s, dir) => {
       // query-vs-corpus jaccard: every 20th doc against its source
       // bucket — pair count scales linearly with the corpus, not
@@ -1677,7 +1696,8 @@ object SparkEntry {
       // Jaccard -> threshold cut (Dedup.minhashNearDups over the
       // memoized intermediates)
       Dedup.jaccardByHashes(docShingles(s, dir), lshCands(s, dir),
-        neededDocsHint = Some(lshCandDocs(s, dir)))
+        neededDocsHint = Some(lshCandDocs(s, dir)),
+        prebuiltSets = Some(lshCandSets(s, dir)))
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.5)),
     "q_neardup_pairs_topk" -> ((s, dir) =>
@@ -1694,7 +1714,8 @@ object SparkEntry {
       // Dedup.neardupTopKByBands for the scale contract.
       Dedup.neardupTopKByBands(docShingles(s, dir), lshCandsCounted(s, dir),
         shortK = 8, finalK = 3, threshold = 0.5,
-        neededDocsHint = Some(lshCandDocs(s, dir)))),
+        neededDocsHint = Some(lshCandDocs(s, dir)),
+        prebuiltSets = Some(lshCandSets(s, dir)))),
     "q_lsh_bucket_cap" -> ((s, dir) => {
       // degenerate boilerplate fixture: 50 clones of doc 0 overflow a
       // maxBucket = 8 cap — candidate counts must stay bounded

@@ -370,8 +370,9 @@ object Dedup {
     */
   def jaccardByHashes(hashes: DataFrame, pairs: DataFrame,
                       broadcastMaxDocs: Long = DefaultBroadcastMaxDocs,
-                      neededDocsHint: Option[Long] = None): DataFrame =
-    pairOverlap(hashes, pairs, broadcastMaxDocs, neededDocsHint)
+                      neededDocsHint: Option[Long] = None,
+                      prebuiltSets: Option[DataFrame] = None): DataFrame =
+    pairOverlap(hashes, pairs, broadcastMaxDocs, neededDocsHint, prebuiltSets)
       .select(col("a"), col("b"),
         (col("inter").cast("double") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
 
@@ -410,14 +411,44 @@ object Dedup {
     * aggregate three times per bench sweep and the verify queries
     * doubled in wall time for no plan change.
     */
+  /** The per-document sorted distinct-shingle arrays behind the
+    * pair-verify family — `pairOverlap`'s set table, exposed so a
+    * caller verifying SEVERAL pair lists over one shared candidate
+    * table (Jaccard + containment + the bounded top-k — exactly the
+    * SparkEntry fan-out) can build it ONCE and pass it back via
+    * `prebuiltSets`. Without sharing, every verify query pays the
+    * corpus-shingle aggregate TWICE (each join side plans its own
+    * copy of the `sets` subtree — plan-audited at r18: two
+    * ObjectHashAggregate towers per query, six per bench sweep over
+    * the three pair queries). The prebuilt table is candidate-
+    * bounded (one row per candidate-touched doc), and a SUPERSET set
+    * table never changes any verify result: the pair joins select
+    * exactly the (a, b) rows they need.
+    */
+  def candidateSets(hashes: DataFrame, pairs: DataFrame,
+                    broadcastMaxDocs: Long = DefaultBroadcastMaxDocs,
+                    neededDocsHint: Option[Long] = None): DataFrame = {
+    val needed = pairs.select(col("a").as("doc_id"))
+      .union(pairs.select(col("b").as("doc_id"))).distinct()
+    val nNeeded = neededDocsHint.getOrElse(needed.count())
+    // see pairOverlap for the counted join-strategy gate
+    hashes.join(
+        if (nNeeded <= broadcastMaxDocs) broadcast(needed)
+        else needed.hint("shuffle_hash"),
+        "doc_id")
+      .groupBy("doc_id").agg(sort_array(collect_set(col("h1"))).as("sh"))
+      .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("sz"))
+  }
+
   private def pairOverlap(hashes: DataFrame, pairs: DataFrame,
                           broadcastMaxDocs: Long,
-                          neededDocsHint: Option[Long] = None): DataFrame = {
+                          neededDocsHint: Option[Long] = None,
+                          prebuiltSets: Option[DataFrame] = None): DataFrame = {
     import graft.functions.SortedIntersectCount.sortedIntersectCount
     // restrict the set table to documents that actually appear in a
     // candidate pair BEFORE joining: whichever strategy wins, the
     // arrays built are bounded by the candidate list, not the corpus
-    val needed = pairs.select(col("a").as("doc_id"))
+    lazy val needed = pairs.select(col("a").as("doc_id"))
       .union(pairs.select(col("b").as("doc_id"))).distinct()
     val nNeeded = neededDocsHint.getOrElse(needed.count())
     // the id-set join's strategy is gated on the COUNTED candidate-doc
@@ -435,12 +466,8 @@ object Dedup {
     // merge pin's full sort of the corpus-scale hashes table (~30 s of
     // the 68 s q_containment decade leg at sf10; the hashes side still
     // exchanges on doc_id, which the groupBy below reuses either way).
-    val sets = hashes.join(
-        if (nNeeded <= broadcastMaxDocs) broadcast(needed)
-        else needed.hint("shuffle_hash"),
-        "doc_id")
-      .groupBy("doc_id").agg(sort_array(collect_set(col("h1"))).as("sh"))
-      .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("sz"))
+    val sets = prebuiltSets.getOrElse(
+      candidateSets(hashes, pairs, broadcastMaxDocs, Some(nNeeded)))
     def side(nm: String) =
       sets.select(col("doc_id").as(nm), col("sh").as(s"sh$nm"), col("sz").as(s"sz$nm"))
     // above the gate the hint is not merely DROPPED — the shuffle join
@@ -476,8 +503,9 @@ object Dedup {
     */
   def overlapScores(hashes: DataFrame, pairs: DataFrame,
                     broadcastMaxDocs: Long = DefaultBroadcastMaxDocs,
-                    neededDocsHint: Option[Long] = None): DataFrame =
-    pairOverlap(hashes, pairs, broadcastMaxDocs, neededDocsHint)
+                    neededDocsHint: Option[Long] = None,
+                    prebuiltSets: Option[DataFrame] = None): DataFrame =
+    pairOverlap(hashes, pairs, broadcastMaxDocs, neededDocsHint, prebuiltSets)
       .select(col("a"), col("b"), col("inter"), col("sza"), col("szb"),
         round(col("inter") / col("sza"), 6).as("containment_a"),
         round(col("inter") / col("szb"), 6).as("containment_b"),
@@ -513,12 +541,14 @@ object Dedup {
                          shortK: Int = 8, finalK: Int = 3,
                          threshold: Double = 0.5,
                          broadcastMaxDocs: Long = DefaultBroadcastMaxDocs,
-                         neededDocsHint: Option[Long] = None): DataFrame = {
+                         neededDocsHint: Option[Long] = None,
+                         prebuiltSets: Option[DataFrame] = None): DataFrame = {
     import graft.functions.BoundedTopK
     val short = countedCands.groupBy("a")
       .agg(BoundedTopK.topKIds(shortK)(col("n_bands"), col("b")).as("bs"))
       .select(col("a"), explode(col("bs")).as("b"))
-    val verified = jaccardByHashes(hashes, short, broadcastMaxDocs, neededDocsHint)
+    val verified = jaccardByHashes(hashes, short, broadcastMaxDocs, neededDocsHint,
+      prebuiltSets)
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
     val w = Window.partitionBy("a").orderBy(col("jaccard").desc, col("b").asc)
@@ -625,46 +655,54 @@ object Dedup {
     */
   val lastCcRounds = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** Near-duplicate CLUSTERS from candidate pairs by min-label
-    * propagation WITH TWO-SIDED, CHAINED POINTER JUMPING, iterated to
-    * fixpoint: every node starts labeled with its own id; each round
-    * every node takes
+  /** Node-count gate for broadcasting the per-round contraction map
+    * inside `connectedComponents`: 2M (node, tgt) long pairs is
+    * ~32 MB framed — safely inside any executor/driver budget — while
+    * a 100 TB candidate graph's quotient (billions of nodes in early
+    * rounds) correctly falls back to shuffle joins. Counted against
+    * the MATERIALIZED hop table, never estimated.
+    */
+  val CcBroadcastMaxNodes: Long = 2000000L
+
+  /** Near-duplicate CLUSTERS from candidate pairs by STAR CONTRACTION
+    * with capped path compression, iterated until the quotient graph
+    * has no edges: each round every node points at the minimum of its
+    * closed neighborhood (t(x) = min(x, min neighbor id)), the
+    * t-forest is path-compressed by composition squaring (f = t^64,
+    * 6 self-joins of the materialized hop table), the edge set is
+    * CONTRACTED to the quotient f(E) (self-loops dropped, dedup'd),
+    * and the resolved-label map folds f in (M' = f ∘ M). Rounds scale
+    * as ~log2(diameter) because each later hop crosses QUOTIENT edges
+    * — many original edges at once — where plain min-label flooding
+    * (the pre-r18 form) needed one original edge hop per round
+    * (measured: identical per-round convergence under label^4 and
+    * label^16 pointer jumps, i.e. diameter-bound; the sf0.1 candidate
+    * graph took 9 full-table rounds vs 3 contraction rounds).
     *
-    *   label'(x) = min(label(x),
-    *                   nmin(x)  = min_{y~x} label(y),   -- neighbor hop
-    *                   label(nmin(x)),                  -- jump through the neighbor's label
-    *                   label(label(label(label(x)))))   -- 3-chained self jump
+    * Correctness: t maps every node to a node of its own component
+    * and t(z) <= z, so f = t^64 and every composed M keep the
+    * min-label invariant (labels only decrease, always ids inside the
+    * component). The component minimum is a fixed point of every
+    * round's t and is never contracted away, so when the quotient has
+    * no edges each component has collapsed to exactly its minimum id
+    * — M carries the same fixpoint labels as any converged min-label
+    * propagation. Every component — any diameter — ends carrying its
+    * minimum doc_id.
     *
-    * Neighbor propagation covers one hop per round; the chained
-    * self-jump multiplies the distance already covered (~4x per round
-    * on chains vs ~2x for the single jump), and the neighbor-side
-    * jump shortcuts through the hop target's own label — together
-    * covered distance grows ≥ 4x+1 per round (a 100-node path
-    * converges in ≤ 6 rounds, property-tested), vs diameter rounds
-    * for propagation alone. The loop stops when a round changes zero
-    * labels (labels are monotonically non-increasing, so "changed" is
-    * one cheap filter+count per round). Every component — any
-    * diameter — ends carrying its minimum doc_id.
-    *
-    * Correctness of the shortcuts: label values are always ids of
-    * nodes in the same component (true initially; neighbor labels and
-    * any label-of-label chain stay inside the component), label(z) <=
-    * z for every z (so each chained lookup only improves), labels
-    * only decrease, and at fixpoint labels are constant per component
-    * and bounded by the min member's self-label — hence equal to the
-    * component min.
-    *
-    * Scale shape: one (edges x labels) equi-join + min-aggregate, one
-    * nmin label lookup, and a 3-join label chain per round — every
-    * join except the edge join is on the node-sized label table; no
-    * driver-side union-find. Each round's labels are checkpointed:
-    * that materialization is the action the convergence count reads
-    * anyway, and it truncates the per-round join lineage. `maxIters`
-    * is a runaway guard — hitting the bound leaves deterministic,
-    * conservatively under-merged labels, i.e. a WRONG answer that
-    * callers must treat as a failure: check `lastCcRounds < maxIters`
-    * (strict, since the loop burns one round discovering changed==0)
-    * after any run whose labels feed a dedup decision.
+    * Scale shape: per round, one edge-table min-aggregate, 6
+    * node-sized compression self-joins, a two-sided remap join of the
+    * current (shrinking) edge set + distinct, and one map-sized
+    * fold-in join; no driver-side union-find. The quotient edge set
+    * shrinks geometrically, so later rounds touch a vanishing
+    * fraction of the graph (the pre-r18 form re-joined the FULL label
+    * table every round for diameter rounds). Each round's tables are
+    * checkpointed: that materialization is the action the
+    * progress count reads anyway, and it truncates the per-round join
+    * lineage. `maxIters` is a runaway guard — hitting the bound with
+    * edges remaining leaves deterministic, conservatively
+    * under-merged labels, i.e. a WRONG answer that callers must treat
+    * as a failure: check `lastCcRounds < maxIters` after any run
+    * whose labels feed a dedup decision.
     *
     * CHECKPOINT DURABILITY: the default `localCheckpoint` stores
     * blocks only on executors, with no lineage to recompute them — a
@@ -724,61 +762,98 @@ object Dedup {
     val edges = pairs.select(col("a").as("x"), col("b").as("y"))
       .unionAll(pairs.select(col("b").as("x"), col("a").as("y")))
       .cache()
-    var labels = ckpt(edges.select(col("x").as("doc_id")).distinct()
+    // STAR CONTRACTION with capped path compression (r18 rewrite —
+    // guide §1.2 "the distributed algorithm"). The old round (min
+    // over neighbors' labels + pointer jumps on the start-of-round
+    // label table) converged in DIAMETER rounds: measured with
+    // GRAFT_CC_VERBOSE, its per-round changed counts were IDENTICAL
+    // under label^4 and label^16 jumps — pointer jumping cannot
+    // accelerate a minimum that still has to FLOOD outward one edge
+    // per round, so the sf0.1 candidate graph took 9 full-table
+    // rounds. This form instead contracts the GRAPH each round:
+    //   t(x) = min(x, min of x's neighbors)   — one aggregate, ids
+    //   f    = t^64                           — capped compression of
+    //          the t-forest (t(z) <= z), 6 self-joins of the
+    //          MATERIALIZED t leaf (squaring an unmaterialized plan
+    //          re-evaluates the aggregate 2^k times — measured 9x
+    //          per-round cost before the ckpt was added)
+    //   E'   = f(E) with self-loops dropped, dedup'd — the QUOTIENT
+    //   M    = f ∘ M                          — resolved-label map
+    // Each subsequent round's single hop crosses quotient edges =
+    // many original edges, so rounds ~ log2(diameter) instead of
+    // diameter (star contraction à la Kiveris et al., "Connected
+    // Components in MapReduce and Beyond"), and the edge set SHRINKS
+    // geometrically — at 100 TB the later rounds run over a
+    // vanishing fraction of the candidate graph where the old form
+    // re-joined the full label table every round. f maps every node
+    // into its own component and f(z) <= z, so M keeps the min-label
+    // invariant; when E' is empty every component has contracted to
+    // exactly its minimum id (the min is a fixed point of t and
+    // survives every round), giving the identical fixpoint labels.
+    // maxIters stays the runaway guard: the t^64 cap covers >= 64
+    // hops per round even on an adversarially-ordered chain, far
+    // beyond any real candidate-graph diameter.
+    var m = ckpt(edges.select(col("x").as("doc_id")).distinct()
       .withColumn("label", col("doc_id")), eager = true)
-    var changed = 1L
+    var live = edges
+    var nEdges = 1L
     var round = 0
-    while (changed > 0 && round < maxIters) {
+    while (nEdges > 0 && round < maxIters) {
       round += 1
-      def lab(as1: String, as2: String) =
-        labels.select(col("doc_id").as(as1), col("label").as(as2))
-      // neighbor hop + jump through the hop target's label: nmin is a
-      // node id present in the label table, so label(nmin) is an
-      // equi-join lookup riding the same round
-      val nbr = edges
-        .join(lab("y", "ylab"), "y")
-        .groupBy("x").agg(min("ylab").as("nmin"))
-        .withColumnRenamed("x", "doc_id")
-        .join(lab("nmin", "snmin"), Seq("nmin"), "left")
-        .select(col("doc_id"), col("nmin"), col("snmin"))
-      // chained pointer jump: label^4(x) — label(z) <= z, so only the
-      // deepest lookup needs to enter the least()
-      val short = labels.select(col("doc_id"), col("label").as("s1"))
-        .join(lab("s1", "s2"), "s1")
-        .join(lab("s2", "s3"), "s2")
-        .join(lab("s3", "slabel"), "s3")
-        .select(col("doc_id"), col("slabel"))
-      // EAGER checkpoint: materialize this round's labels BEFORE the
-      // next round's plan references them six times. Round 6 shipped
-      // this lazy ("one job per round") and per-round wall time grew
-      // super-linearly at sf0.1 — a measured 28x total regression —
-      // because the lazily-checkpointed round never actually pinned
-      // its blocks before the next plan fanned out over it; eager
-      // truncation keeps every round's plan exactly one LogicalRDD
-      // deep and per-round wall time flat (watch it with verbose).
-      // The convergence count then reads the materialized blocks — a
-      // cheap second job per round, the price of a bounded plan.
       val t0 = System.nanoTime()
-      val next = ckpt(labels.join(nbr, Seq("doc_id"), "left")
-        .join(short, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("label"),
-          least(col("label"), coalesce(col("nmin"), col("label")),
-            coalesce(col("snmin"), col("label")),
-            coalesce(col("slabel"), col("label"))).as("nlabel")), eager = true)
-      changed = next.filter(col("nlabel") < col("label")).count()
-      labels = next.select(col("doc_id"), col("nlabel").as("label"))
-      // observability: convergence progress + per-round wall time are
-      // the dials that say whether maxIters is sized right and the
-      // lineage truncation is working (flat ms per round) — gated off
-      // by default (a library must not write to stderr)
+      // one edge hop: t over node IDS of the current quotient graph
+      val t = ckpt(live.groupBy("x").agg(min("y").as("ny"))
+        .select(col("x").as("node"), least(col("x"), col("ny")).as("tgt")),
+        eager = true)
+      // COUNTED broadcast gate (the pairOverlap discipline: counts,
+      // never estimates — the checkpointed leaf has no stats, so the
+      // planner would shuffle-join these node-sized tables at any
+      // size). t is already materialized, so the count is a cheap
+      // in-memory job; below the gate every compression/remap join
+      // broadcasts the node-sized side map-side, above it the plan
+      // falls back to the shuffle joins that scale. The gate changes
+      // the plan, never the answer.
+      val bcOk = t.count() <= CcBroadcastMaxNodes
+      def maybeBc(df: DataFrame): DataFrame = if (bcOk) broadcast(df) else df
+      // capped compression: f = t^64 by composition squaring over the
+      // materialized leaf (6 joins; every tgt is a node in t, so each
+      // inner join is total)
+      var f = t
+      for (_ <- 1 to 6) {
+        f = f.join(
+            maybeBc(f.select(col("node").as("n2"), col("tgt").as("t2"))),
+            col("tgt") === col("n2"))
+          .select(col("node"), col("t2").as("tgt"))
+      }
+      f = ckpt(f, eager = true)
+      // contract the quotient graph; the eager checkpoint is the
+      // round's materialization action and the count reads its blocks
+      live = ckpt(live
+        .join(maybeBc(f.select(col("node").as("x"), col("tgt").as("fx"))), "x")
+        .join(maybeBc(f.select(col("node").as("y"), col("tgt").as("fy"))), "y")
+        .select(col("fx").as("x"), col("fy").as("y"))
+        .filter(col("x") =!= col("y"))
+        .distinct(), eager = true)
+      nEdges = live.count()
+      // fold this round's contraction into the resolved-label map;
+      // finished supernodes (no surviving edges) are absent from f
+      // and keep their label via the left join
+      m = ckpt(m
+        .join(maybeBc(f.select(col("node").as("label"), col("tgt"))),
+          Seq("label"), "left")
+        .select(col("doc_id"), coalesce(col("tgt"), col("label")).as("label")),
+        eager = true)
+      // observability: quotient-size progress + per-round wall time
+      // are the dials that say whether maxIters is sized right —
+      // gated off by default (a library must not write to stderr)
       if (verbose) System.err.println(
-        f"[cc] round $round changed=$changed ${(System.nanoTime() - t0) / 1e6}%.0f ms")
+        f"[cc] round $round quotient_edges=$nEdges ${(System.nanoTime() - t0) / 1e6}%.0f ms")
     }
     lastCcRounds.set(round)
-    // labels is checkpointed (no lineage back through the edge list),
-    // so the cached pair table can be released immediately
+    // m is checkpointed (no lineage back through the edge list), so
+    // the cached pair table can be released immediately
     edges.unpersist(blocking = false)
-    (labels.select(col("doc_id"), col("label").as("component"),
+    (m.select(col("doc_id"), col("label").as("component"),
       count(lit(1)).over(Window.partitionBy("label")).as("n_members")), round)
   }
 
@@ -998,10 +1073,18 @@ object Dedup {
         lit(s"saSubstrDedup: pos >= 2^$posBits for doc_id="), col("doc_id"))))
       .cast("long")
     // length-1 classes: min packed (doc_id, pos) per distinct token;
-    // corpus-unique tokens exit before the first refinement round
-    val tokCls = toks.groupBy("tok")
-      .agg(min(packed).as("cid"), count(lit(1)).as("n"))
-    var cur = snap(toks.join(tokCls, "tok").filter(col("n") >= 2)
+    // corpus-unique tokens exit before the first refinement round.
+    // WINDOW aggregation, not groupBy + join-back (r18): the class id
+    // and the class size land on every member row out of ONE exchange
+    // of the position table, where the aggregate-then-rejoin form
+    // paid that exchange for the aggregate AND again for the join
+    // side (2 corpus-scale exchanges per round -> 1; values identical
+    // — min/count over the whole partition frame, no ordering).
+    val wTok = Window.partitionBy("tok")
+    var cur = snap(toks
+      .withColumn("cid", min(packed).over(wTok))
+      .withColumn("n", count(lit(1)).over(wTok))
+      .filter(col("n") >= 2)
       .select(col("doc_id"), col("pos"), col("cid")))
     var k = 1
     def refine(shift: Int): Unit = {
@@ -1011,17 +1094,20 @@ object Dedup {
       // singleton (partner pruned as unique, or head too close to the
       // document end to head a full window) — drop it now
       val paired = cur.join(right, Seq("doc_id", "pos"))
-      val grp = paired.groupBy("cid", "cid2")
-        .agg(min(packed).as("ncid"), count(lit(1)).as("n"))
-      cur = snap(paired.join(grp.filter(col("n") >= 2), Seq("cid", "cid2"))
+      val wCls = Window.partitionBy("cid", "cid2")
+      cur = snap(paired
+        .withColumn("ncid", min(packed).over(wCls))
+        .withColumn("n", count(lit(1)).over(wCls))
+        .filter(col("n") >= 2)
         .select(col("doc_id"), col("pos"), col("ncid").as("cid")))
     }
     while (k * 2 <= w) { refine(k); k *= 2 }
     if (k < w) refine(w - k) // overlapped final step -> exact length w
     val winCls = cur.join(lens, "doc_id").filter(col("pos") + (w - 1) <= col("len"))
-    val dup = winCls.groupBy("cid").agg(count(lit(1)).as("n_occ"))
+    // same window-over-groupBy+join trade as the refinement rounds
+    val covered = winCls
+      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy("cid")))
       .filter(col("n_occ") >= 2)
-    val covered = winCls.join(dup, Seq("cid"))
       .filter(col("cid") =!= (shiftleft(col("doc_id"), posBits) + col("pos")))
       .select(col("doc_id"),
         explode(expr(s"sequence(pos, pos + ${w - 1})")).as("pos"))

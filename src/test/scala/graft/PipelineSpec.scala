@@ -296,13 +296,16 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(out.size == 10)
     assert((0L to 9L).forall(out(_) == (0L, 10L)))
-    // and the maxIters runaway guard still bounds the loop: 2 rounds
-    // leave the far end of the chain deterministically under-merged
-    // (neighbor jump + chained self-jump reach label 5 at node 9 by
-    // round 2: least(8, nmin 7, label(nmin) 6, label^4 5) = 5)
-    val bounded = Dedup.connectedComponents(pairs, maxIters = 2)
+    // and the maxIters runaway guard still bounds the loop: on an
+    // adversarially-ordered (monotone-id) chain longer than 2 rounds'
+    // capped compression can cover (t^64 advances at most 64 nodes
+    // per round on such a chain), the far end must come out
+    // deterministically under-merged — the guard property, pinned
+    // without re-pinning the per-round recurrence's exact labels
+    val longPairs = (0L until 299L).map(i => (i, i + 1)).toDF("a", "b")
+    val bounded = Dedup.connectedComponents(longPairs, maxIters = 2)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(bounded(9L) == 5L)
+    assert(bounded(299L) != 0L, s"expected node 299 under-merged, got ${bounded(299L)}")
   }
 
   test("connectedComponents: two-sided chained jumps converge a 100-node path in <= 6 rounds") {
