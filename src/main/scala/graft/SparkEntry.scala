@@ -164,6 +164,10 @@ object SparkEntry {
     // counts/ranges if a fixture dir is regenerated mid-process
     bpeMergeCache.keys.filter(_._1 eq s).foreach(bpeMergeCache.remove)
     lshCandDocsCache.keys.filter(_._1 eq s).foreach(lshCandDocsCache.remove)
+    benchSetCache.keys.filter(_._1 eq s).foreach { k =>
+      benchSetCache.remove(k).foreach(b =>
+        try b.destroy() catch { case _: Throwable => () })
+    }
     docCountCache.keys.filter(_._1 eq s).foreach(docCountCache.remove)
     quantRangesCache.keys.filter(_._1 eq s).foreach(quantRangesCache.remove)
     pqCache.keys.filter(_._1 eq s).foreach(pqCache.remove)
@@ -404,6 +408,28 @@ object SparkEntry {
     * flat-per-round-wall-time check, without a code edit.
     */
   private def ccVerbose: Boolean = sys.env.contains("GRAFT_CC_VERBOSE")
+
+  /** BROADCAST benchmark shingle-hash set (distinct h1 of the doc_id
+    * % 97 == 0 eval slice), memoized per (session, dir): the trained
+    * blocklist artifact of the streaming decontamination/curation
+    * queries — the quantRanges/centroids pattern (train once, apply
+    * per arriving row). Two declared stream queries collected the
+    * identical set from a fresh corpus scan on every call (r18
+    * profile: ~0.5-1 s each per bench run). Values are unchanged:
+    * same slice, same shingle normalization, same distinct h1.
+    */
+  private val benchSetCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), org.apache.spark.broadcast.Broadcast[Set[Long]]]
+  private def benchShingleSet(s: SparkSession, dir: String):
+      org.apache.spark.broadcast.Broadcast[Set[Long]] =
+    benchSetCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      s.sparkContext.broadcast(
+        Dedup.shingleHashes(Dedup.shingles(
+            s.read.parquet(s"$dir/documents.parquet").filter(col("doc_id") % 97 === 0),
+            distinct = false))
+          .select(col("h1")).distinct().as[Long].collect().toSet)
+    })
 
   private val docCountCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
@@ -2143,11 +2169,7 @@ object SparkEntry {
         .filter(col("doc_id") % 97 =!= 0 && col("text").isNotNull)
       val sc = probes.sparkSession
       import sc.implicits._
-      val benchSet = sc.sparkContext.broadcast(
-        Dedup.shingleHashes(Dedup.shingles(
-            sc.read.parquet(s"$dir/documents.parquet").filter(col("doc_id") % 97 === 0),
-            distinct = false))
-          .select(col("h1")).distinct().as[Long].collect().toSet)
+      val benchSet = benchShingleSet(sc, dir)
       val flagged = probes.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
         .map { case (id, t) =>
           val set = Dedup.shingleH1sOf(t)
@@ -2183,11 +2205,7 @@ object SparkEntry {
       val probes = documentsStream(s, dir).filter(col("doc_id") % 97 =!= 0)
       val sc = probes.sparkSession
       import sc.implicits._
-      val benchSet = sc.sparkContext.broadcast(
-        Dedup.shingleHashes(Dedup.shingles(
-            sc.read.parquet(s"$dir/documents.parquet").filter(col("doc_id") % 97 === 0),
-            distinct = false))
-          .select(col("h1")).distinct().as[Long].collect().toSet)
+      val benchSet = benchShingleSet(sc, dir)
       val sigs = TextAnalysis.redactPii(probes.withColumn("itext", piiInjectExpr),
           textCol = "itext", keep = Seq("lang", "text"))
         .select(col("doc_id").cast("long"), col("lang"), col("text"),
@@ -2430,21 +2448,17 @@ object SparkEntry {
       // by the shared estimator/read-off. Bounded stream ≡ batch →
       // same oracle as q_profile_card
       import graft.streaming.StreamingOps._
-      def f = documentsStream(s, dir).select(col("source"),
+      // ONE streaming pass for both sketches (runProfileSketches):
+      // the two complete-mode aggregates cannot share a streaming
+      // query, but their merges are associative, so foreachBatch
+      // computes both per batch and re-merges constant-size state —
+      // one corpus scan + one engine start instead of two (r18). The
+      // returned frames are RDD-rebased (fresh attribute ids), so the
+      // quantile read-off's self-join needs no extra shed.
+      val f = documentsStream(s, dir).select(col("source"),
         TextAnalysis.fingerprint(col("text")).as("fp"),
         TextAnalysis.wsTokenCount(col("text")).as("n_toks"))
-      // shed the MemoryPlan: quantilesFromBins self-joins its input
-      // (cum leg × totals leg) and the memory-sink view's attributes
-      // don't deduplicate across the two references (INTERNAL_ERROR
-      // "conflicting references") — rebasing on the RDD gives the
-      // join fresh attribute ids (the Dedup.ckpt stats-shed trick)
-      def shed(df: DataFrame) = s.createDataFrame(df.rdd, df.schema)
-      val regs = shed(runToMemorySink(
-        Sketches.hllRegisters(f, col("fp"), Seq("source")),
-        "stream_prof_regs", mode = "complete"))
-      val bins = shed(runToMemorySink(
-        Sketches.histBins(f, col("n_toks"), Seq("source"), width = 4, nbins = 32),
-        "stream_prof_bins", mode = "complete"))
+      val (regs, bins) = runProfileSketches(f)
       Sketches.quantilesFromBins(bins, Seq("source"), width = 4)
         .join(Sketches.hllEstimate(regs, Seq("source")), Seq("source"))
     }),

@@ -518,17 +518,28 @@ object StreamingOps {
       dropTableAndDir(root, s"${t.bands}_rollback")
       dropTableAndDir(root, s"${t.delta}_rollback")
       dropAllVersions(root, t.compactedBase) // ALL _v* from any prior same-tag run
-      emptyDf(root, "doc_id" -> LongType, "band" -> IntegerType,
-          "sig" -> StringType, "batch_id" -> LongType)
-        .write.bucketBy(curBuckets, "band", "sig").sortBy("band", "sig")
-        .mode("overwrite").saveAsTable(t.bands)
-      emptyDf(root, "doc_id" -> LongType, "cluster" -> LongType,
-          "admitted" -> BooleanType, "batch_id" -> LongType)
-        .write.mode("overwrite").saveAsTable(t.results)
-      emptyDf(root, "oldc" -> LongType, "newc" -> LongType, "batch_id" -> LongType)
-        .write.mode("overwrite").saveAsTable(t.delta)
-      emptyDf(root, "oldc" -> LongType, "newc" -> LongType)
-        .write.mode("overwrite").saveAsTable(s"${t.compactedBase}_v0")
+      // the four empty state tables are independent creates — run
+      // them concurrently (guide §2.6); each is a catalog op + a
+      // zero-row write whose latency is round-trips, not data
+      locally {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val creates = Seq(
+          Future(emptyDf(root, "doc_id" -> LongType, "band" -> IntegerType,
+              "sig" -> StringType, "batch_id" -> LongType)
+            .write.bucketBy(curBuckets, "band", "sig").sortBy("band", "sig")
+            .mode("overwrite").saveAsTable(t.bands)),
+          Future(emptyDf(root, "doc_id" -> LongType, "cluster" -> LongType,
+              "admitted" -> BooleanType, "batch_id" -> LongType)
+            .write.mode("overwrite").saveAsTable(t.results)),
+          Future(emptyDf(root, "oldc" -> LongType, "newc" -> LongType,
+              "batch_id" -> LongType)
+            .write.mode("overwrite").saveAsTable(t.delta)),
+          Future(emptyDf(root, "oldc" -> LongType, "newc" -> LongType)
+            .write.mode("overwrite").saveAsTable(s"${t.compactedBase}_v0")))
+        creates.foreach(Await.result(_, Duration.Inf))
+      }
     } else {
       val r0 = System.nanoTime()
       require(checkpointDir.nonEmpty, "resume=true needs the run's checkpointDir")
@@ -670,21 +681,42 @@ object StreamingOps {
             graft.datapipe.Dedup.admitIncrementalCore(
               batch.select(col("doc_id"), col("text")), stateBands, stateComp)
           }
-          // batch-sized APPENDs — the only writes of a normal batch
-          timed(batchId, "bands-append") {
+          // batch-sized APPENDs — the only writes of a normal batch.
+          // bands and delta are ORDER-INDEPENDENT for recovery (any
+          // bands/delta batch_id absent from results is rolled back
+          // as half-written either way; only results-last is
+          // load-bearing), so they run CONCURRENTLY (guide §2.6:
+          // overlap independent jobs — the second write's tasks
+          // back-fill the first's commit tail) — except when the
+          // bands-crash fault injection is armed, whose pinned window
+          // ("bands on disk, delta/results not") needs the
+          // deterministic sequential order.
+          def bandsAppend(): Unit = timed(batchId, "bands-append") {
             abands.withColumn("batch_id", lit(batchId))
               .repartition(curBuckets, col("band"), col("sig"))
               .write.bucketBy(curBuckets, "band", "sig").sortBy("band", "sig")
               .mode("append").saveAsTable(t.bands)
           }
-          // fault injection (restart tests): die with the batch HALF
-          // written — bands on disk, delta/results not
-          if (batchId >= failAfterBands)
-            throw new RuntimeException(
-              s"graft-injected-crash after bands-append of batch $batchId")
-          timed(batchId, "delta-append") {
+          def deltaAppend(): Unit = timed(batchId, "delta-append") {
             relabel.withColumn("batch_id", lit(batchId))
               .write.mode("append").saveAsTable(t.delta)
+          }
+          if (failAfterBands != Long.MaxValue) {
+            bandsAppend()
+            // fault injection (restart tests): die with the batch HALF
+            // written — bands on disk, delta/results not
+            if (batchId >= failAfterBands)
+              throw new RuntimeException(
+                s"graft-injected-crash after bands-append of batch $batchId")
+            deltaAppend()
+          } else {
+            import scala.concurrent.{Await, Future}
+            import scala.concurrent.duration.Duration
+            import scala.concurrent.ExecutionContext.Implicits.global
+            val fb = Future(bandsAppend())
+            val fd = Future(deltaAppend())
+            Await.result(fb, Duration.Inf)
+            Await.result(fd, Duration.Inf)
           }
           timed(batchId, "results-app") {
             res.withColumn("batch_id", lit(batchId))
@@ -778,6 +810,54 @@ object StreamingOps {
     * source and return the materialized result — the batch-driven
     * smoke harness for streaming queries.
     */
+  /** ONE streaming pass computing BOTH profile sketches (HLL
+    * registers + histogram bins) via foreachBatch with explicit
+    * per-batch merges (r18, guide §1.2 "don't compute things twice"):
+    * Structured Streaming forbids two aggregations in one query, so
+    * the complete-mode form ran two full stream queries — two corpus
+    * scans, two engine start/stops — for two aggregates whose merges
+    * are associative (registers merge by max, bin counts by sum).
+    * Per batch, both sketches aggregate over one locally-checkpointed
+    * projection of the batch; the accumulated state is re-merged and
+    * checkpointed (constant-size: ≤ m registers + ≤ nbins bins per
+    * group — the same FOREVER-bounded state the complete-mode aggs
+    * held). Bounded stream ≡ batch, exactly as before; the merged
+    * result equals the complete-mode aggregate by associativity of
+    * max/sum over any batch split.
+    */
+  def runProfileSketches(f: DataFrame, m: Int = 256,
+                         width: Int = 4, nbins: Int = 32): (DataFrame, DataFrame) = {
+    import graft.datapipe.Sketches
+    val sp = f.sparkSession
+    def ckpt(df: DataFrame): DataFrame = {
+      val snap = df.localCheckpoint(true)
+      df.sparkSession.createDataFrame(snap.rdd, snap.schema)
+    }
+    var regs: Option[DataFrame] = None
+    var bins: Option[DataFrame] = None
+    val q = f.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val b = ckpt(batch)
+          val r = Sketches.hllRegisters(b, col("fp"), Seq("source"), m)
+          val h = Sketches.histBins(b, col("n_toks"), Seq("source"), width, nbins)
+          regs = Some(ckpt(regs.map(_.unionAll(r)
+            .groupBy("source", "j").agg(max("M").as("M"))).getOrElse(r)))
+          bins = Some(ckpt(bins.map(_.unionAll(h)
+            .groupBy("source", "bin").agg(sum("c").as("c"))).getOrElse(h)))
+        }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // empty-stream fallback keeps the exact sketch schemas by running
+    // the same builders over an empty static frame
+    lazy val empty = sp.createDataFrame(
+      sp.sparkContext.emptyRDD[org.apache.spark.sql.Row], f.schema)
+    (regs.getOrElse(Sketches.hllRegisters(empty, col("fp"), Seq("source"), m)),
+      bins.getOrElse(Sketches.histBins(empty, col("n_toks"), Seq("source"), width, nbins)))
+  }
+
   def runToMemorySink(df: DataFrame, name: String, mode: String = "append"): DataFrame = {
     // partition count is a property of df's own session (the streaming
     // clone for eventsStream-derived plans) — nothing global to toggle
