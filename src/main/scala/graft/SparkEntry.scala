@@ -152,7 +152,8 @@ object SparkEntry {
     */
   def release(s: SparkSession): Unit = {
     Seq(evCache, uniformCache, embCache, docsCache, welchRmsCache, shingleCache, termCountCache,
-        lshCandCache, pairSetsCache, componentsCache, redactedCache, pngCache).foreach { c =>
+        lshCandCache, pairSetsCache, componentsCache, redactedCache, pngCache,
+        pixelPhashCache).foreach { c =>
       c.keys.filter(_._1 eq s).foreach { k =>
         c.remove(k).foreach(df =>
           try df.unpersist(blocking = false) catch { case _: Throwable => () })
@@ -207,7 +208,7 @@ object SparkEntry {
       "terms" -> termCountCache, "lshcands" -> lshCandCache,
       "pairsets" -> pairSetsCache,
       "components" -> componentsCache, "redacted" -> redactedCache,
-      "pngs" -> pngCache)
+      "pngs" -> pngCache, "phash" -> pixelPhashCache)
     // a typo'd KEEP name would be silently ignored and the cache
     // dropped anyway — reintroducing the ~20-min shingle rebuild the
     // flag exists to avoid, with no diagnostic
@@ -345,6 +346,21 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def pngs(s: SparkSession, dir: String): DataFrame =
     memo(pngCache, s, dir)(Multimodal.syntheticPngs(docs(s, dir)).cache())
+
+  /** Decoded pixel-aHash table over the PNG corpus, memoized per
+    * (session, dir) for CONSUMERS of the signature (q_pair_dedup's
+    * media leg) — the componentsCache pattern: q_media_pixel_phash
+    * itself keeps decoding FRESH each call, so the benched number
+    * stays the real codec roundtrip, while the cross-modality gate
+    * consumes the signature table compute-once/read-many (at
+    * production scale the phash column is a table, not a per-query
+    * re-decode of the corpus). Dropped by releaseHeavy ("phash").
+    */
+  private val pixelPhashCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def pixelPhashes(s: SparkSession, dir: String): DataFrame =
+    memo(pixelPhashCache, s, dir)(
+      Multimodal.pixelPhash(pngs(s, dir)).cache())
 
   /** LSH candidate pairs over the shared shingle table, cached per
     * (session, dir): the near-dup count query and the
@@ -1705,7 +1721,7 @@ object SparkEntry {
           Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("component"), col("doc_id")).as("text_rep"))
-      val ph = Multimodal.pixelPhash(pngs(s, dir))
+      val ph = pixelPhashes(s, dir)
         .select(col("media_id"), col("phash"))
       val mediaRep = ph
         .join(ph.groupBy("phash").agg(min("media_id").as("media_rep")), Seq("phash"))

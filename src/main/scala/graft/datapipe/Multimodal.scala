@@ -22,6 +22,15 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO defaults to useCache=true: every ImageIO.read/write over a
+  // stream round-trips through a DISK-backed cache file (create +
+  // write + delete per image) — measured as the dominant per-image
+  // cost of the codec kernels at fixture scale (r18). The payloads
+  // here are byte arrays already in memory; the in-memory stream cache
+  // decodes identical pixels. JVM-global, set once per executor
+  // classload.
+  javax.imageio.ImageIO.setUseCache(false)
+
   case class MediaRecord(media_id: Long, kind: String, bytes: Array[Byte])
   // feature histogram in DOUBLE: counts/n divides identically in any
   // engine, so the whole decode output is oracle-checkable value-exact
