@@ -153,7 +153,7 @@ object SparkEntry {
   def release(s: SparkSession): Unit = {
     Seq(evCache, uniformCache, embCache, docsCache, welchRmsCache, shingleCache, termCountCache,
         lshCandCache, pairSetsCache, componentsCache, redactedCache, pngCache,
-        pixelPhashCache).foreach { c =>
+        pixelPhashCache, annTruthCache).foreach { c =>
       c.keys.filter(_._1 eq s).foreach { k =>
         c.remove(k).foreach(df =>
           try df.unpersist(blocking = false) catch { case _: Throwable => () })
@@ -164,6 +164,13 @@ object SparkEntry {
     // releases the stopped session reference and guards against stale
     // counts/ranges if a fixture dir is regenerated mid-process
     bpeMergeCache.keys.filter(_._1 eq s).foreach(bpeMergeCache.remove)
+    vocabSizeCache.keys.filter(_._1 eq s).foreach(vocabSizeCache.remove)
+    lmModelCache.keys.filter(_._1 eq s).foreach { k =>
+      lmModelCache.remove(k).foreach { case (cb, cw, _) =>
+        try { cb.unpersist(blocking = false); cw.unpersist(blocking = false) }
+        catch { case _: Throwable => () }
+      }
+    }
     lshCandDocsCache.keys.filter(_._1 eq s).foreach(lshCandDocsCache.remove)
     benchSetCache.keys.filter(_._1 eq s).foreach { k =>
       benchSetCache.remove(k).foreach(b =>
@@ -208,11 +215,12 @@ object SparkEntry {
       "terms" -> termCountCache, "lshcands" -> lshCandCache,
       "pairsets" -> pairSetsCache,
       "components" -> componentsCache, "redacted" -> redactedCache,
-      "pngs" -> pngCache, "phash" -> pixelPhashCache)
+      "pngs" -> pngCache, "phash" -> pixelPhashCache,
+      "truth" -> annTruthCache)
     // a typo'd KEEP name would be silently ignored and the cache
     // dropped anyway — reintroducing the ~20-min shingle rebuild the
     // flag exists to avoid, with no diagnostic
-    val known = caches.map(_._1).toSet
+    val known = caches.map(_._1).toSet + "lmmodel"
     (keep -- known).foreach(k => System.err.println(
       s"[graft] WARNING: SPARK_GRAFT_KEEP entry '$k' matches no cache " +
         s"(known: ${known.toSeq.sorted.mkString(", ")}) — it will be dropped"))
@@ -223,6 +231,17 @@ object SparkEntry {
             try df.unpersist(blocking = true) catch { case _: Throwable => () })
         }
     }
+    // the trained bigram model's cached tables are vocab-bounded, not
+    // corpus-sized, but they still hold block memory — drop them with
+    // the heavies (rebuilt by the consumer's own warmup in isolate
+    // mode); keyed "lmmodel" for SPARK_GRAFT_KEEP symmetry
+    if (!keep("lmmodel"))
+      lmModelCache.keys.filter(_._1 eq s).foreach { k =>
+        lmModelCache.remove(k).foreach { case (cb, cw, _) =>
+          try { cb.unpersist(blocking = true); cw.unpersist(blocking = true) }
+          catch { case _: Throwable => () }
+        }
+      }
   }
 
   /** SPARK_GRAFT_NOCACHE=1 disables the events/uniform session caches
@@ -446,6 +465,49 @@ object SparkEntry {
             distinct = false))
           .select(col("h1")).distinct().as[Long].collect().toSet)
     })
+
+  /** Corpus vocabulary size (distinct terms), memoized per (session,
+    * dir): one number consumed at PLAN BUILD by every LM-scoring
+    * query — each call otherwise pays a distinct-count job (r18).
+    */
+  private val vocabSizeCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+  private def vocabSize(s: SparkSession, dir: String): Long =
+    vocabSizeCache.getOrElseUpdate((s, dir),
+      docTermCounts(s, dir).select(col("term")).distinct().count())
+
+  /** Trained corpus bigram model (cb, cw, V) for lmScoreAgainst,
+    * memoized per (session, dir) — the quantRanges/centroids pattern:
+    * the model is a batch artifact trained once on the raw corpus and
+    * consumed by every downstream scorer (q_curate_rewrite); the
+    * self-scored q_lm_score keeps training FRESH each call (it IS the
+    * training benchmark). Model tables are cached (vocab-bounded) and
+    * dropped in release().
+    */
+  private val lmModelCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame, Long)]
+  private def lmModel(s: SparkSession, dir: String): (DataFrame, DataFrame, Long) =
+    lmModelCache.getOrElseUpdate((s, dir), {
+      val (cb, cw, _) = TextAnalysis.lmModelOf(docs(s, dir))
+      (cb.cache(), cw.cache(), vocabSize(s, dir))
+    })
+
+  /** Exact brute-force top-10 ground truth over the fixed probe
+    * panel, memoized per (session, dir): the shared EVAL artifact of
+    * all five recall queries (pq/rpq/opq/ann/int8) — each still
+    * computes its own index path and recall join; only the identical
+    * truth table stops being recomputed five times per sweep (r18).
+    * q_cosine_topk, whose OUTPUT is the brute-force scan, keeps
+    * computing fresh. Dropped by releaseHeavy ("truth").
+    */
+  private val annTruthCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def annTruth(s: SparkSession, dir: String): DataFrame =
+    memo(annTruthCache, s, dir) {
+      val e = emb(s, dir)
+      Similarity.bruteForceTopK(e, e.filter(probePanel), k = 10)
+        .select(col("query_id"), col("neighbor_id")).cache()
+    }
 
   private val docCountCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
@@ -1558,8 +1620,7 @@ object SparkEntry {
       // sides, hence oracle-checkable
       val e = emb(s, dir)
       val q = e.filter(probePanel)
-      val truth = Similarity.bruteForceTopK(e, q, k = 10)
-        .select(col("query_id"), col("neighbor_id"))
+      val truth = annTruth(s, dir)
       recallPerQuery(truth, Similarity.annTopK(e, q, k = 10, dims = 64), "ann")
         .unionAll(recallPerQuery(truth,
           Similarity.ivfTopK(e, q, k = 10, nlist = 16, nprobe = 4, dims = 64), "ivf"))
@@ -1572,8 +1633,7 @@ object SparkEntry {
       // the float IVF — the number that prices the 4x storage shrink
       val e = emb(s, dir)
       val q = e.filter(probePanel)
-      val truth = Similarity.bruteForceTopK(e, q, k = 10)
-        .select(col("query_id"), col("neighbor_id"))
+      val truth = annTruth(s, dir)
       val ranges = quantRanges(s, dir)
       val codes = Similarity.quantizeInt8(e, ranges)
       // TRAINED routing (r8 verdict #5): both legs now route on the
@@ -1599,8 +1659,7 @@ object SparkEntry {
       // recall harness as the int8 and IVF paths
       val e = emb(s, dir)
       val q = e.filter(probePanel)
-      val truth = Similarity.bruteForceTopK(e, q, k = 10)
-        .select(col("query_id"), col("neighbor_id"))
+      val truth = annTruth(s, dir)
       val books = pqBooks(s, dir)
       val codes = Similarity.pqEncode(e, books)
       // trained routing, as in q_ann_int8_recall (r8 verdict #5)
@@ -1623,8 +1682,7 @@ object SparkEntry {
       // encoding at identical bytes/vector
       val e = emb(s, dir)
       val q = e.filter(probePanel)
-      val truth = Similarity.bruteForceTopK(e, q, k = 10)
-        .select(col("query_id"), col("neighbor_id"))
+      val truth = annTruth(s, dir)
       val cents = trainedCents(s, dir)
       val books = rpqBooks(s, dir)
       val codes = Similarity.residualPqEncode(e, cents, books)
@@ -1648,8 +1706,7 @@ object SparkEntry {
       // orthogonality, objective descent, recall >= identity)
       val e = emb(s, dir)
       val q = e.filter(probePanel)
-      val truth = Similarity.bruteForceTopK(e, q, k = 10)
-        .select(col("query_id"), col("neighbor_id"))
+      val truth = annTruth(s, dir)
       val cents = trainedCents(s, dir)
       val (rot, books) = opqFit(s, dir)
       opqCapture = opqCapture + (dir -> ((cents, rot, books)))
@@ -2358,7 +2415,8 @@ object SparkEntry {
       // CCNet-style LM quality filter: corpus-trained add-one bigram
       // model, per-doc mean conditional log-probability — the model is
       // an aggregate of the same job, no external artifacts
-      TextAnalysis.lmScore(docs(s, dir), tc = Some(docTermCounts(s, dir)))),
+      TextAnalysis.lmScore(docs(s, dir), tc = Some(docTermCounts(s, dir)),
+        vocabSizeHint = Some(vocabSize(s, dir)))),
 
     "q_dsir_score" -> ((s, dir) =>
       // DSIR hashed-n-gram importance weights (Xie et al. 2023):
@@ -2627,7 +2685,8 @@ object SparkEntry {
         .localCheckpoint(false)
       val lm = TextAnalysis.lmScoreAgainst(
           red.select(col("doc_id"), col("redacted").as("text")), docs(s, dir),
-          modelTc = Some(docTermCounts(s, dir)))
+          modelTc = Some(docTermCounts(s, dir)),
+          prebuiltModel = Some(lmModel(s, dir)))
         .select(col("doc_id"), col("lm_score"))
       val qual = round(TextAnalysis.qualityScore(col("redacted")) + 1e-7, 4)
       val dedupOk = col("n_kept") * 2 >= col("n_chunks")
