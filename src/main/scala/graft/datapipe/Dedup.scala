@@ -793,11 +793,26 @@ object Dedup {
     // maxIters stays the runaway guard: the t^64 cap covers >= 64
     // hops per round even on an adversarially-ordered chain, far
     // beyond any real candidate-graph diameter.
-    var m = ckpt(edges.select(col("x").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")), eager = true)
+    val nodes = ckpt(edges.select(col("x").as("doc_id")).distinct(),
+      eager = true)
+    // per-round contraction maps, resolved ONCE after the loop: the
+    // map composition m = f_r ∘ … ∘ f_1 needs no per-round
+    // materialization (each f is a checkpointed leaf and the round
+    // count is ~log2(diameter)), so deferring it drops one eager-
+    // checkpoint job per round from the critical path (r18: the
+    // per-round cost at fixture scale is serialized tiny-job latency,
+    // not data)
+    val fs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var live = edges
     var nEdges = 1L
     var round = 0
+    // COUNTED broadcast gate (the pairOverlap discipline: counts,
+    // never estimates — checkpointed leaves have no stats, so the
+    // planner would shuffle-join these node-sized tables at any
+    // size). Node counts only SHRINK under contraction, so once a
+    // round is below the gate every later round is too and the count
+    // job is skipped.
+    var bcOk = false
     while (nEdges > 0 && round < maxIters) {
       round += 1
       val t0 = System.nanoTime()
@@ -805,15 +820,7 @@ object Dedup {
       val t = ckpt(live.groupBy("x").agg(min("y").as("ny"))
         .select(col("x").as("node"), least(col("x"), col("ny")).as("tgt")),
         eager = true)
-      // COUNTED broadcast gate (the pairOverlap discipline: counts,
-      // never estimates — the checkpointed leaf has no stats, so the
-      // planner would shuffle-join these node-sized tables at any
-      // size). t is already materialized, so the count is a cheap
-      // in-memory job; below the gate every compression/remap join
-      // broadcasts the node-sized side map-side, above it the plan
-      // falls back to the shuffle joins that scale. The gate changes
-      // the plan, never the answer.
-      val bcOk = t.count() <= CcBroadcastMaxNodes
+      if (!bcOk) bcOk = t.count() <= CcBroadcastMaxNodes
       def maybeBc(df: DataFrame): DataFrame = if (bcOk) broadcast(df) else df
       // capped compression: f = t^64 by composition squaring over the
       // materialized leaf (6 joins; every tgt is a node in t, so each
@@ -826,6 +833,7 @@ object Dedup {
           .select(col("node"), col("t2").as("tgt"))
       }
       f = ckpt(f, eager = true)
+      fs += f
       // contract the quotient graph; the eager checkpoint is the
       // round's materialization action and the count reads its blocks
       live = ckpt(live
@@ -835,14 +843,6 @@ object Dedup {
         .filter(col("x") =!= col("y"))
         .distinct(), eager = true)
       nEdges = live.count()
-      // fold this round's contraction into the resolved-label map;
-      // finished supernodes (no surviving edges) are absent from f
-      // and keep their label via the left join
-      m = ckpt(m
-        .join(maybeBc(f.select(col("node").as("label"), col("tgt"))),
-          Seq("label"), "left")
-        .select(col("doc_id"), coalesce(col("tgt"), col("label")).as("label")),
-        eager = true)
       // observability: quotient-size progress + per-round wall time
       // are the dials that say whether maxIters is sized right —
       // gated off by default (a library must not write to stderr)
@@ -850,8 +850,17 @@ object Dedup {
         f"[cc] round $round quotient_edges=$nEdges ${(System.nanoTime() - t0) / 1e6}%.0f ms")
     }
     lastCcRounds.set(round)
-    // m is checkpointed (no lineage back through the edge list), so
-    // the cached pair table can be released immediately
+    // resolve every original node through the round maps: nodes
+    // absent from a round's f (no surviving edges) keep their current
+    // label via the left join — identical math to a per-round fold
+    val m = fs.zipWithIndex.foldLeft(
+        nodes.withColumn("label", col("doc_id"))) { case (acc, (f, i)) =>
+      acc.join(f.select(col("node"), col("tgt").as(s"t$i")),
+          acc("label") === f("node"), "left")
+        .select(col("doc_id"), coalesce(col(s"t$i"), col("label")).as("label"))
+    }
+    // m's lineage is `rounds` joins over checkpointed leaves — bounded
+    // and shallow; the cached pair table is no longer referenced
     edges.unpersist(blocking = false)
     (m.select(col("doc_id"), col("label").as("component"),
       count(lit(1)).over(Window.partitionBy("label")).as("n_members")), round)
