@@ -152,8 +152,7 @@ object SparkEntry {
     */
   def release(s: SparkSession): Unit = {
     Seq(evCache, uniformCache, embCache, docsCache, welchRmsCache, shingleCache, termCountCache,
-        lshCandCache, pairSetsCache, componentsCache, redactedCache, pngCache,
-        pixelPhashCache, annTruthCache).foreach { c =>
+        lshCandCache, componentsCache, redactedCache, pngCache).foreach { c =>
       c.keys.filter(_._1 eq s).foreach { k =>
         c.remove(k).foreach(df =>
           try df.unpersist(blocking = false) catch { case _: Throwable => () })
@@ -164,18 +163,7 @@ object SparkEntry {
     // releases the stopped session reference and guards against stale
     // counts/ranges if a fixture dir is regenerated mid-process
     bpeMergeCache.keys.filter(_._1 eq s).foreach(bpeMergeCache.remove)
-    vocabSizeCache.keys.filter(_._1 eq s).foreach(vocabSizeCache.remove)
-    lmModelCache.keys.filter(_._1 eq s).foreach { k =>
-      lmModelCache.remove(k).foreach { case (cb, cw, _) =>
-        try { cb.unpersist(blocking = false); cw.unpersist(blocking = false) }
-        catch { case _: Throwable => () }
-      }
-    }
     lshCandDocsCache.keys.filter(_._1 eq s).foreach(lshCandDocsCache.remove)
-    benchSetCache.keys.filter(_._1 eq s).foreach { k =>
-      benchSetCache.remove(k).foreach(b =>
-        try b.destroy() catch { case _: Throwable => () })
-    }
     docCountCache.keys.filter(_._1 eq s).foreach(docCountCache.remove)
     quantRangesCache.keys.filter(_._1 eq s).foreach(quantRangesCache.remove)
     pqCache.keys.filter(_._1 eq s).foreach(pqCache.remove)
@@ -213,14 +201,12 @@ object SparkEntry {
       .getOrElse(Set.empty[String])
     val caches = Seq("welch" -> welchRmsCache, "shingles" -> shingleCache,
       "terms" -> termCountCache, "lshcands" -> lshCandCache,
-      "pairsets" -> pairSetsCache,
       "components" -> componentsCache, "redacted" -> redactedCache,
-      "pngs" -> pngCache, "phash" -> pixelPhashCache,
-      "truth" -> annTruthCache)
+      "pngs" -> pngCache)
     // a typo'd KEEP name would be silently ignored and the cache
     // dropped anyway — reintroducing the ~20-min shingle rebuild the
     // flag exists to avoid, with no diagnostic
-    val known = caches.map(_._1).toSet + "lmmodel"
+    val known = caches.map(_._1).toSet
     (keep -- known).foreach(k => System.err.println(
       s"[graft] WARNING: SPARK_GRAFT_KEEP entry '$k' matches no cache " +
         s"(known: ${known.toSeq.sorted.mkString(", ")}) — it will be dropped"))
@@ -231,17 +217,6 @@ object SparkEntry {
             try df.unpersist(blocking = true) catch { case _: Throwable => () })
         }
     }
-    // the trained bigram model's cached tables are vocab-bounded, not
-    // corpus-sized, but they still hold block memory — drop them with
-    // the heavies (rebuilt by the consumer's own warmup in isolate
-    // mode); keyed "lmmodel" for SPARK_GRAFT_KEEP symmetry
-    if (!keep("lmmodel"))
-      lmModelCache.keys.filter(_._1 eq s).foreach { k =>
-        lmModelCache.remove(k).foreach { case (cb, cw, _) =>
-          try { cb.unpersist(blocking = true); cw.unpersist(blocking = true) }
-          catch { case _: Throwable => () }
-        }
-      }
   }
 
   /** SPARK_GRAFT_NOCACHE=1 disables the events/uniform session caches
@@ -366,20 +341,17 @@ object SparkEntry {
   private def pngs(s: SparkSession, dir: String): DataFrame =
     memo(pngCache, s, dir)(Multimodal.syntheticPngs(docs(s, dir)).cache())
 
-  /** Decoded pixel-aHash table over the PNG corpus, memoized per
-    * (session, dir) for CONSUMERS of the signature (q_pair_dedup's
-    * media leg) — the componentsCache pattern: q_media_pixel_phash
-    * itself keeps decoding FRESH each call, so the benched number
-    * stays the real codec roundtrip, while the cross-modality gate
-    * consumes the signature table compute-once/read-many (at
-    * production scale the phash column is a table, not a per-query
-    * re-decode of the corpus). Dropped by releaseHeavy ("phash").
+  /** Decoded pixel-aHash table over the PNG corpus, built FRESH per
+    * call (the r18 cross-run memo made the consumer's bench number a
+    * cache read — r18 verdict #1): the decode is part of what
+    * q_pair_dedup computes. Locally checkpointed so the ONE plan's two
+    * consumers of the signature table (the per-media row and the
+    * phash-grouped representative side of the self-join) share a
+    * single decode pass instead of decoding the corpus twice per call.
     */
-  private val pixelPhashCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def pixelPhashes(s: SparkSession, dir: String): DataFrame =
-    memo(pixelPhashCache, s, dir)(
-      Multimodal.pixelPhash(pngs(s, dir)).cache())
+  private def pixelPhashesFresh(s: SparkSession, dir: String): DataFrame =
+    Multimodal.pixelPhash(pngs(s, dir))
+      .select(col("media_id"), col("phash")).localCheckpoint(false)
 
   /** LSH candidate pairs over the shared shingle table, cached per
     * (session, dir): the near-dup count query and the
@@ -409,20 +381,16 @@ object SparkEntry {
     */
   /** Per-doc sorted distinct-shingle arrays for the candidate-touched
     * docs of the SHARED LSH candidate table (Dedup.candidateSets),
-    * session-cached: the three pair-verify queries (Jaccard,
-    * containment, bounded top-k) consume the identical set table, and
-    * each query's plan otherwise builds it TWICE (once per join
-    * side's broadcast build — plan-audited, r18). Same
-    * materialized-intermediate reasoning as docShingles; the verify
-    * joins + merge-scan intersections still run per query. Dropped by
-    * releaseHeavy with the other corpus-derived intermediates.
+    * built FRESH per call (the r18 cross-run memo made the pair-verify
+    * bench numbers cache reads — r18 verdict #1). Locally checkpointed
+    * so the ONE plan's two join sides (a-side and b-side broadcast
+    * builds) share a single set build instead of planning the
+    * sort_array(collect_set) subtree twice per call (plan-audited r18:
+    * two ObjectHashAggregate towers per query without sharing).
     */
-  private val pairSetsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def lshCandSets(s: SparkSession, dir: String): DataFrame =
-    memo(pairSetsCache, s, dir)(
-      Dedup.candidateSets(docShingles(s, dir), lshCands(s, dir),
-        neededDocsHint = Some(lshCandDocs(s, dir))).cache())
+  private def freshCandSets(s: SparkSession, dir: String): DataFrame =
+    Dedup.candidateSets(docShingles(s, dir), lshCands(s, dir),
+      neededDocsHint = Some(lshCandDocs(s, dir))).localCheckpoint(false)
 
   private val lshCandDocsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
@@ -445,69 +413,39 @@ object SparkEntry {
   private def ccVerbose: Boolean = sys.env.contains("GRAFT_CC_VERBOSE")
 
   /** BROADCAST benchmark shingle-hash set (distinct h1 of the doc_id
-    * % 97 == 0 eval slice), memoized per (session, dir): the trained
-    * blocklist artifact of the streaming decontamination/curation
-    * queries — the quantRanges/centroids pattern (train once, apply
-    * per arriving row). Two declared stream queries collected the
-    * identical set from a fresh corpus scan on every call (r18
-    * profile: ~0.5-1 s each per bench run). Values are unchanged:
-    * same slice, same shingle normalization, same distinct h1.
+    * % 97 == 0 eval slice), built FRESH per call — collecting the
+    * blocklist is part of what the streaming decontamination/curation
+    * queries compute (the r18 cross-run memo hid it from the timed
+    * runs — r18 verdict #1; it was also keyed on the streaming clone
+    * session, bypassing release()'s staleness sweep — r18 advice).
+    * Built over the SHARED docShingles substrate instead of a private
+    * corpus re-scan: shingling is per-row, so filtering the shingle
+    * table by doc_id yields the identical distinct-h1 set as shingling
+    * the filtered corpus — exactly the table the batch q_decontaminate
+    * benchmark side reads.
     */
-  private val benchSetCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), org.apache.spark.broadcast.Broadcast[Set[Long]]]
-  private def benchShingleSet(s: SparkSession, dir: String):
-      org.apache.spark.broadcast.Broadcast[Set[Long]] =
-    benchSetCache.getOrElseUpdate((s, dir), {
-      import s.implicits._
-      s.sparkContext.broadcast(
-        Dedup.shingleHashes(Dedup.shingles(
-            s.read.parquet(s"$dir/documents.parquet").filter(col("doc_id") % 97 === 0),
-            distinct = false))
-          .select(col("h1")).distinct().as[Long].collect().toSet)
-    })
-
-  /** Corpus vocabulary size (distinct terms), memoized per (session,
-    * dir): one number consumed at PLAN BUILD by every LM-scoring
-    * query — each call otherwise pays a distinct-count job (r18).
-    */
-  private val vocabSizeCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
-  private def vocabSize(s: SparkSession, dir: String): Long =
-    vocabSizeCache.getOrElseUpdate((s, dir),
-      docTermCounts(s, dir).select(col("term")).distinct().count())
-
-  /** Trained corpus bigram model (cb, cw, V) for lmScoreAgainst,
-    * memoized per (session, dir) — the quantRanges/centroids pattern:
-    * the model is a batch artifact trained once on the raw corpus and
-    * consumed by every downstream scorer (q_curate_rewrite); the
-    * self-scored q_lm_score keeps training FRESH each call (it IS the
-    * training benchmark). Model tables are cached (vocab-bounded) and
-    * dropped in release().
-    */
-  private val lmModelCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (DataFrame, DataFrame, Long)]
-  private def lmModel(s: SparkSession, dir: String): (DataFrame, DataFrame, Long) =
-    lmModelCache.getOrElseUpdate((s, dir), {
-      val (cb, cw, _) = TextAnalysis.lmModelOf(docs(s, dir))
-      (cb.cache(), cw.cache(), vocabSize(s, dir))
-    })
+  private def benchShingleSetOf(s: SparkSession, dir: String):
+      org.apache.spark.broadcast.Broadcast[Set[Long]] = {
+    import s.implicits._
+    s.sparkContext.broadcast(
+      docShingles(s, dir).filter(col("doc_id") % 97 === 0)
+        .select(col("h1")).distinct().as[Long].collect().toSet)
+  }
 
   /** Exact brute-force top-10 ground truth over the fixed probe
-    * panel, memoized per (session, dir): the shared EVAL artifact of
-    * all five recall queries (pq/rpq/opq/ann/int8) — each still
-    * computes its own index path and recall join; only the identical
-    * truth table stops being recomputed five times per sweep (r18).
-    * q_cosine_topk, whose OUTPUT is the brute-force scan, keeps
-    * computing fresh. Dropped by releaseHeavy ("truth").
+    * panel, built FRESH per call: the truth pass is part of what each
+    * recall query computes (the r18 cross-run memo made the five
+    * recall queries' bench numbers cache reads — r18 verdict #1).
+    * Locally checkpointed so the 2-3 recall legs WITHIN one query's
+    * plan share a single brute-force pass instead of recomputing it
+    * per leg. q_cosine_topk, whose OUTPUT is the brute-force scan,
+    * keeps computing fresh with no checkpoint.
     */
-  private val annTruthCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def annTruth(s: SparkSession, dir: String): DataFrame =
-    memo(annTruthCache, s, dir) {
-      val e = emb(s, dir)
-      Similarity.bruteForceTopK(e, e.filter(probePanel), k = 10)
-        .select(col("query_id"), col("neighbor_id")).cache()
-    }
+  private def freshAnnTruth(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.bruteForceTopK(e, e.filter(probePanel), k = 10)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint(false)
+  }
 
   private val docCountCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
@@ -1353,7 +1291,7 @@ object SparkEntry {
       // misses — same broadcast-bounded verify plan, extra columns
       Dedup.overlapScores(docShingles(s, dir), lshCands(s, dir),
         neededDocsHint = Some(lshCandDocs(s, dir)),
-        prebuiltSets = Some(lshCandSets(s, dir)))),
+        prebuiltSets = Some(freshCandSets(s, dir)))),
     "q_ngram_jaccard" -> ((s, dir) => {
       // query-vs-corpus jaccard: every 20th doc against its source
       // bucket — pair count scales linearly with the corpus, not
@@ -1620,7 +1558,7 @@ object SparkEntry {
       // sides, hence oracle-checkable
       val e = emb(s, dir)
       val q = e.filter(probePanel)
-      val truth = annTruth(s, dir)
+      val truth = freshAnnTruth(s, dir)
       recallPerQuery(truth, Similarity.annTopK(e, q, k = 10, dims = 64), "ann")
         .unionAll(recallPerQuery(truth,
           Similarity.ivfTopK(e, q, k = 10, nlist = 16, nprobe = 4, dims = 64), "ivf"))
@@ -1633,7 +1571,7 @@ object SparkEntry {
       // the float IVF — the number that prices the 4x storage shrink
       val e = emb(s, dir)
       val q = e.filter(probePanel)
-      val truth = annTruth(s, dir)
+      val truth = freshAnnTruth(s, dir)
       val ranges = quantRanges(s, dir)
       val codes = Similarity.quantizeInt8(e, ranges)
       // TRAINED routing (r8 verdict #5): both legs now route on the
@@ -1659,7 +1597,7 @@ object SparkEntry {
       // recall harness as the int8 and IVF paths
       val e = emb(s, dir)
       val q = e.filter(probePanel)
-      val truth = annTruth(s, dir)
+      val truth = freshAnnTruth(s, dir)
       val books = pqBooks(s, dir)
       val codes = Similarity.pqEncode(e, books)
       // trained routing, as in q_ann_int8_recall (r8 verdict #5)
@@ -1682,7 +1620,7 @@ object SparkEntry {
       // encoding at identical bytes/vector
       val e = emb(s, dir)
       val q = e.filter(probePanel)
-      val truth = annTruth(s, dir)
+      val truth = freshAnnTruth(s, dir)
       val cents = trainedCents(s, dir)
       val books = rpqBooks(s, dir)
       val codes = Similarity.residualPqEncode(e, cents, books)
@@ -1706,7 +1644,7 @@ object SparkEntry {
       // orthogonality, objective descent, recall >= identity)
       val e = emb(s, dir)
       val q = e.filter(probePanel)
-      val truth = annTruth(s, dir)
+      val truth = freshAnnTruth(s, dir)
       val cents = trainedCents(s, dir)
       val (rot, books) = opqFit(s, dir)
       opqCapture = opqCapture + (dir -> ((cents, rot, books)))
@@ -1778,8 +1716,7 @@ object SparkEntry {
           Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("component"), col("doc_id")).as("text_rep"))
-      val ph = pixelPhashes(s, dir)
-        .select(col("media_id"), col("phash"))
+      val ph = pixelPhashesFresh(s, dir)
       val mediaRep = ph
         .join(ph.groupBy("phash").agg(min("media_id").as("media_rep")), Seq("phash"))
         .select(col("media_id"), col("media_rep"))
@@ -1796,7 +1733,7 @@ object SparkEntry {
       // memoized intermediates)
       Dedup.jaccardByHashes(docShingles(s, dir), lshCands(s, dir),
         neededDocsHint = Some(lshCandDocs(s, dir)),
-        prebuiltSets = Some(lshCandSets(s, dir)))
+        prebuiltSets = Some(freshCandSets(s, dir)))
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.5)),
     "q_neardup_pairs_topk" -> ((s, dir) =>
@@ -1814,7 +1751,7 @@ object SparkEntry {
       Dedup.neardupTopKByBands(docShingles(s, dir), lshCandsCounted(s, dir),
         shortK = 8, finalK = 3, threshold = 0.5,
         neededDocsHint = Some(lshCandDocs(s, dir)),
-        prebuiltSets = Some(lshCandSets(s, dir)))),
+        prebuiltSets = Some(freshCandSets(s, dir)))),
     "q_lsh_bucket_cap" -> ((s, dir) => {
       // degenerate boilerplate fixture: 50 clones of doc 0 overflow a
       // maxBucket = 8 cap — candidate counts must stay bounded
@@ -2242,7 +2179,10 @@ object SparkEntry {
         .filter(col("doc_id") % 97 =!= 0 && col("text").isNotNull)
       val sc = probes.sparkSession
       import sc.implicits._
-      val benchSet = benchShingleSet(sc, dir)
+      // blocklist trained per call on the ROOT session's shared
+      // shingle substrate (broadcasts cross the session-clone
+      // boundary; memoizing on the clone bypassed release() — r18)
+      val benchSet = benchShingleSetOf(s, dir)
       val flagged = probes.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
         .map { case (id, t) =>
           val set = Dedup.shingleH1sOf(t)
@@ -2278,7 +2218,9 @@ object SparkEntry {
       val probes = documentsStream(s, dir).filter(col("doc_id") % 97 =!= 0)
       val sc = probes.sparkSession
       import sc.implicits._
-      val benchSet = benchShingleSet(sc, dir)
+      // per-call blocklist train, root-session substrate (see
+      // q_stream_decontaminate)
+      val benchSet = benchShingleSetOf(s, dir)
       val sigs = TextAnalysis.redactPii(probes.withColumn("itext", piiInjectExpr),
           textCol = "itext", keep = Seq("lang", "text"))
         .select(col("doc_id").cast("long"), col("lang"), col("text"),
@@ -2415,8 +2357,7 @@ object SparkEntry {
       // CCNet-style LM quality filter: corpus-trained add-one bigram
       // model, per-doc mean conditional log-probability — the model is
       // an aggregate of the same job, no external artifacts
-      TextAnalysis.lmScore(docs(s, dir), tc = Some(docTermCounts(s, dir)),
-        vocabSizeHint = Some(vocabSize(s, dir)))),
+      TextAnalysis.lmScore(docs(s, dir), tc = Some(docTermCounts(s, dir)))),
 
     "q_dsir_score" -> ((s, dir) =>
       // DSIR hashed-n-gram importance weights (Xie et al. 2023):
@@ -2683,10 +2624,12 @@ object SparkEntry {
       // a lazy local checkpoint bounds the plan the same way
       val red = TextAnalysis.redactPii(injected, keep = Seq("n_chunks", "n_kept"))
         .localCheckpoint(false)
+      // the bigram model trains FRESH per call (the r18 cross-run
+      // memo made this query's bench number a cache read — r18
+      // verdict #1); V comes from the shared term-count substrate
       val lm = TextAnalysis.lmScoreAgainst(
           red.select(col("doc_id"), col("redacted").as("text")), docs(s, dir),
-          modelTc = Some(docTermCounts(s, dir)),
-          prebuiltModel = Some(lmModel(s, dir)))
+          modelTc = Some(docTermCounts(s, dir)))
         .select(col("doc_id"), col("lm_score"))
       val qual = round(TextAnalysis.qualityScore(col("redacted")) + 1e-7, 4)
       val dedupOk = col("n_kept") * 2 >= col("n_chunks")

@@ -341,12 +341,8 @@ object TextAnalysis {
     * add-one smoothing is for; with `modelDocs eq docs` this reduces
     * to `lmScore` (every bigram is then in the model).
     */
-  /** The trained (cb, cw, V) bigram model of `lmScoreAgainst`,
-    * exposed so callers can build it once per model corpus (the
-    * centroids/merges pattern) and hand it back via `prebuiltModel`.
-    */
-  def lmModelOf(modelDocs: DataFrame,
-                modelTc: Option[DataFrame] = None): (DataFrame, DataFrame, Long) = {
+  def lmScoreAgainst(docs: DataFrame, modelDocs: DataFrame,
+                     modelTc: Option[DataFrame] = None): DataFrame = {
     val mToks = modelDocs.filter(col("text").isNotNull)
       .select(tokensOf(col("text")).as("toks"))
     val cb = mToks.filter(size(col("toks")) >= 2)
@@ -357,31 +353,6 @@ object TextAnalysis {
     val v = modelTc match {
       case Some(t) => t.select(col("term")).distinct().count()
       case None => mToks.select(explode(col("toks")).as("w")).distinct().count()
-    }
-    (cb, cw, v)
-  }
-
-  def lmScoreAgainst(docs: DataFrame, modelDocs: DataFrame,
-                     modelTc: Option[DataFrame] = None,
-                     prebuiltModel: Option[(DataFrame, DataFrame, Long)] = None): DataFrame = {
-    // the (cb, cw, V) model is a TRAINED batch artifact (the
-    // centroids/merges pattern) — callers that score many
-    // representations against one model corpus build it once and pass
-    // it back, instead of re-aggregating the corpus bigram table at
-    // every call (r18)
-    lazy val mToks = modelDocs.filter(col("text").isNotNull)
-      .select(tokensOf(col("text")).as("toks"))
-    val (cb, cw, v) = prebuiltModel.getOrElse {
-      val cb0 = mToks.filter(size(col("toks")) >= 2)
-        .select(explode(bigramsOf(col("toks"))).as("g"))
-        .groupBy("g").agg(count(lit(1)).as("cb"))
-      val cw0 = cb0.select(substring_index(col("g"), " ", 1).as("w1"), col("cb"))
-        .groupBy("w1").agg(sum("cb").as("cw"))
-      val v0 = modelTc match {
-        case Some(t) => t.select(col("term")).distinct().count()
-        case None => mToks.select(explode(col("toks")).as("w")).distinct().count()
-      }
-      (cb0, cw0, v0)
     }
     val docBig = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), tokensOf(col("text")).as("toks"))
