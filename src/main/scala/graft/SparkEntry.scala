@@ -2234,7 +2234,9 @@ object SparkEntry {
         .flatMap { case (id, lang, text, npii, q, mix, redacted) =>
           if (text == null) Seq.empty
           else {
-            val sh = Dedup.shingleH1sOf(text)
+            // fused single shingle-md5 pass for the contamination set
+            // AND the band keys (r19 — the kernel ran it twice)
+            val (sh, bandKeys) = Dedup.h1SetAndBandKeysOf(text)
             val hits = sh.count(benchSet.value.contains)
             val contaminated = if (hits * 10 >= 7 * sh.size) 1 else 0
             // repetition gates on the REDACTED text, replaying the
@@ -2256,7 +2258,7 @@ object SparkEntry {
               }
               bi.values.max.toDouble / (toks.length - 1) <= 0.25
             })
-            Dedup.bandKeysOf(text).map { case (b, sg) =>
+            bandKeys.map { case (b, sg) =>
               (id, lang, contaminated, npii, q, repOk, mix, b, sg)
             }
           }

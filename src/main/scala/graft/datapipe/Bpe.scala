@@ -73,26 +73,28 @@ object Bpe {
     */
   def merges(termCounts: DataFrame, rounds: Int): DataFrame = {
     val spark = termCounts.sparkSession
-    var vocab = initialVocab(termCounts).cache()
-    vocab.count() // materialize once; each round re-reads it
-    // round r's plan carries r chained `replace` projections over the
-    // cached base — fine for seeding-scale round counts, O(rounds^2)
-    // total plan work if rounds grows toward real tokenizer merge
-    // counts (tens of thousands). Re-materialize the segmentation
-    // every REMAT rounds so the chain length — and with it analysis
-    // time and task binary size — stays bounded by a constant.
-    var materialized = vocab
+    // CONSTANT-SHAPE rounds (r19): the pre-r19 loop chained r literal
+    // `replace` projections over one cached base, so round r's top-1
+    // plan was r nodes deeper than round r−1's — every round
+    // re-analyzed, re-optimized and re-CODEGENED a fresh plan (string
+    // literals land in the codegen references array, but the growing
+    // projection chain changes the generated source itself), and
+    // round r re-executed all r replaces. Now each round's merge is
+    // applied as ONE replace over the PREVIOUS round's materialized
+    // segmentation (lazy localCheckpoint: the blocks persist as a
+    // side effect of the round's own top-1 job — no extra job), so
+    // every round runs the structurally identical plan
+    //   scan(RDD) → replace → split/explode → agg → top-1
+    // and the codegen cache hits from round 2 on. Values are
+    // unchanged: applying merge r then counting pairs ≡ counting
+    // pairs over the base with r pending replaces.
+    var vocab = initialVocab(termCounts).localCheckpoint(eager = true)
+    val base = vocab
     val out = scala.collection.mutable.ArrayBuffer.empty[Row]
     var r = 0
     var done = false
     while (r < rounds && !done) {
       r += 1
-      if (r % REMAT == 0) {
-        val snap = vocab.localCheckpoint(eager = true)
-        materialized.unpersist(blocking = false)
-        materialized = snap
-        vocab = snap
-      }
       val top = pairCounts(vocab)
         .orderBy(col("cnt").desc, col("x").asc, col("y").asc)
         .limit(1).collect()
@@ -102,17 +104,16 @@ object Bpe {
         out += Row(r, x, y, cnt)
         // literal left-to-right replace: every remaining adjacent
         // (x, y) fuses — consecutive occurrences too, because each
-        // symbol carries its own delimiters; the chain of per-round
-        // projections stays over the cached base
-        vocab = vocab.withColumn("seg",
-          replace(col("seg"), lit(s"<$x><$y>"), lit(s"<$x$y>")))
+        // symbol carries its own delimiters
+        if (r < rounds && !done)
+          vocab = vocab.withColumn("seg",
+            replace(col("seg"), lit(s"<$x><$y>"), lit(s"<$x$y>")))
+            .localCheckpoint(eager = false)
       }
     }
-    // `materialized` is the live cached/checkpointed base (the
-    // original cache if no re-materialization happened); checkpoint
-    // blocks from intermediate snapshots are reclaimed by the context
+    // intermediate checkpoint blocks are reclaimed by the context
     // cleaner once unreferenced
-    materialized.unpersist(blocking = false)
+    base.unpersist(blocking = false)
     spark.createDataFrame(
       spark.sparkContext.parallelize(out.toSeq, 1),
       StructType(Seq(StructField("round", IntegerType, nullable = false),

@@ -318,6 +318,41 @@ object Dedup {
     }
   }
 
+  /** ONE shingle-hash pass feeding BOTH admission artifacts: the
+    * distinct-h1 membership set (the `shingleH1sOf` output) and the
+    * k-slot minhash band keys (the `bandKeysOf` output). The streaming
+    * curation kernel called the two separately, running the
+    * normalize + per-shingle-md5 scan TWICE per document — the md5
+    * stream is ~|chars| digests per doc, the kernel's dominant cost
+    * (r19 profile: q_stream_curate addBatch 3.2 s of a 4.4 s call).
+    * Values are bit-identical to the two separate calls by
+    * construction (same visitor, same fold).
+    */
+  def h1SetAndBandKeysOf(text: String, k: Int = 16, rowsPerBand: Int = 4,
+                         shingleN: Int = 5)
+      : (scala.collection.immutable.Set[Long], Seq[(Int, String)]) = {
+    val mod = 1L << 52
+    val mins = Array.fill(k)(Long.MaxValue)
+    val sb = scala.collection.immutable.Set.newBuilder[Long]
+    foreachShingleHash(text, shingleN) { (h1, h2) =>
+      sb += h1
+      var g = h1 % mod
+      var i = 0
+      while (i < k) {
+        if (g < mins(i)) mins(i) = g
+        g = (g + h2) % mod
+        i += 1
+      }
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bands = (0 until k / rowsPerBand).map { b =>
+      val parts = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => s"$i:${mins(i)}").sorted
+      (b, md5hex(md, parts.mkString(",")))
+    }
+    (sb.result(), bands)
+  }
+
   /** The document's DISTINCT 52-bit shingle-hash set (the h1 side) —
     * the per-row twin of `shingleHashes(...).select(h1).distinct`,
     * for admission-time membership checks against a broadcast
@@ -802,7 +837,10 @@ object Dedup {
     // checkpoint job per round from the critical path (r18: the
     // per-round cost at fixture scale is serialized tiny-job latency,
     // not data)
-    val fs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // (round map, was-this-round-under-the-broadcast-gate): the flag
+    // rides per round because node counts SHRINK — a late round under
+    // the gate says nothing about round 1's map size
+    val fs = scala.collection.mutable.ArrayBuffer.empty[(DataFrame, Boolean)]
     var live = edges
     var nEdges = 1L
     var round = 0
@@ -816,15 +854,32 @@ object Dedup {
     while (nEdges > 0 && round < maxIters) {
       round += 1
       val t0 = System.nanoTime()
+      def lap(label: String, since: Long): Long = {
+        val now = System.nanoTime()
+        if (verbose) System.err.println(
+          f"[cc]   round $round $label%-10s ${(now - since) / 1e6}%.0f ms")
+        now
+      }
       // one edge hop: t over node IDS of the current quotient graph
       val t = ckpt(live.groupBy("x").agg(min("y").as("ny"))
         .select(col("x").as("node"), least(col("x"), col("ny")).as("tgt")),
         eager = true)
+      val l1 = lap("t", t0)
       if (!bcOk) bcOk = t.count() <= CcBroadcastMaxNodes
+      val l2 = lap("gate", l1)
       def maybeBc(df: DataFrame): DataFrame = if (bcOk) broadcast(df) else df
       // capped compression: f = t^64 by composition squaring over the
-      // materialized leaf (6 joins; every tgt is a node in t, so each
-      // inner join is total)
+      // materialized leaf (6 squarings; every tgt is a node in t, so
+      // each inner join is total). NOTE (r19, measured and reverted):
+      // reducing to 3 squarings (t^8) cut each round's f job ~25% on
+      // the fixture graphs (identical round counts — real candidate
+      // t-forests are star-shaped), but on a MONOTONE-ID CHAIN the
+      // t-forest is one path and contraction shrinks ADDITIVELY by
+      // the compression depth per round, not multiplicatively: the
+      // 100-node path took 13 rounds at t^8 and a 500-node path blew
+      // the maxIters=16 runaway guard (both pinned by tests). Depth
+      // 64 is what makes worst-case chains converge inside the guard;
+      // it stays.
       var f = t
       for (_ <- 1 to 6) {
         f = f.join(
@@ -833,7 +888,8 @@ object Dedup {
           .select(col("node"), col("t2").as("tgt"))
       }
       f = ckpt(f, eager = true)
-      fs += f
+      fs += ((f, bcOk))
+      val l3 = lap("f", l2)
       // contract the quotient graph; the eager checkpoint is the
       // round's materialization action and the count reads its blocks
       live = ckpt(live
@@ -842,7 +898,9 @@ object Dedup {
         .select(col("fx").as("x"), col("fy").as("y"))
         .filter(col("x") =!= col("y"))
         .distinct(), eager = true)
+      val l4 = lap("contract", l3)
       nEdges = live.count()
+      lap("count", l4)
       // observability: quotient-size progress + per-round wall time
       // are the dials that say whether maxIters is sized right —
       // gated off by default (a library must not write to stderr)
@@ -852,11 +910,17 @@ object Dedup {
     lastCcRounds.set(round)
     // resolve every original node through the round maps: nodes
     // absent from a round's f (no surviving edges) keep their current
-    // label via the left join — identical math to a per-round fold
+    // label via the left join — identical math to a per-round fold.
+    // The round maps are checkpointed (stats-less) leaves, so without
+    // a hint the planner shuffle-joins the node table against every
+    // one of them; under the SAME counted gate as the loop joins the
+    // maps broadcast instead (merge-sized, already counted ≤ the
+    // gate), removing two exchanges per round map from the tail (r19).
     val m = fs.zipWithIndex.foldLeft(
-        nodes.withColumn("label", col("doc_id"))) { case (acc, (f, i)) =>
-      acc.join(f.select(col("node"), col("tgt").as(s"t$i")),
-          acc("label") === f("node"), "left")
+        nodes.withColumn("label", col("doc_id"))) { case (acc, ((f, small), i)) =>
+      val fm = f.select(col("node"), col("tgt").as(s"t$i"))
+      acc.join(if (small) broadcast(fm) else fm,
+          acc("label") === col("node"), "left")
         .select(col("doc_id"), coalesce(col(s"t$i"), col("label")).as("label"))
     }
     // m's lineage is `rounds` joins over checkpointed leaves — bounded
@@ -984,15 +1048,27 @@ object Dedup {
     rewriteFromCoverage(docs, covered)
   }
 
+  /** The 1-based (doc_id, pos, tok) position table of the normalized
+    * text — the shared substrate of the exact-substring dedup family.
+    */
+  private def tokTable(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(split(TextAnalysis.normalized(col("text")), " ")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
+
   /** Shared rewrite tail of the exact-substring dedup family: given
     * the covered (doc_id, pos) set, rebuild each document from its
     * surviving tokens with kept/total counts.
     */
-  private def rewriteFromCoverage(docs: DataFrame, covered: DataFrame): DataFrame = {
-    val toks = docs.filter(col("text").isNotNull)
-      .select(col("doc_id"),
-        posexplode(split(TextAnalysis.normalized(col("text")), " ")))
-      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
+  private def rewriteFromCoverage(docs: DataFrame, covered: DataFrame): DataFrame =
+    rewriteFromToks(tokTable(docs), covered)
+
+  /** `rewriteFromCoverage` over a PREBUILT token table — callers that
+    * already materialized the tokenization (saSubstrDedup's snapshot)
+    * reuse it instead of re-tokenizing the corpus a second time.
+    */
+  private def rewriteFromToks(toks: DataFrame, covered: DataFrame): DataFrame = {
     toks.join(covered.withColumn("cov", lit(1)), Seq("doc_id", "pos"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
@@ -1060,15 +1136,19 @@ object Dedup {
     */
   def saSubstrDedup(docs: DataFrame, w: Int = 10): DataFrame = {
     require(w >= 2, "saSubstrDedup needs w >= 2")
-    val toks = docs.filter(col("text").isNotNull)
-      .select(col("doc_id"),
-        posexplode(split(TextAnalysis.normalized(col("text")), " ")))
-      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
-    val lens = toks.groupBy("doc_id").agg(max("pos").as("len"))
     def snap(df: DataFrame): DataFrame = {
       val s = df.localCheckpoint(true)
       df.sparkSession.createDataFrame(s.rdd, s.schema)
     }
+    // ONE corpus tokenization, snapshotted (r19): the seed round, the
+    // doc-length table and the rewrite tail all read this
+    // materialized position table — the pre-r19 form re-evaluated the
+    // normalize+split+posexplode chain three times (seed, lens,
+    // rewrite), i.e. two extra corpus text passes per call.
+    val toks = snap(tokTable(docs))
+    // doc lengths from the snapshot: a map-side partial aggregate to
+    // |docs| rows — no corpus re-tokenize, near-zero exchange
+    val lens = toks.groupBy("doc_id").agg(max("pos").as("len"))
     // class id = (doc_id, pos) PACKED into one long (pos gets 20
     // bits): preserves (doc_id, pos) lexicographic order under long
     // compare, and every refinement round then shuffles/aggregates
@@ -1076,6 +1156,7 @@ object Dedup {
     // on a >1M-token document rather than mis-packing (same contract
     // style as pqEncode).
     val posBits = 20
+    val posMask = (1L << posBits) - 1
     val packed = when(col("pos") < (1 << posBits),
         shiftleft(col("doc_id"), posBits) + col("pos"))
       .otherwise(raise_error(concat(
@@ -1089,39 +1170,54 @@ object Dedup {
     // paid that exchange for the aggregate AND again for the join
     // side (2 corpus-scale exchanges per round -> 1; values identical
     // — min/count over the whole partition frame, no ordering).
+    // Rows carry ONLY (pk, cid) through the rounds (r19): the packed
+    // key IS the position, so (doc_id, pos) never ride the refinement
+    // exchanges — 16 bytes/row instead of 28.
     val wTok = Window.partitionBy("tok")
     var cur = snap(toks
-      .withColumn("cid", min(packed).over(wTok))
+      .withColumn("pk", packed)
+      .withColumn("cid", min(col("pk")).over(wTok))
       .withColumn("n", count(lit(1)).over(wTok))
       .filter(col("n") >= 2)
-      .select(col("doc_id"), col("pos"), col("cid")))
+      .select(col("pk"), col("cid")))
     var k = 1
     def refine(shift: Int): Unit = {
-      val right = cur.select(col("doc_id"), (col("pos") - shift).as("pos"),
-        col("cid").as("cid2"))
+      // partner key arithmetic stays inside one document: head pos =
+      // partner pos − shift ≥ 1, so partner rows with pos ≤ shift are
+      // filtered BEFORE the subtraction (an underflowed pk would
+      // borrow into the doc_id bits and could alias a real position
+      // near another document's 2^20 boundary)
+      val right = cur.filter(col("pk").bitwiseAND(lit(posMask)) > shift)
+        .select((col("pk") - shift).as("pk"), col("cid").as("cid2"))
       // inner: a missing partner row means the head's refined class is
       // singleton (partner pruned as unique, or head too close to the
-      // document end to head a full window) — drop it now
-      val paired = cur.join(right, Seq("doc_id", "pos"))
+      // document end to head a full window) — drop it now. Single
+      // 8-byte join key (r19): the (doc_id, pos) self-join now
+      // exchanges one long per side.
+      val paired = cur.join(right, Seq("pk"))
       val wCls = Window.partitionBy("cid", "cid2")
       cur = snap(paired
-        .withColumn("ncid", min(packed).over(wCls))
+        .withColumn("ncid", min(col("pk")).over(wCls))
         .withColumn("n", count(lit(1)).over(wCls))
         .filter(col("n") >= 2)
-        .select(col("doc_id"), col("pos"), col("ncid").as("cid")))
+        .select(col("pk"), col("ncid").as("cid")))
     }
     while (k * 2 <= w) { refine(k); k *= 2 }
     if (k < w) refine(w - k) // overlapped final step -> exact length w
-    val winCls = cur.join(lens, "doc_id").filter(col("pos") + (w - 1) <= col("len"))
+    val winCls = cur
+      .select(col("pk"), col("cid"),
+        shiftrightunsigned(col("pk"), posBits).as("doc_id"),
+        col("pk").bitwiseAND(lit(posMask)).cast("int").as("pos"))
+      .join(lens, "doc_id").filter(col("pos") + (w - 1) <= col("len"))
     // same window-over-groupBy+join trade as the refinement rounds
     val covered = winCls
       .withColumn("n_occ", count(lit(1)).over(Window.partitionBy("cid")))
       .filter(col("n_occ") >= 2)
-      .filter(col("cid") =!= (shiftleft(col("doc_id"), posBits) + col("pos")))
+      .filter(col("cid") =!= col("pk"))
       .select(col("doc_id"),
         explode(expr(s"sequence(pos, pos + ${w - 1})")).as("pos"))
       .distinct()
-    rewriteFromCoverage(docs, covered)
+    rewriteFromToks(toks, covered)
   }
 
   /** Per-document duplicate-span statistics: of a document's
@@ -1466,6 +1562,12 @@ object Dedup {
     // 50× shingle explosion AQE cannot see). One exchange of raw
     // arrival rows; hash partitioning on doc_id is deterministic
     // under replay.
+    // NOTE (r19, measured and reverted): widening this to the
+    // context's defaultParallelism (32) made the bands-snap stage
+    // ~0.15 s faster but the BATCH ~1 s slower end-to-end — the
+    // extra partitions multiply block/exchange overhead through every
+    // downstream 8-partition stage at micro-batch sizes. The session's
+    // shuffle-partition count stays the right dial.
     val nPart = arrivals.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val arr = arrivals.repartition(nPart, col("doc_id"))
     if (profile) timed("chain-count")(lshBands(minhashSignaturesFromHashes(

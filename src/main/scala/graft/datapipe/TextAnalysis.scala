@@ -308,6 +308,11 @@ object TextAnalysis {
               vocabSizeHint: Option[Long] = None): DataFrame = {
     val toks = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), tokensOf(col("text")).as("toks"))
+    // NOTE (r19, measured and reverted): materializing docBig/cb with
+    // within-call localCheckpoints made this query ~1.5x SLOWER — AQE
+    // already reuses the canonically-identical shuffle stages across
+    // the three branches at runtime, and the checkpoints replaced that
+    // free reuse with persist jobs.
     val docBig = toks.filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(bigramsOf(col("toks"))).as("g"))
       .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))

@@ -30,6 +30,18 @@ object StreamingOps {
       val s = root.newSession()
       s.conf.set("spark.sql.shuffle.partitions", "8")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // No-data micro-batches only advance the watermark to EVICT
+      // state; every declared stream query here either sinks in
+      // complete mode (eviction never changes the table), is a
+      // stateless append projection/join, or uses
+      // flatMapGroupsWithState with NoTimeout (emits per input batch,
+      // never on watermark) — so the extra ~0.6 s zero-row batch the
+      // engine appends after a watermark move computes nothing
+      // observable (measured: q_stream_dedup batch 1, rows=0,
+      // addBatch 525 ms). A future APPEND-mode windowed aggregation
+      // or event-time timeout WOULD need these; flip it back for that
+      // query or sink it under its own session.
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       // evict on context shutdown so a long-lived process that cycles
       // many root sessions doesn't retain stopped clones (each pinning
       // SQL conf/state) indefinitely
@@ -452,6 +464,14 @@ object StreamingOps {
     *                        crash THIS batch id right after its
     *                        bands-append — the nastiest point, a
     *                        partial batch on disk.
+    * @param failAfterDelta  fault injection for the restart tests:
+    *                        crash THIS batch id right after its
+    *                        delta-append, BEFORE the bands-append —
+    *                        the ordering the r18 concurrent appends
+    *                        made possible (delta committed, bands
+    *                        absent); the symmetric rollback must
+    *                        recover it exactly like the bands-first
+    *                        shape.
     * @param failMidSwap     fault injection for the restart tests:
     *                        crash inside the re-bucketing swap of THIS
     *                        batch id, after the live bands table is
@@ -474,6 +494,7 @@ object StreamingOps {
                                    checkpointDir: Option[String] = None,
                                    resume: Boolean = false,
                                    failAfterBands: Long = Long.MaxValue,
+                                   failAfterDelta: Long = Long.MaxValue,
                                    failMidSwap: Long = Long.MaxValue,
                                    failInCompaction: Long = Long.MaxValue,
                                    failCompactionWindow: String = "pre_drop"): DataFrame = {
@@ -655,26 +676,50 @@ object StreamingOps {
     val q = writer
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
-        val alreadyDone = timed(batchId, "replay-check") {
-          // foreachBatch replay after failure: skip
-          !sp.table(t.results).filter(col("batch_id") === batchId).isEmpty
-        }
+        // foreachBatch replay after failure: skip an already-committed
+        // batch_id. Replay can only happen on a CHECKPOINTED run (a
+        // restarted stream re-delivering a WAL'd batch) — without a
+        // checkpointLocation every batch id is fresh by construction,
+        // so the per-batch results-table probe job is skipped (r19:
+        // one state-table read job per batch on the bench path)
+        val alreadyDone = (checkpointDir.isDefined || resume) &&
+          timed(batchId, "replay-check") {
+            !sp.table(t.results).filter(col("batch_id") === batchId).isEmpty
+          }
         if (!alreadyDone && !timed(batchId, "batch-empty")(batch.isEmpty)) {
           val compactedT = s"${t.compactedBase}_v$compactedVer"
-          val compacted = sp.table(compactedT).select(
-            col("oldc").as("c_o"), col("newc").as("c_n"))
-          val deltaRes = graft.datapipe.Dedup.compressRelabel(
-              sp.table(t.delta).select(col("oldc"), col("newc")),
-              math.max(1, batchesSince))
-            .select(col("oldc").as("d_o"), col("newc").as("d_n"))
           // current cluster state = (corpus ∪ arrival log) pushed
-          // through the two merge-sized label maps
-          val stateComp = sp.table(initComps).select(col("doc_id"), col("cluster"))
+          // through the two merge-sized label maps. Maps that are
+          // PROVABLY empty from driver-tracked state are skipped
+          // outright (r19): _v0 is created empty, so before the first
+          // compaction the compacted join is a no-op; the delta log is
+          // empty whenever batchesSince == 0 (fresh run, or right
+          // after a compaction truncated it) — both facts are
+          // re-derived from the tables on resume, so the skip is
+          // crash-safe. Skipping removes two left joins (and the
+          // delta's log₂-chain self-join ladder) from every early
+          // batch's state plan.
+          val baseComp = sp.table(initComps).select(col("doc_id"), col("cluster"))
             .unionAll(sp.table(t.results).select(col("doc_id"), col("cluster")))
-            .join(compacted, col("cluster") === col("c_o"), "left")
-            .select(col("doc_id"), coalesce(col("c_n"), col("cluster")).as("cluster"))
-            .join(deltaRes, col("cluster") === col("d_o"), "left")
-            .select(col("doc_id"), coalesce(col("d_n"), col("cluster")).as("cluster"))
+          val withCompacted =
+            if (compactedVer == 0) baseComp
+            else {
+              val compacted = sp.table(compactedT).select(
+                col("oldc").as("c_o"), col("newc").as("c_n"))
+              baseComp
+                .join(compacted, col("cluster") === col("c_o"), "left")
+                .select(col("doc_id"), coalesce(col("c_n"), col("cluster")).as("cluster"))
+            }
+          val stateComp =
+            if (batchesSince == 0) withCompacted
+            else {
+              val deltaRes = graft.datapipe.Dedup.compressRelabel(
+                  sp.table(t.delta).select(col("oldc"), col("newc")), batchesSince)
+                .select(col("oldc").as("d_o"), col("newc").as("d_n"))
+              withCompacted
+                .join(deltaRes, col("cluster") === col("d_o"), "left")
+                .select(col("doc_id"), coalesce(col("d_n"), col("cluster")).as("cluster"))
+            }
           val stateBands = sp.table(initBands).select(col("doc_id"), col("band"), col("sig"))
             .unionAll(sp.table(t.bands).select(col("doc_id"), col("band"), col("sig")))
           val (res, abands, relabel) = timed(batchId, "core") {
@@ -685,7 +730,10 @@ object StreamingOps {
           // bands and delta are ORDER-INDEPENDENT for recovery (any
           // bands/delta batch_id absent from results is rolled back
           // as half-written either way; only results-last is
-          // load-bearing), so they run CONCURRENTLY (guide §2.6:
+          // load-bearing — BOTH crash orderings are pinned by injected
+          // kills: bands-first by the failAfterBands suites,
+          // delta-first by Round19Spec via failAfterDelta), so they
+          // run CONCURRENTLY (guide §2.6:
           // overlap independent jobs — the second write's tasks
           // back-fill the first's commit tail) — except when the
           // bands-crash fault injection is armed, whose pinned window
@@ -709,6 +757,16 @@ object StreamingOps {
               throw new RuntimeException(
                 s"graft-injected-crash after bands-append of batch $batchId")
             deltaAppend()
+          } else if (failAfterDelta != Long.MaxValue) {
+            // fault injection (restart tests): the MIRROR half-batch —
+            // delta on disk, bands/results not, the ordering the
+            // concurrent appends below can produce (Round19Spec pins
+            // that the symmetric rollback recovers it)
+            deltaAppend()
+            if (batchId >= failAfterDelta)
+              throw new RuntimeException(
+                s"graft-injected-crash after delta-append of batch $batchId")
+            bandsAppend()
           } else {
             import scala.concurrent.{Await, Future}
             import scala.concurrent.duration.Duration
@@ -861,8 +919,21 @@ object StreamingOps {
   def runToMemorySink(df: DataFrame, name: String, mode: String = "append"): DataFrame = {
     // partition count is a property of df's own session (the streaming
     // clone for eventsStream-derived plans) — nothing global to toggle
+    val t0 = System.nanoTime()
     val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    val t1 = System.nanoTime()
     try q.processAllAvailable() finally q.stop()
+    // GRAFT_STREAM_VERBOSE=1: per-batch durationMs breakdown + wall
+    // phases on stderr — the attribution dial for the per-query
+    // streaming floor (diagnostic only; no behavior change)
+    if (sys.env.get("GRAFT_STREAM_VERBOSE").contains("1")) {
+      val t2 = System.nanoTime()
+      System.err.println(f"[stream:$name] start ${(t1 - t0) / 1e6}%.0f ms, " +
+        f"drain+stop ${(t2 - t1) / 1e6}%.0f ms")
+      q.recentProgress.foreach(p => System.err.println(
+        s"[stream:$name] batch ${p.batchId} rows=${p.numInputRows} " +
+          s"durationMs=${p.durationMs}"))
+    }
     df.sparkSession.table(name)
   }
 }
